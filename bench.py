@@ -1,0 +1,86 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value" (total seconds), "unit", "queries"
+(per-query seconds), "sf"}. Each query is executed to completion with a
+full materialization (noop write / collect for small results) — scan,
+shuffle, and sink cost all included; nothing is cached between queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: Headline set: the reference-parity pipeline + each operator family at its
+#: heaviest (joins, windows, dedup, ANN, text).
+HEADLINE = (
+    "migrate_events",
+    "influx_line_protocol",
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q5_revenue_by_nation",
+    "asof_join_last_order",
+    "window_topn_per_user",
+    "rollup_events_daily",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh",
+    "text_quality",
+    "doc_fingerprint",
+)
+
+
+def main() -> None:
+    from node_mongo2influx_spark.engine import Engine
+    from node_mongo2influx_spark.plans import load_registry
+
+    eng = Engine.builder(app_name="bench", master=f"local[{CPUS}]")
+    spark = eng.spark
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_registry()
+
+    # Warm the JVM/session and the Python/Arrow worker pool so the first
+    # measured query doesn't pay session or worker-fork startup.
+    reg["catalog_counts"].fn(spark, SF_DIR).collect()
+    spark.range(CPUS if str(CPUS).isdigit() else 32).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name].fn
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        # Full materialization without driver transfer for big results.
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Deduplication operators (SURVEY.md §2.12) — designed for 100 TB.
+
+Four tiers, in increasing tolerance / decreasing cost-per-candidate:
+
+* :func:`exact` — content-hash groupBy. One shuffle on the hash; the hash
+  (not the document) is the shuffle key, so payload bytes move once.
+* :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard via explode +
+  self-equi-join on shingle. Quadratic in per-shingle document frequency;
+  correct and oracle-checkable, used as ground truth for the approximate
+  tiers. At 100 TB use the MinHash tier and verify only its candidates.
+* :func:`minhash_lsh_pairs` — MinHash signatures (one groupBy with k min
+  aggregates — no signature-width row explosion) + LSH banding (candidate
+  generation is a band-bucket equi-join, never all-pairs).
+* :func:`simhash` — 64-bit SimHash per document + band columns for
+  hamming-distance bucketing.
+
+Everything is Column expressions over xxhash64 — JVM-side, codegen-friendly;
+no Python UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "word_shingles",
+]
+
+#: Mersenne prime 2^31-1: the modulus for the (a*h+b) mod p permutation
+#: family. Keeping a, b, h < 2^31 bounds a*h+b < 2^62 — no 64-bit overflow,
+#: which matters because Spark 4's ANSI mode makes overflow an error, not a
+#: wrap.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def shingles_from_words(words_col: str, n: int = 3) -> Column:
+    """Distinct n-gram shingles from a pre-split words array column.
+
+    Callers MUST stage the words array in its own select (see
+    :func:`_with_words`): referencing ``split()`` inline here would evaluate
+    it once per shingle (the optimizer only collapses cheap or single-use
+    aliases), turning an O(words) expression into O(words²).
+    """
+    return F.expr(
+        f"""
+        CASE WHEN size({words_col}) >= {n} THEN
+            array_distinct(transform(
+                sequence(1, size({words_col}) - {n - 1}),
+                i -> array_join(slice({words_col}, i, {n}), ' ')
+            ))
+        ELSE array() END
+        """
+    )
+
+
+def _with_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stage the lower-cased word split as a real column (one evaluation)."""
+    return df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__words")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of lower-cased ``text_col`` as an array.
+
+    Convenience form for small inputs/tests; hot paths go through
+    :func:`_with_words` + :func:`shingles_from_words` to avoid re-splitting.
+    """
+    return shingles_from_words(f"split(lower({text_col}), ' ')", n)
+
+
+def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: md5 content hash → (fingerprint, keep_doc_id,
+    n_copies). Keeps the lowest id as canonical — deterministic, unlike
+    ``dropDuplicates`` whose survivor is partition-order dependent."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return _with_words(df, text_col, id_col).select(
+        F.col(id_col), F.explode(shingles_from_words("__words", n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup pairs: Jaccard over n-gram shingle sets ≥ threshold.
+
+    explode → equi-join on shingle → |A∩B| per pair → |A∪B| by
+    inclusion-exclusion. The join key is the shingle, so only documents
+    sharing a shingle ever meet — no cross join. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    # Persisted: sizes and both join sides consume the shingle table — three
+    # scans of an explode'd lineage without it.
+    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE31, size=num_perm).tolist()
+    b = rng.randint(0, _MERSENNE31, size=num_perm).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures.
+
+    Shape matters at scale: shingle base-hashes are computed JVM-side
+    (xxhash64 inside a transform — codegen), then the num_perm permutation
+    mins are one Arrow-vectorized kernel: per document a single numpy
+    broadcast ``(a ⊗ h + b) mod p → min`` over the (num_perm × n_shingles)
+    grid. This is a narrow per-row transformation — NO explode, NO shuffle,
+    no num_perm aggregate columns; each partition produces its signatures
+    independently. (A pure-Column formulation with 128 min() aggregates
+    measured ~10× slower: >64 expressions per row falls out of whole-stage
+    codegen into interpreted evaluation.)
+    """
+    a, b = _perm_coeffs(num_perm, seed)
+    a_arr = np.asarray(a, dtype=np.int64).reshape(-1, 1)
+    b_arr = np.asarray(b, dtype=np.int64).reshape(-1, 1)
+
+    hashed = _with_words(df, text_col, id_col).select(
+        F.col(id_col),
+        F.transform(
+            shingles_from_words("__words", shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+        ).alias("hs"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sigs = []
+            for hs in pdf["hs"]:
+                h = np.asarray(hs, dtype=np.int64)
+                if h.size == 0:
+                    # Empty shingle set: max-valued signature (matches the
+                    # "min over empty set" identity), never collides.
+                    sigs.append(np.full(len(a_arr), _MERSENNE31, dtype=np.int64))
+                else:
+                    sigs.append((a_arr * h + b_arr).__mod__(_MERSENNE31).min(axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return hashed.mapInPandas(kernel, schema=f"{id_col} long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    Candidates = documents agreeing on ALL rows of at least one band
+    (bands × rows = num_perm). Candidate generation is an equi-join on
+    (band, bucket-hash) — the only all-pairs work happens inside a bucket,
+    which banding keeps tiny. Pairs are then scored by signature agreement
+    (unbiased Jaccard estimate) and filtered to ``threshold``.
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    # Persisted: the banding self-join consumes the signature lineage twice
+    # (and the pair-scoring join again) — signatures are ~1 KB/doc, cheap to
+    # keep, expensive to recompute.
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed).persist()
+
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_perm
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """64-bit SimHash per document + hamming bands.
+
+    Token hashes vote per bit position (+1/-1, weighted by term frequency);
+    the sign of each bit-sum is the fingerprint bit. Implemented as one
+    explode + one groupBy with 64 conditional sums — no UDFs. The
+    ``band{i}`` columns are 16-bit chunks: two documents within hamming
+    distance 3 of each other agree on at least one band (pigeonhole), so
+    banding gives the candidate join key at scale.
+
+    Returns (id, simhash, band0..band{n_bands-1}).
+    """
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    tok = tok.select(id_col, F.xxhash64("w").alias("h"))
+    # Vote per bit: sum(+1 if bit set else -1) over tokens.
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp: Column = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j) if j < 63
+                         else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+    out = agg.select(F.col(id_col), fp.alias("simhash"))
+    bands = {
+        f"band{i}": F.shiftrightunsigned(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .cast("long")
+        for i in range(n_bands)
+    }
+    return out.withColumns(bands)

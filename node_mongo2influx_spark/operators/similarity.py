@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Two tiers:
+
+* :func:`knn_cosine` — exact brute force: broadcast the (small) query set
+  against the corpus scan; dot products via ``zip_with``/``aggregate``
+  Column expressions (JVM-side). Cost: |corpus| × |queries| multiply-adds,
+  embarrassingly parallel, zero shuffle until the final per-query top-k.
+  The correctness baseline.
+* :func:`knn_cosine_lsh` — approximate: random-hyperplane (SRP) LSH. Corpus
+  vectors hash to a bucket id from the sign pattern of ``n_planes``
+  projections; queries probe their own bucket plus all hamming-1 neighbors.
+  The candidate set is an equi-join on bucket — at 100 TB the corpus scan
+  is hashed once (cacheable) and each query touches ~(n_planes+1)/2^n_planes
+  of the corpus.
+
+Norms are precomputed once per side; vectors are cast to double before any
+arithmetic so results are engine-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def knn_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine), neighbors ranked by cosine desc
+    with id tie-break; a query never matches itself.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+
+    j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+    scored = j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", round_to).alias("cosine")
+        )
+    )
+
+
+def _planes_expr(n_planes: int, dim: int, seed: int) -> Column:
+    """Literal array<array<double>> of unit random hyperplanes (fixed seed →
+    deterministic across runs and engines)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    rows = ", ".join(
+        "array(" + ", ".join(repr(float(v)) for v in row) + ")" for row in planes
+    )
+    return F.expr(f"array({rows})")
+
+
+def srp_bucket(vec: Column, planes: Column) -> Column:
+    """Signed-random-projection bucket id: bit j = sign(vec · plane_j)."""
+    signs = F.transform(
+        planes, lambda p: F.when(_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.aggregate(
+        F.zip_with(
+            signs,
+            F.sequence(F.lit(0), F.size(planes) - 1),
+            # shiftleft needs a literal shift; 2^i via pow is exact for
+            # the small plane counts used here.
+            lambda s, i: s * F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table SRP-LSH with
+    hamming-1 multi-probe.
+
+    Standard LSH shape: ``n_tables`` independent hyperplane sets; a corpus
+    vector lands in one bucket per table, a query probes its bucket plus all
+    hamming-1 neighbors in every table, candidates are the union (OR across
+    tables boosts recall; AND within a table's bits keeps buckets small).
+    Exact cosine then ranks candidates. Per-table collision probability for
+    angle θ is (1-θ/π)^n_planes, so recall ≈ 1-(1-p·probe_gain)^n_tables —
+    tune n_planes (precision) and n_tables (recall) independently. Recall vs
+    :func:`knn_cosine` is asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    planes_t = planes.T  # dim × (n_tables·n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def bucket_kernel(batches):
+        """All n_tables bucket ids per vector in one numpy matmul —
+        (batch × dim) @ (dim × tables·planes), signs packed to ints.
+        Bulk linear algebra is the one place Column expressions lose to an
+        Arrow kernel (interpreted higher-order folds vs BLAS)."""
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            proj = mat @ planes_t  # B × (tables·planes)
+            bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
+            buckets = bits @ weights  # B × tables
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "vec": pdf["vec"],
+                    "vnorm": np.linalg.norm(mat, axis=1),
+                    "buckets": list(buckets),
+                }
+            )
+
+    schema = "vid long, vec array<double>, vnorm double, buckets array<long>"
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .mapInPandas(bucket_kernel, schema=schema)
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+            F.posexplode("buckets").alias("t", "bucket"),
+        )
+    )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .mapInPandas(bucket_kernel, schema=schema)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("vnorm").alias("qnorm"),
+            F.posexplode("buckets").alias("t", "qbucket"),
+        )
+        # Multi-probe: own bucket + every hamming-1 neighbor bucket.
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            "t",
+            F.explode(
+                F.array(
+                    F.col("qbucket"),
+                    *[
+                        F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+
+    j = c.join(F.broadcast(q), ["t", "bucket"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+    scored = (
+        j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", round_to).alias("cosine")
+        )
+    )

@@ -1,0 +1,151 @@
+"""Text analysis operators (SURVEY.md §2.12): quality scoring, token
+counting, language ID, document fingerprinting.
+
+All pure Column expressions — these run per document over the full corpus,
+so they must stay inside whole-stage codegen. The DuckDB oracle SQL for each
+is generated from the same constants (stopword sets, regexes) to keep both
+sides in lock-step; see plans/llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword markers per language for the lang-ID heuristic. Order matters:
+#: ties break toward the earlier language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "is", "in", "it", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "fr": ("le", "les", "des", "et", "une", "est", "dans"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+}
+
+#: Stopwords for the quality scorer's stopword-ratio feature.
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+#: BPE-ish tokenizer: alpha runs, digit runs, or single non-space symbols.
+BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _words(text_col: str) -> str:
+    return f"split(lower({text_col}), ' ')"
+
+
+def _marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter({_words(text_col)}, w -> w IN ({lst})))")
+
+
+def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char/token counts, average token
+    length, non-alpha ratio, stopword ratio."""
+    n_chars = F.length(text_col)
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    alpha_only = F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
+    return df.where(n_chars > 0).select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(
+            (n_chars - F.length(alpha_only)).cast("double") / n_chars, 4
+        ).alias("non_alpha_ratio"),
+        F.round(
+            _marker_count(text_col, QUALITY_STOPWORDS).cast("double") / n_tokens, 4
+        ).alias("stopword_ratio"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        # Pattern passed as a Column literal: embedding it in an expr()
+        # string would put \s through SQL string-escape processing.
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_REGEX), 0)
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language ID: score each language by marker hits,
+    argmax with fixed preference order, 'unknown' when nothing matches.
+
+    Returns (id, label, predicted, <lang>_score...). ``label`` is the
+    fixture's ground-truth column when present.
+    """
+    scores = {
+        f"{lang}_score": _marker_count(text_col, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.withColumns(scores)
+    langs = list(LANG_MARKERS)
+    all_scores = [F.col(f"{lang}_score") for lang in langs]
+    pred: Column = F.lit("unknown")
+    # Built back-to-front so earlier languages win ties.
+    for i in reversed(range(len(langs))):
+        later = [F.col(f"{lang}_score") for lang in langs[i + 1:]]
+        cond = F.col(f"{langs[i]}_score") >= (
+            F.greatest(*later) if len(later) > 1 else (later[0] if later else F.lit(0))
+        )
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+    pred = F.when(F.greatest(*all_scores) <= 0, F.lit("unknown")).otherwise(pred)
+    cols = [F.col(id_col)]
+    if "lang" in df.columns:
+        cols.append(F.col("lang").alias("label"))
+    cols.append(pred.alias("predicted"))
+    cols.extend(F.col(f"{lang}_score") for lang in langs)
+    return out.select(*cols)
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB SQL equivalent of :func:`lang_id`, generated from the same
+    LANG_MARKERS so the two can never drift."""
+    langs = list(LANG_MARKERS)
+    score_exprs = ",\n               ".join(
+        f"len(list_filter(string_split(lower({text_col}), ' '), "
+        f"w -> w IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS {lang}_score"
+        for lang in langs
+    )
+    # Same back-to-front tie-break as the Spark side.
+    case = "'unknown'"
+    for i in reversed(range(len(langs))):
+        later = [f"{lang}_score" for lang in langs[i + 1:]]
+        if len(later) > 1:
+            cond = f"{langs[i]}_score >= greatest({', '.join(later)})"
+        elif later:
+            cond = f"{langs[i]}_score >= {later[0]}"
+        else:
+            cond = f"{langs[i]}_score >= 0"
+        case = f"CASE WHEN {cond} THEN '{langs[i]}' ELSE {case} END"
+    greatest_all = f"greatest({', '.join(f'{lang}_score' for lang in langs)})"
+    return f"""
+        SELECT {id_col}, lang AS label,
+               CASE WHEN {greatest_all} <= 0 THEN 'unknown' ELSE {case} END AS predicted,
+               {', '.join(f'{lang}_score' for lang in langs)}
+        FROM (
+            SELECT {id_col}, lang,
+               {score_exprs}
+            FROM {table}
+        ) t
+    """
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint + leading-2-byte shard
+    bucket (the dedup partition key at scale)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp = F.md5(normalized.cast("binary"))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_bucket"),
+    )

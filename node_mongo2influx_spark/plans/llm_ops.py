@@ -1,0 +1,257 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.12): dedup, similarity search,
+text analysis, multimodal — over the `documents` and `embeddings` fixtures.
+
+Implementations live in ``operators/``; this module wraps them as named,
+oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from node_mongo2influx_spark.operators import dedup, multimodal, similarity, text
+from node_mongo2influx_spark.plans import query
+from node_mongo2influx_spark.plans.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fingerprint,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    description="Exact dedup: content-hash groupBy, keep lowest doc_id "
+    "(deterministic canonical row — dropDuplicates' arbitrary pick is not "
+    "oracle-friendly).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 3 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       ELSE [] END
+                   )) AS sh
+            FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shingles a JOIN shingles b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+    """,
+    description="Near-dup candidate pairs by exact 3-gram-shingle Jaccard "
+    "(explode → self-join on shingle → |A∩B|/|A∪B|). The exact-arithmetic "
+    "oracle for the MinHash approximation.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        threshold=0.5,
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # approximate: verified against exact Jaccard in tests
+    description="MinHash(128 perms)+LSH banding near-dup pairs — the 100 TB "
+    "path: candidate generation is a band-bucket equi-join, never all-pairs. "
+    "Verified against dedup_ngram_jaccard in tests/test_dedup.py (recall "
+    "bound), rows-only check here.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=3,
+        num_perm=128,
+        bands=32,
+        threshold=0.5,
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-mixing not SQL-expressible; deterministic, tested in pytest
+    description="64-bit SimHash per document (token-hash sign aggregation) + "
+    "hamming-band grouping; rows-only check, determinism tested in pytest.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "knn_cosine_bruteforce",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        )
+        SELECT query_id, neighbor_id, cosine
+        FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.emb, v.emb)
+                         / (sqrt(list_dot_product(q.emb, q.emb))
+                            * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.emb, v.emb)
+                                / (sqrt(list_dot_product(q.emb, q.emb))
+                                   * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                v.vec_id
+                   ) AS rn
+            FROM e q
+            JOIN e v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) t
+        WHERE rn <= 10
+    """,
+    description="Exact top-10 cosine neighbors for query vectors (vec_id<5): "
+    "broadcast queries × corpus scan, JVM-side dot products, per-query top-k. "
+    "The correctness baseline for the ANN path.",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine(
+        emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding", k=10
+    )
+
+
+@query(
+    "knn_cosine_lsh",
+    oracle=None,  # approximate; recall vs brute force asserted in tests
+    description="ANN top-k via random-hyperplane LSH bucketing: queries join "
+    "only their bucket (multi-probe), not the whole corpus — the 100 TB path. "
+    "Recall vs knn_cosine_bruteforce asserted in tests/test_similarity.py.",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine_lsh(
+        emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
+        k=10, n_planes=8, seed=42,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(CAST(length(text) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS DOUBLE) / length(text), 4) AS non_alpha_ratio,
+               round(CAST(len(list_filter(string_split(lower(text), ' '),
+                     w -> w IN ('the','a','of','to','and','in','is','it')))
+                     AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents
+        WHERE length(text) > 0
+    """,
+    description="Quality scoring: length, token count, avg token length, "
+    "non-alpha ratio, stopword ratio — pure Column expressions.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "token_count",
+    oracle=r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens
+        FROM documents
+    """,
+    description="Token counting: whitespace split + BPE-ish regex "
+    "(alpha runs / digit runs / single punctuation).",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "lang_id",
+    oracle=text.lang_id_oracle_sql(),
+    description="Language ID heuristic (marker-stopword voting; oracle SQL "
+    "generated from the same marker sets). The fixture text is synthetic "
+    "English-ish regardless of label — the heuristic is the deliverable, not "
+    "fixture accuracy.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+               substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 4)
+                   AS shard_bucket
+        FROM documents
+    """,
+    description="Document fingerprinting: whitespace-normalized content hash "
+    "+ leading-nibble shard bucket (the partition key for dedup at scale).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               md5(text) AS content_md5,
+               CASE WHEN octet_length(CAST(text AS BLOB)) >= 4096 THEN 'large'
+                    WHEN octet_length(CAST(text AS BLOB)) >= 1024 THEN 'medium'
+                    ELSE 'small' END AS size_class
+        FROM documents
+    """,
+    description="Multimodal plumbing: opaque binary payload column + typed "
+    "metadata (bytes, checksum, size class). The decode/feature steps are "
+    "stubbed (no codec libs in container) but the schema/partitioning/UDF "
+    "plumbing is real — see operators/multimodal.py and tests.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.as_binary_payload(
+        load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
+    )
+    return multimodal.payload_meta(df, id_col="doc_id")

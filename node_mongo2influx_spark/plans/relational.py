@@ -1,0 +1,501 @@
+"""Relational surface — SURVEY.md §2.7's "Spark plan" column, made real.
+
+The reference has no joins/aggs/windows/sorts/set-ops (verified absent,
+SURVEY.md §2.7); its users do that work inside an opaque JS callback. Here
+each category is a first-class declarative query so Catalyst gets pushdown,
+pruning, join planning and whole-stage codegen. Every query is paired with a
+DuckDB oracle.
+
+Scale notes (the part that matters at 100 TB):
+* dimension joins broadcast explicitly (``F.broadcast``) — no shuffle of the
+  fact table for region/nation/customer-sized sides;
+* aggregations are expressed as plain groupBy → partial (map-side) combine
+  comes free; no driver-side loops anywhere;
+* floats that cross the engine boundary are rounded on BOTH sides — Spark
+  and DuckDB may sum doubles in different orders, and round() keeps the
+  comparison honest without hiding real errors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from node_mongo2influx_spark.plans import query
+from node_mongo2influx_spark.plans.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: hash agg with partial/final, the TPC-H Q1 pattern
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                   AS sum_qty,
+               round(sum(l_extendedprice), 2)                              AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                   AS avg_qty,
+               round(avg(l_extendedprice), 4)                              AS avg_price,
+               round(avg(l_discount), 4)                                   AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Hash aggregation with map-side partial combine (TPC-H Q1 shape).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: broadcast dim → fact, multi-way star join, top-k
+# ---------------------------------------------------------------------------
+@query(
+    "q3_top_unshipped_revenue",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    description="Star join (broadcast customer dim) + agg + global top-k "
+    "(TPC-H Q3 shape). TakeOrderedAndProject avoids a full sort.",
+)
+def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle="""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+    description="Five-way star join, all dims broadcast (TPC-H Q5 shape): "
+    "the fact table never shuffles for the dimension joins.",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+    """,
+    description="Anti join: customers with no large orders (LEFT ANTI — the "
+    "probe side's payload never materializes).",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where("o_totalprice > 300000")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "asof_join_last_order",
+    oracle="""
+        SELECT event_id, user_id, time, o_orderkey, order_time
+        FROM (
+            SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS time,
+                   o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS order_time,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) t
+        WHERE rn = 1
+    """,
+    description="As-of join (backward): each event matched to the user's most "
+    "recent prior order. Spark lacks a native as-of; expressed as equi-join on "
+    "the key + range predicate + per-row top-1 window — the equi-key keeps it "
+    "a hash join (no cartesian range scan), skew-safe under AQE.",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumnRenamed("ts", "time")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderdate", "order_time")
+    j = e.join(
+        o, (o.o_custkey == e.user_id) & (F.col("order_time") <= F.col("time"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("order_time").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "time", "o_orderkey", "order_time")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+@query(
+    "window_topn_per_user",
+    oracle="""
+        SELECT user_id, event_id, value, rn
+        FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                   ) AS rn
+            FROM events
+        ) t
+        WHERE rn <= 3
+    """,
+    description="Partitioned top-N: row_number window with deterministic "
+    "tie-break, filtered to N (the scalable per-group top-k).",
+)
+def window_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS running_value,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    """,
+    description="Running aggregate + lag over an ordered per-user frame "
+    "(sessionization building blocks).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(frame), 4).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+@query(
+    "sort_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    description="Global top-k: orderBy+limit compiles to TakeOrderedAndProject "
+    "(per-partition heap + driver merge), never a full global sort.",
+)
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_customers",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+    """,
+    description="UNION (distinct) + EXCEPT chain — set semantics over key sets.",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.where("c_mktsegment = 'BUILDING'").select("c_custkey")
+    rich = c.where("c_acctbal > 9000").select("c_custkey")
+    big_f = (
+        o.where("o_orderstatus = 'F' AND o_totalprice > 400000")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.union(rich).distinct().exceptAll(big_f.distinct())
+
+
+@query(
+    "intersect_active_buyers",
+    oracle="""
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    """,
+    description="INTERSECT of two filtered key sets.",
+)
+def intersect_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.where("event_type = 'purchase'").select("user_id")
+        .intersect(e.where("event_type = 'click'").select("user_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_events_daily",
+    oracle="""
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events
+        GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+    description="ROLLUP hierarchy (type → day → grand total) in one shuffle.",
+)
+def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@query(
+    "cube_type_by_weekday",
+    oracle="""
+        SELECT event_type, CAST(isodow(ts) AS INT) AS weekday,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY CUBE (event_type, CAST(isodow(ts) AS INT))
+    """,
+    description="CUBE over two dimensions (all 4 grouping sets).",
+)
+def cube_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ISO weekday (Mon=1..Sun=7) matches DuckDB's isodow.
+    e = load(spark, sf_dir, "events").withColumn(
+        "weekday", F.dayofweek(F.expr("ts - INTERVAL 1 DAY")).cast("int")
+    )
+    return e.cube("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Exact distinct aggregate (expand+two-phase under the hood); "
+    "see approx_distinct_users for the sketch path.",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string/date/math/json
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_string_math",
+    oracle=r"""
+        SELECT p_partkey,
+               upper(p_brand)                                   AS brand_upper,
+               substr(p_name, 1, 8)                             AS name_prefix,
+               length(p_name)                                   AS name_len,
+               replace(p_type, ' ', '_')                        AS type_slug,
+               regexp_extract(p_type, '(\w+)$', 1)              AS type_last,
+               concat(p_brand, '#', CAST(p_size AS VARCHAR))    AS brand_size,
+               round(sqrt(p_retailprice), 6)                    AS price_sqrt,
+               round(ln(p_retailprice + 1), 6)                  AS price_ln,
+               CAST(ceil(p_retailprice) AS BIGINT)              AS price_ceil,
+               abs(p_size - 25)                                 AS size_dev,
+               p_partkey % 7                                    AS bucket
+        FROM part
+    """,
+    description="String/math scalar functions — all JVM-side Column exprs.",
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("type_last"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log1p("p_retailprice"), 6).alias("price_ln"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_partkey") % 7).alias("bucket"),
+    )
+
+
+@query(
+    "scalar_date_json",
+    oracle="""
+        SELECT event_id,
+               CAST(year(ts) AS INT)                            AS y,
+               CAST(month(ts) AS INT)                           AS m,
+               CAST(day(ts) AS INT)                             AS d,
+               CAST(hour(ts) AS INT)                            AS h,
+               CAST(date_trunc('day', ts) AS TIMESTAMP)         AS day_start,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS unix_sec,
+               CAST(json_extract_string(props, '$.k') AS INT)   AS prop_k
+        FROM events
+    """,
+    description="Date-part extraction + epoch + JSON field extraction "
+    "(events.props is a JSON string — the Mongo dynamic-document analogue).",
+)
+def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                        AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6)                AS first_val,
+               round(CAST(embedding[64] AS DOUBLE), 6)               AS last_val,
+               round(CAST(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 6)
+                                                                     AS sq_norm,
+               round(CAST(list_max(embedding) AS DOUBLE), 6)         AS max_val
+        FROM embeddings
+    """,
+    description="Array column functions over embeddings (size, element_at, "
+    "higher-order aggregate for the squared norm) — vector math without UDFs.",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_norm = F.aggregate(
+        dbl, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
+        F.round(F.element_at(dbl, 64), 6).alias("last_val"),
+        F.round(sq_norm, 6).alias("sq_norm"),
+        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("max_val"),
+    )

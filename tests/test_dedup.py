@@ -1,0 +1,86 @@
+"""Dedup operator tests: exact, shingle Jaccard, MinHash LSH (recall vs
+exact), SimHash determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from node_mongo2influx_spark.operators import dedup
+from node_mongo2influx_spark.plans.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (4, "completely different words entirely unrelated text here now"),
+            (5, "tiny"),  # shorter than shingle width
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in dedup.exact(docs).collect()}
+    assert rows[1] == 2  # docs 1+3 collapse, keeps min id
+    assert rows[2] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    out = df.select(dedup.word_shingles("text", 3).alias("sh")).first()
+    assert out["sh"] == []
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # 32 bands x 4 rows: P(candidate) at s=0.5 is ~0.9; require >=70% recall
+    # of truly-similar pairs and no wild overreach.
+    if exact_pairs:
+        recall = len(exact_pairs & mh_pairs) / len(exact_pairs)
+        assert recall >= 0.7, (recall, exact_pairs, mh_pairs)
+    assert len(mh_pairs) <= max(4 * len(exact_pairs), 10)
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert len(s1[1]) == 128
+    assert s1[1] == s1[3]  # identical text -> identical signature
+
+
+def test_simhash_properties(docs):
+    out = {r["doc_id"]: r for r in dedup.simhash(docs).collect()}
+    assert out[1]["simhash"] == out[3]["simhash"]  # exact dup -> same hash
+    # near-dup should be closer (in hamming distance) than unrelated doc
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_near = ham(out[1]["simhash"], out[2]["simhash"])
+    d_far = ham(out[1]["simhash"], out[4]["simhash"])
+    assert d_near < d_far
+    # band columns decompose the hash
+    recomposed = sum(out[1][f"band{i}"] << (16 * i) for i in range(4))
+    assert recomposed == out[1]["simhash"] & ((1 << 64) - 1)

@@ -1,0 +1,72 @@
+"""Similarity search tests: brute-force vs numpy oracle, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from node_mongo2influx_spark.operators import similarity
+from node_mongo2influx_spark.plans.tables import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_knn_matches_numpy(emb):
+    k = 5
+    queries = emb.where("vec_id < 3")
+    got = similarity.knn_cosine(emb, queries, k=k).collect()
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = mat_n @ mat_n[ids == qid].T
+        sims = sims.ravel()
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:k]
+        expected = [int(ids[i]) for i in order]
+        mine = [r["neighbor_id"] for r in sorted(
+            (g for g in got if g["query_id"] == qid),
+            key=lambda r: (-r["cosine"], r["neighbor_id"]),
+        )]
+        assert mine == expected, (qid, mine, expected)
+
+
+def test_knn_excludes_self(emb):
+    got = similarity.knn_cosine(emb, emb.where("vec_id < 3"), k=3).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in got)
+
+
+def test_lsh_recall_vs_bruteforce(emb):
+    k = 10
+    queries = emb.where("vec_id < 10")
+    exact = similarity.knn_cosine(emb, queries, k=k).collect()
+    approx = similarity.knn_cosine_lsh(emb, queries, k=k, n_planes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # hamming-1 multiprobe at 8 planes: average recall should be decent
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_srp_bucket_range(emb):
+    from pyspark.sql import functions as F
+
+    planes = similarity._planes_expr(8, 64, seed=42)
+    vec = similarity._as_double(F.col("embedding"))
+    out = emb.select(similarity.srp_bucket(vec, planes).alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).first()
+    assert 0 <= out[0] and out[1] < 256
