@@ -78,6 +78,38 @@ def knn_cosine(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    Exact all-pairs comparison via self-join (id_a < id_b). Correct and
+    oracle-checkable; quadratic, so at 100 TB feed it LSH-bucketed
+    candidates (see :func:`knn_cosine_lsh`) rather than the raw corpus —
+    the scoring expression is identical.
+    """
+    base = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", round_to).alias("cosine"))
+    )
+
+
 def _planes_expr(n_planes: int, dim: int, seed: int) -> Column:
     """Literal array<array<double>> of unit random hyperplanes (fixed seed →
     deterministic across runs and engines)."""

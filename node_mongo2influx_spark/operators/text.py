@@ -137,6 +137,42 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
     """
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf: one shuffle on (doc, term); df: one shuffle on term (the vocabulary
+    aggregate is broadcast back — vocabularies are small relative to the
+    corpus); idf smoothed as ln((1+N)/(1+df)). Deterministic tie-break on
+    the term string. Returns (id, term, tfidf, rank).
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    tf = tokens.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = df.count()  # scalar; one cheap count on the (cached) source
+    scored = tf.join(F.broadcast(dfreq), "w").withColumn(
+        "tfidf_raw",
+        F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf_raw").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("w").alias("term"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rank"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -57,6 +57,12 @@ class TransformSpec:
         where:    optional SQL predicate applied after the above.
         time_column: the column that must be non-null for a row to survive
                   (reference F1, index.js:235). ``None`` disables the filter.
+        count_skipped: attach one-pass skip accounting (reference M3). The
+                  observe() node must see pre-filter rows, which pins the
+                  filter above the scan; set False when accounting isn't
+                  needed and the time filter becomes scan-pushable — at
+                  100 TB that's the difference between reading and skipping
+                  the null-time row groups.
         batch_fn: optional Arrow-batched transform (mapInPandas). Requires
                   ``batch_schema`` describing the output.
         batch_schema: DDL schema string for ``batch_fn`` output.
@@ -68,6 +74,7 @@ class TransformSpec:
     set: Mapping[str, str] = field(default_factory=dict)
     where: Optional[str] = None
     time_column: Optional[str] = "time"
+    count_skipped: bool = True
     batch_fn: Optional[BatchFn] = None
     batch_schema: Optional[str] = None
 
@@ -105,6 +112,10 @@ class TransformSpec:
         with no second scan.
         """
         out = self.compile(df)
+        if not self.count_skipped:
+            if self.time_column is not None:
+                out = out.where(F.col(self.time_column).isNotNull())
+            return out, None
         obs = Observation()
         if self.time_column is None:
             # No validity filter, but still count rows one-pass so sinks

@@ -45,6 +45,7 @@ def load_registry() -> dict[str, QueryDef]:
         llm_ops,
         pipeline,
         relational,
+        timeseries,
     )
 
     return REGISTRY

@@ -162,6 +162,35 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+    """,
+    description="Embedding-cosine near-duplicate pairs (cosine ≥ 0.4 — calibrated to this corpus's top ~0.1%% of pairs): exact "
+    "all-pairs on the label-blocked corpus here; at 100 TB the identical "
+    "predicate runs over LSH-bucketed candidates (knn_cosine_lsh's bucketer) "
+    "instead of the full cross product.",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -229,6 +258,46 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, count(*) AS tf FROM tokens
+            WHERE w <> '' GROUP BY doc_id, w
+        ),
+        df AS (
+            SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w,
+                   round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6)
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) DESC,
+                                tf.w
+                   ) AS rn
+            FROM tf JOIN df USING (w) CROSS JOIN n
+        )
+        SELECT doc_id, w AS term, tfidf, rn AS rank
+        FROM scored WHERE rn <= 3
+    """,
+    description="TF-IDF top-3 terms per document: token explode → tf per "
+    "(doc, term) → document frequency (broadcast back) → smoothed idf → "
+    "per-doc top-k window. All shuffles key on term or doc — no driver "
+    "collection of the vocabulary.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", k=3
+    )
 
 
 # ---------------------------------------------------------------------------

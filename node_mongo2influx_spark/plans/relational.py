@@ -470,6 +470,135 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_event_matrix",
+    oracle="""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END)    AS click,
+               count(CASE WHEN event_type = 'view' THEN 1 END)     AS view,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END)   AS signup,
+               count(CASE WHEN event_type = 'error' THEN 1 END)    AS error
+        FROM events
+        GROUP BY user_id
+    """,
+    description="Pivot (explicit value list → one shuffle; an unpivoted "
+    "value list would need a discovery pass first).",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    description="Explicit GROUPING SETS (segment-only, nation-only, grand "
+    "total) — finer control than rollup/cube, still one expand+shuffle.",
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "percentiles_by_type",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Exact interpolated percentiles per group. At 100 TB swap "
+    "for approx_percentile (t-digest sketch, mergeable map-side) — see "
+    "approx_distinct_users for the sketch pattern.",
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "correlated_max_order",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey AS top_orderkey,
+               o.o_totalprice AS top_price
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice = (
+            SELECT max(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey
+        )
+        AND o.o_orderkey = (
+            SELECT min(o3.o_orderkey) FROM orders o3
+            WHERE o3.o_custkey = c.c_custkey
+              AND o3.o_totalprice = o.o_totalprice
+        )
+    """,
+    description="Correlated scalar subquery (each customer's max-price "
+    "order, deterministic tie-break) — decorrelates to an aggregate+join; "
+    "expressed directly as max_by with a join-free single shuffle.",
+)
+def correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    top = o.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct("o_totalprice", "o_orderkey"),
+            # max_by on (price, -orderkey): highest price, lowest key on ties
+            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg")),
+        ).alias("top")
+    )
+    return (
+        c.join(top, c.c_custkey == top.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("top.o_orderkey").alias("top_orderkey"),
+            F.col("top.o_totalprice").alias("top_price"),
+        )
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # sketch-based; exactness asserted against count_distinct in tests
+    description="approx_count_distinct (HyperLogLog++, rsd=0.01): the "
+    "mergeable-sketch path for distinct counts at 100 TB — map-side partial "
+    "sketches, no exact-distinct expand. Accuracy vs exact asserted in "
+    "tests/test_relational_extra.py.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+@query(
     "array_functions",
     oracle="""
         SELECT vec_id,

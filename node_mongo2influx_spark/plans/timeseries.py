@@ -1,0 +1,155 @@
+"""Time-series queries — the reference's data domain (Mongo time series →
+Influx), expressed as first-class analytics the original tool's users would
+run downstream: continuous-aggregate rollups, sessionization, gap filling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from node_mongo2influx_spark.plans import query
+from node_mongo2influx_spark.plans.tables import load
+
+
+@query(
+    "hypertable_rollup_5min",
+    oracle="""
+        SELECT event_type,
+               CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS bucket,
+               count(*) AS n,
+               round(avg(value), 4) AS avg_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value,
+               round(arg_max(value, ts), 2) AS last_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Hypertable-style continuous aggregate: 5-minute time "
+    "buckets per series with count/avg/min/max/last (arg_max). One shuffle, "
+    "map-side partial aggregation — the downsampling pattern for metrics "
+    "storage at scale.",
+)
+def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "5 minutes").start.alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_no
+            FROM gaps
+        )
+        SELECT user_id,
+               CAST(count(DISTINCT session_no) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id
+    """,
+    description="Sessionization: 30-minute inactivity gap → session ids via "
+    "lag + running sum (two windows, one shuffle on user), then per-user "
+    "session counts. The batch analogue of a session window.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    # Microsecond-exact gap compare (cast-to-seconds would truncate and
+    # disagree with an INTERVAL comparison on sub-second boundaries).
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("session_no").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "gapfill_minutely",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS t0,
+                   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS t1
+            FROM events WHERE event_type = 'purchase'
+        ),
+        grid AS (
+            SELECT unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS bucket
+            FROM bounds
+        ),
+        actual AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT g.bucket,
+               coalesce(a.n, 0) AS n,
+               coalesce(a.total, 0.0) AS total
+        FROM grid g LEFT JOIN actual a USING (bucket)
+    """,
+    description="Gap filling: dense hourly grid (sequence + explode over the "
+    "observed bounds) left-joined to actual buckets, zeros for silent hours — "
+    "the time_bucket_gapfill pattern. The grid generates distributed, not on "
+    "the driver.",
+)
+def gapfill_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where("event_type = 'purchase'")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    actual = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return (
+        grid.join(actual, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming variant of the migrate pipeline (SURVEY.md §7 step 7).
+
+The reference is strictly batch ("time series" describes its data domain,
+not stream processing — SURVEY.md §2.7), so this is an extension: the same
+``TransformSpec`` semantics applied to an unbounded source.
+
+Shape: ``readStream`` (file source — at scale: Kafka/Kinesis) → transform →
+time-validity filter → either
+
+* :func:`migrate_stream` — per-micro-batch delivery through any batch
+  :class:`~node_mongo2influx_spark.sinks.base.Sink` via ``foreachBatch``
+  (reuses the exact batch writers, including the InfluxDB line-protocol
+  sink), or
+* :func:`windowed_rollup_stream` — watermarked tumbling-window aggregation
+  with late-data handling, the streaming analogue of rollup_events_daily.
+
+Micro-batch atomicity note: ``foreachBatch`` provides at-least-once into
+non-idempotent sinks; pair with the sink's (series, time, content-hash)
+dedup key for effectively-once, as in batch (sinks/base.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from node_mongo2influx_spark.operators.transform import TransformSpec
+from node_mongo2influx_spark.sinks.base import Sink
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-based streaming source over a directory of ``fmt`` files."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def migrate_stream(
+    source: DataFrame,
+    transform: TransformSpec,
+    sink: Sink,
+    series: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuous migrate: transform + time-filter each micro-batch, deliver
+    through the batch sink adapter (foreachBatch).
+
+    ``transform.compile`` (not ``apply``) is used — streaming plans can't
+    carry ``observe`` the same way; per-batch counts are derived in the
+    batch function instead.
+    """
+    out = transform.compile(source)
+    if transform.time_column:
+        out = out.where(F.col(transform.time_column).isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write(batch_df, series)
+
+    writer = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rollup_stream(
+    source: DataFrame,
+    time_col: str = "time",
+    key_col: Optional[str] = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over an event-time stream.
+
+    Late rows beyond ``watermark`` are dropped and their state evicted —
+    bounded state at 100 TB/day stream rates. Returns the unbounded
+    aggregated DataFrame; caller attaches a writeStream.
+    """
+    keys = [F.window(F.col(time_col), window_duration).alias("win")]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        source.withWatermark(time_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *( [F.col(key_col)] if key_col else [] ),
+            "n",
+            "total",
+        )
+    )

@@ -1,0 +1,97 @@
+"""Physical-plan quality gates — the 100 TB requirements as assertions.
+
+These tests read `explain()` output, not results: a query can be correct and
+still carry a plan that dies at 1000× the data (full scans where pushdown
+was available, sort-merge joins of broadcastable dims, global sorts for
+top-k). Each assertion pins the plan shape we designed for.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from node_mongo2influx_spark.plans import load_registry
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_registry()
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir, reg):
+    # q1's shipdate filter must reach the scan as a pushed filter, and the
+    # scan must prune to only the referenced columns.
+    plan = _plan(reg["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
+    # column pruning: o_orderkey et al not read
+    assert "l_comment" not in plan
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_schema and "l_partkey" not in scan_schema[0]
+
+
+def test_star_join_broadcasts_dims_no_smj(spark, sf_dir, reg):
+    plan = _plan(reg["q5_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension join fell back to SMJ:\n" + plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir, reg):
+    plan = _plan(reg["sort_topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_anti_join_is_broadcast(spark, sf_dir, reg):
+    plan = _plan(reg["semi_anti_join"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_has_partial_phase(spark, sf_dir, reg):
+    # Two HashAggregates (partial + final) around the exchange = map-side
+    # combine; a single post-shuffle agg would move every row.
+    plan = _plan(reg["q1_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pipeline_parity_whole_stage_codegen(spark, sf_dir, reg):
+    # The migrate hot path (scan -> transform -> filter) must stay inside
+    # whole-stage codegen ('*'-starred nodes in formatted mode): no Python
+    # evaluation nodes.
+    plan = _plan(reg["migrate_events"].fn(spark, sf_dir))
+    assert "* Project" in plan or "* Filter" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, f"python in the hot path:\n{plan}"
+
+
+def test_events_time_filter_pushed(spark, sf_dir, reg):
+    # With accounting off, isnotnull(time) propagates through the
+    # null-intolerant micros conversion down to the ts scan filter.
+    plan = _plan(reg["migrate_events"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(ts)]" in plan, plan
+
+
+def test_observe_pins_filter_above_scan(spark, sf_dir):
+    # With accounting ON the filter must NOT push below CollectMetrics —
+    # pushed-down rows would never be counted as skipped.
+    from node_mongo2influx_spark.operators.transform import TransformSpec
+    from node_mongo2influx_spark.plans.tables import load
+
+    out, _ = TransformSpec(rename={"ts": "time"}).apply(load(spark, sf_dir, "events"))
+    plan = _plan(out)
+    assert "CollectMetrics" in plan
+    assert "PushedFilters: [IsNotNull(ts)]" not in plan
+
+
+def test_asof_join_no_cartesian(spark, sf_dir, reg):
+    # The as-of is an equi-join on the key with a range residual — never a
+    # cartesian/broadcast-nested-loop over the fact tables.
+    plan = _plan(reg["asof_join_last_order"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,71 @@
+"""Structured Streaming pipeline tests (file source, availableNow trigger)."""
+
+from __future__ import annotations
+
+import pytest
+
+from node_mongo2influx_spark import TransformSpec
+from node_mongo2influx_spark.sinks import MemorySink
+from node_mongo2influx_spark.streaming import pipeline as sp
+from node_mongo2influx_spark.plans.tables import load
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    # Re-write fixture events as micros-timestamp parquet (streaming file
+    # source can't use the nanos compat shim) split into several files.
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_migrate_stream_end_to_end(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    source = sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=2)
+    sink = MemorySink()
+    q = sp.migrate_stream(
+        source,
+        TransformSpec(rename={"ts": "time"}),
+        sink,
+        series="events",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    rows = sink.series["events"]
+    assert len(rows) == 1000
+    assert "time" in rows[0].asDict()
+
+
+def test_windowed_rollup_stream(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    source = sp.read_stream(spark, events_stream_dir, schema).withColumnRenamed(
+        "ts", "time"
+    )
+    agg = sp.windowed_rollup_stream(source, window_duration="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM rollup_test").collect()
+    # watermark close: with availableNow all windows older than
+    # max(event_time)-watermark emit; 30 days of events -> >= 29 emitted days
+    assert len(got) >= 29 * 5 * 0.5
+    # cross-check one day's count against batch
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .where("event_type = 'click' AND CAST(ts AS DATE) = DATE'2024-01-02'")
+        .count()
+    )
+    day = [
+        r
+        for r in got
+        if r["event_type"] == "click" and str(r["window_start"]).startswith("2024-01-02")
+    ]
+    if day:  # the last (open) window may be withheld by the watermark
+        assert day[0]["n"] == batch
