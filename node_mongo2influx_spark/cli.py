@@ -1,0 +1,144 @@
+"""CLI: the reference's end-user workflow as one command.
+
+The reference's canonical usage (examples/migrate.js) is: configure
+endpoints, define a prepareFunction, call migrate(), watch the progress TUI.
+The CLI equivalent::
+
+    python -m node_mongo2influx_spark \
+        --source /root/testdata/sf0.001 \
+        --sink parquet:/tmp/out \
+        --rename ts=time --drop props --empty-series \
+        --tables events
+
+Sinks: ``parquet:<dir>``, ``influx-spool:<dir>``, ``influx:<url>#<db>``,
+``memory`` (prints counts), ``noop`` (benchmark). Progress goes to stderr as
+structured logs (the M6 TUI's role — SURVEY.md §2.6; the Spark UI covers
+task-level detail).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _parse_kv(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"expected key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _build_sink(spec: str, insert_limit: int):
+    from node_mongo2influx_spark.sinks import (
+        InfluxLineProtocolSink,
+        MemorySink,
+        NoopSink,
+        ParquetSink,
+    )
+    from node_mongo2influx_spark.sinks.influx import HttpTransport, SpoolTransport
+
+    kind, _, rest = spec.partition(":")
+    if kind == "parquet":
+        return ParquetSink(rest)
+    if kind == "influx-spool":
+        return InfluxLineProtocolSink(SpoolTransport(rest), insert_limit=insert_limit)
+    if kind == "influx":
+        url, _, db = rest.partition("#")
+        if not db:
+            raise SystemExit("influx sink needs <url>#<database>")
+        return InfluxLineProtocolSink(
+            HttpTransport(url, db), insert_limit=insert_limit
+        )
+    if kind == "memory":
+        return MemorySink()
+    if kind == "noop":
+        return NoopSink()
+    raise SystemExit(f"unknown sink {spec!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="node_mongo2influx_spark",
+        description="Migrate every table of a source through a declarative "
+        "transform into a sink (the reference pipeline, Spark-first).",
+    )
+    ap.add_argument("--source", required=True, help="directory of table files")
+    ap.add_argument("--sink", required=True, help="parquet:<dir> | influx:<url>#<db> | influx-spool:<dir> | memory | noop")
+    ap.add_argument("--tables", nargs="*", default=None, help="subset of tables")
+    ap.add_argument("--rename", nargs="*", default=[], metavar="OLD=NEW")
+    ap.add_argument("--drop", nargs="*", default=[], metavar="COL")
+    ap.add_argument("--cast", nargs="*", default=[], metavar="COL=TYPE")
+    ap.add_argument("--set", nargs="*", default=[], metavar="COL=SQL_EXPR")
+    ap.add_argument("--where", default=None, help="SQL predicate")
+    ap.add_argument("--time-column", default="time")
+    ap.add_argument("--no-time-filter", action="store_true")
+    ap.add_argument("--empty-series", action="store_true", help="truncate first")
+    ap.add_argument("--limit", type=int, default=2, help="concurrent tables")
+    ap.add_argument("--insert-limit", type=int, default=100, help="sink batch rows")
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(message)s", stream=sys.stderr
+    )
+
+    import pathlib
+
+    if not pathlib.Path(args.source).is_dir():
+        raise SystemExit(f"source is not a directory: {args.source}")
+
+    from node_mongo2influx_spark import Engine, EngineConfig, TransformSpec
+    from node_mongo2influx_spark.sources.catalog import DirectoryCatalog
+
+    engine = Engine.builder(
+        master=args.master,
+        config=EngineConfig(
+            table_concurrency=args.limit,
+            insert_limit=args.insert_limit,
+            empty_series=args.empty_series,
+        ),
+    )
+    spec = TransformSpec(
+        rename=_parse_kv(args.rename),
+        drop=args.drop,
+        cast=_parse_kv(args.cast),
+        set=_parse_kv(args.set),
+        where=args.where,
+        time_column=None if args.no_time_filter else args.time_column,
+    )
+    catalog = DirectoryCatalog(engine.spark, args.source)
+    sink = _build_sink(args.sink, args.insert_limit)
+    report = engine.migrate(catalog, spec, sink, tables=args.tables)
+
+    print(
+        json.dumps(
+            {
+                "tables": {
+                    t.table: {
+                        "rows_in": t.rows_in,
+                        "rows_written": t.rows_written,
+                        "rows_skipped": t.rows_skipped,
+                        "success_rate": round(t.success_rate, 2),
+                        "rows_per_sec": round(t.rows_per_sec, 1),
+                        "seconds": round(t.seconds, 3),
+                        "error": t.error,
+                    }
+                    for t in report.tables
+                },
+                "total_rows_written": report.rows_written,
+                "total_seconds": round(report.seconds, 3),
+                "failed": [t.table for t in report.failed],
+            }
+        )
+    )
+    return 1 if report.failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""Skew-handling helpers: key salting for hot-key aggregations and joins.
+
+AQE's skew-join splitting (on by default in Engine.builder) handles most
+cases at runtime; explicit salting remains the tool when a single group key
+dominates an aggregation (AQE cannot split a hash-aggregate group) — e.g.
+per-user counts when one user is 30% of a 100 TB events table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(col: str | Column, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets) derived from a stable per-row id —
+    spreads one hot key over ``buckets`` reducers without randomness (task
+    retries must land rows in the same salt bucket)."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+
+
+def salted_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    buckets: int = 32,
+    count_col: str = "n",
+) -> DataFrame:
+    """Two-phase skew-safe count: partial count per (key, salt), then final
+    sum per key. Two small shuffles instead of one skewed one; the partial
+    output is |keys|×buckets rows, so the second shuffle is tiny.
+    """
+    partial = (
+        df.withColumn("__salt", salted(keys[0], buckets))
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(count_col))
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    buckets: int = 32,
+    sum_col: str = "total",
+) -> DataFrame:
+    """Two-phase skew-safe sum (same shape as :func:`salted_count`)."""
+    partial = (
+        df.withColumn("__salt", salted(keys[0], buckets))
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(value_col).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(sum_col))

@@ -165,27 +165,42 @@ def minhash_signatures(
     a_arr = np.asarray(a, dtype=np.int64).reshape(-1, 1)
     b_arr = np.asarray(b, dtype=np.int64).reshape(-1, 1)
 
+    # JVM computes ONE xxhash64 per word (cheap, flat transform); the kernel
+    # forms shingle hashes by mixing n consecutive word hashes in numpy —
+    # avoids building n-gram strings at all (the slice+join+hash expression
+    # was the dominant cost: interpreted HOF doing O(words·n) string work).
     hashed = _with_words(df, text_col, id_col).select(
         F.col(id_col),
-        F.transform(
-            shingles_from_words("__words", shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
-        ).alias("hs"),
+        F.transform(F.col("__words"), lambda w: F.xxhash64(w)).alias("hw"),
+    )
+
+    # Odd multipliers for position mixing (wrapping int64 mul is the mixer).
+    mix = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+         0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D][:shingle_n],
+        dtype=np.uint64,
     )
 
     def kernel(batches):
         import pandas as pd
 
+        empty_sig = np.full(len(a_arr), _MERSENNE31, dtype=np.int64)
         for pdf in batches:
             sigs = []
-            for hs in pdf["hs"]:
-                h = np.asarray(hs, dtype=np.int64)
-                if h.size == 0:
-                    # Empty shingle set: max-valued signature (matches the
-                    # "min over empty set" identity), never collides.
-                    sigs.append(np.full(len(a_arr), _MERSENNE31, dtype=np.int64))
-                else:
-                    sigs.append((a_arr * h + b_arr).__mod__(_MERSENNE31).min(axis=1))
+            for hw in pdf["hw"]:
+                w = np.asarray(hw, dtype=np.int64).view(np.uint64)
+                n = w.size - shingle_n + 1
+                if n <= 0:
+                    # Empty shingle set: max-valued signature ("min over
+                    # empty set" identity), never collides.
+                    sigs.append(empty_sig)
+                    continue
+                sh = np.zeros(n, dtype=np.uint64)
+                for j in range(shingle_n):
+                    sh ^= w[j : j + n] * mix[j]
+                h = np.unique(sh).view(np.int64).__mod__(_MERSENNE31)
+                sigs.append((a_arr * h + b_arr).__mod__(_MERSENNE31).min(axis=1))
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     return hashed.mapInPandas(kernel, schema=f"{id_col} long, sig array<long>")

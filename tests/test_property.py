@@ -1,0 +1,83 @@
+"""Property-based checks (SURVEY.md §5.2 item 4): random transform specs
+over random sub-schemas preserve the reference's own invariants."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from node_mongo2influx_spark import TransformSpec
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+@st.composite
+def specs(draw):
+    drop = draw(st.lists(st.sampled_from(["user_id", "value", "event_type"]),
+                         unique=True, max_size=2))
+    rename_time = draw(st.booleans())
+    where = draw(st.sampled_from([None, "event_id % 2 = 0", "value > 50"]))
+    return TransformSpec(
+        rename={"ts": "time"} if rename_time else {},
+        drop=drop,
+        where=where,
+        time_column="time" if rename_time else "ts",
+        count_skipped=True,
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=specs())
+def test_rows_in_equals_out_plus_skipped(spark, sf_dir, spec):
+    from node_mongo2influx_spark.plans.tables import load
+
+    df = load(spark, sf_dir, "events")
+    out, obs = spec.apply(df)
+    n_out = out.count()
+    stats = obs.get
+    # the reference's own invariant (index.js:271):
+    assert stats["rows_in"] == n_out + stats["rows_skipped"]
+    # schema algebra: input minus dropped, with renames applied
+    expected = [
+        ("time" if (c == "ts" and spec.rename) else c)
+        for c in [*COLS, "props"]
+        if c not in spec.drop
+    ]
+    assert out.columns == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    buckets=st.integers(min_value=1, max_value=64),
+)
+def test_salted_aggregation_matches_plain(spark, sf_dir, buckets):
+    from pyspark.sql import functions as F
+
+    from node_mongo2influx_spark.functions.skew import salted_count, salted_sum
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = load(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: (r["n"], round(r["s"], 4))
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    ns = {
+        r["event_type"]: r["n"]
+        for r in salted_count(e, ["event_type"], buckets).collect()
+    }
+    ss = {
+        r["event_type"]: round(r["total"], 4)
+        for r in salted_sum(e, ["event_type"], "value", buckets).collect()
+    }
+    assert ns == {k: v[0] for k, v in plain.items()}
+    assert ss == {k: v[1] for k, v in plain.items()}
