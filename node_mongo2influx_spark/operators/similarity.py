@@ -110,6 +110,79 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: LSH-bucketed candidates, exact
+    scoring — the 100 TB path for :func:`cosine_pairs`.
+
+    Candidates are pairs sharing a bucket in ANY of the n_tables hash
+    tables (equi-join on (table, bucket)); only candidates get the exact
+    cosine. No multiprobe here (unlike knn), so per-table selectivity must
+    stay loose: at cos θ = 0.4 a plane agrees w.p. ~0.63, so 4 planes/table
+    → 0.63⁴ ≈ 0.16 per table, 12 tables → ~0.87 expected recall. Grow
+    n_planes with corpus size to keep buckets small; recall vs the exact
+    baseline is asserted in tests.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    planes_t = planes.T
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def bucket_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            proj = mat @ planes_t
+            bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "vec": pdf["vec"],
+                    "vnorm": np.linalg.norm(mat, axis=1),
+                    "buckets": list(bits @ weights),
+                }
+            )
+
+    base = (
+        df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec"))
+        .mapInPandas(
+            bucket_kernel,
+            schema="vid long, vec array<double>, vnorm double, buckets array<long>",
+        )
+        .select("vid", "vec", "vnorm", F.posexplode("buckets").alias("t", "bucket"))
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"), "t", "bucket",
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"), "t", "bucket",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", round_to).alias("cosine"))
+    )
+
+
 def _planes_expr(n_planes: int, dim: int, seed: int) -> Column:
     """Literal array<array<double>> of unit random hyperplanes (fixed seed →
     deterministic across runs and engines)."""

@@ -191,6 +191,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_neardup_lsh",
+    oracle=None,  # approximate; recall vs embedding_neardup_pairs in tests
+    description="LSH-bucketed embedding near-dup pairs: candidates from "
+    "multi-table bucket equi-joins, exact cosine only on candidates — the "
+    "linear-ish scale path promised by embedding_neardup_pairs. Recall vs "
+    "the exact baseline asserted in tests/test_similarity.py.",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs_lsh(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -248,6 +248,63 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window functions
 # ---------------------------------------------------------------------------
 @query(
+    "full_outer_reconcile",
+    oracle="""
+        SELECT coalesce(c.c_custkey, e.user_id) AS entity_id,
+               CASE WHEN c.c_custkey IS NULL THEN 'events_only'
+                    WHEN e.user_id IS NULL THEN 'customer_only'
+                    ELSE 'both' END AS presence,
+               coalesce(e.n_events, 0) AS n_events,
+               c.c_mktsegment
+        FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+        FULL OUTER JOIN (
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        ) e ON e.user_id = c.c_custkey
+    """,
+    description="FULL OUTER reconciliation of two entity sets with presence "
+    "classification — the id-coverage audit pattern.",
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = c.join(e, c.c_custkey == e.user_id, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "user_id").alias("entity_id"),
+        F.when(F.col("c_custkey").isNull(), "events_only")
+        .when(F.col("user_id").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM events e
+            WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+        )
+    """,
+    description="LEFT SEMI join (EXISTS): probe-side payload never "
+    "materializes, build side deduplicates — cheapest existence check.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events").where("event_type = 'purchase'")
+    return c.join(e, c.c_custkey == e.user_id, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
     "window_topn_per_user",
     oracle="""
         SELECT user_id, event_id, value, rn
@@ -298,6 +355,75 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(frame), 4).alias("running_value"),
         F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query(
+    "window_range_moving_avg",
+    oracle="""
+        SELECT event_id, user_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)) * 1000000)
+                            AS BIGINT)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ), 4) AS avg_1h
+        FROM events
+    """,
+    description="RANGE-frame window: trailing 1-hour moving average keyed on "
+    "event time (microsecond range frame) — value-based frames, not row "
+    "counts, so sparse and dense series behave identically.",
+)
+def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+@query(
+    "unpivot_part_attrs",
+    oracle="""
+        SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val
+        FROM part
+    """,
+    description="UNPIVOT/melt: wide attribute columns to long (attr, val) "
+    "rows — a narrow transformation, no shuffle.",
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+
+
+@query(
+    "json_props_map",
+    oracle="""
+        SELECT event_id, k.key, CAST(json_extract_string(props, '$.' || k.key) AS INT) AS val
+        FROM events, unnest(json_keys(props)) AS k(key)
+        WHERE props IS NOT NULL
+    """,
+    description="Dynamic JSON document → map explode (the Mongo schemaless-"
+    "document pattern): from_json to map<string,int>, one row per key.",
+)
+def json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    return e.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"),
     )
 
 

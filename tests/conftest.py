@@ -11,10 +11,16 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 
 @pytest.fixture(scope="session")
-def engine():
+def engine(tmp_path_factory):
+    from node_mongo2influx_spark.config import EngineConfig
+
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     eng = Engine.builder(
         app_name="m2i-spark-tests",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        config=EngineConfig(
+            spark_conf={"spark.sql.warehouse.dir": warehouse}
+        ),
     )
     yield eng
     eng.spark.stop()

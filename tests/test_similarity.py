@@ -61,6 +61,20 @@ def test_lsh_recall_vs_bruteforce(emb):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
+def test_cosine_pairs_lsh_recall(emb):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact  # candidates are scored exactly: no false accepts
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.5, (len(approx), len(exact))
+
+
 def test_srp_bucket_range(emb):
     from pyspark.sql import functions as F
 
