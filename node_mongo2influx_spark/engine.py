@@ -134,12 +134,16 @@ class Engine:
         report = MigrationReport()
         t0 = time.monotonic()
         max_workers = max(1, self.config.table_concurrency)
+        done = 0
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             futures = {
                 pool.submit(self._migrate_table, catalog, name, transform, sink): name
                 for name in names
             }
-            for fut, name in futures.items():
+            from concurrent.futures import as_completed
+
+            for fut in as_completed(futures):
+                name = futures[fut]
                 try:
                     report.tables.append(fut.result())
                 except Exception as exc:  # table-level isolation
@@ -150,6 +154,14 @@ class Engine:
                     report.tables.append(TableReport(table=name, error=str(exc)))
                     if self.config.logging:
                         logger.exception("table %s failed", name)
+                done += 1
+                if self.config.logging:
+                    # Overall progress (reference M2, index.js:126) — but
+                    # counting FINISHED tables, not started (SURVEY §4.3.4).
+                    logger.info(
+                        "progress: %d/%d tables (%.0f%%)",
+                        done, len(names), 100.0 * done / max(len(names), 1),
+                    )
         report.seconds = time.monotonic() - t0
         return report
 

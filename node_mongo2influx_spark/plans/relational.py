@@ -745,6 +745,54 @@ def correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_geomean_value",
+    oracle="""
+        SELECT event_type,
+               round(exp(avg(ln(value))), 4) AS geo_mean
+        FROM events
+        WHERE value > 0
+        GROUP BY event_type
+    """,
+    description="Custom aggregate via pandas GROUPED_AGG UDAF (geometric "
+    "mean; Arrow ships each group's values once, numpy reduces). The oracle "
+    "is its algebraic identity exp(avg(ln x)) — the gate checks the UDAF "
+    "mechanism end to end.",
+)
+def udaf_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.udxf import geomean
+
+    e = load(spark, sf_dir, "events").where("value > 0")
+    return e.groupBy("event_type").agg(
+        F.round(geomean("value"), 4).alias("geo_mean")
+    )
+
+
+@query(
+    "udtf_explode_props",
+    oracle="""
+        SELECT event_id, k.key, CAST(json_extract_string(props, '$.' || k.key) AS INT) AS val
+        FROM events, unnest(json_keys(props)) AS k(key)
+        WHERE props IS NOT NULL
+    """,
+    description="Python UDTF (Spark 3.5+ table function): one row per JSON "
+    "property, lateral-joined to the source — the UDTF surface, oracle-"
+    "checked against the native json path.",
+)
+def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.udxf import ExplodeProps
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.key, t.val
+        FROM events_udtf e, LATERAL explode_props(e.props) t
+        WHERE e.props IS NOT NULL
+        """
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle=None,  # sketch-based; exactness asserted against count_distinct in tests
     description="approx_count_distinct (HyperLogLog++, rsd=0.01): the "

@@ -79,6 +79,50 @@ def migrate_stream(
     return writer.start()
 
 
+def stateful_user_totals(
+    source: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    (count, sum) per key maintained across micro-batches, emitted on every
+    update, state evicted after ``timeout_minutes`` of processing-time
+    inactivity (bounded state — the requirement for long-lived streams).
+
+    Output: (key, n_events, total) — the streaming analogue of a
+    continuously-maintained per-user aggregate.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+        )
+
+    return (
+        source.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key long, n_events long, total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def windowed_rollup_stream(
     source: DataFrame,
     time_col: str = "time",

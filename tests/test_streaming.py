@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from node_mongo2influx_spark import TransformSpec
 from node_mongo2influx_spark.sinks import MemorySink
@@ -35,6 +36,34 @@ def test_migrate_stream_end_to_end(spark, events_stream_dir, tmp_path):
     rows = sink.series["events"]
     assert len(rows) == 1000
     assert "time" in rows[0].asDict()
+
+
+def test_stateful_user_totals(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    source = sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=2)
+    out = sp.stateful_user_totals(source)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT key, max(n_events) AS n, max(total) AS total FROM stateful_test GROUP BY key"
+    ).collect()
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # state accumulated across micro-batches: final totals match batch truth
+    final = {r["key"]: (r["n"], round(r["total"], 2)) for r in got}
+    assert final == batch
 
 
 def test_windowed_rollup_stream(spark, events_stream_dir, tmp_path):
