@@ -234,9 +234,11 @@ def minhash_lsh_pairs(
     # keep, expensive to recompute.
     sigs = minhash_signatures(df, text_col, id_col, shingle_n, num_perm, seed).persist()
 
+    # Band with ids only: carrying the 128-long signature through the
+    # 32-band explode would shuffle ~num_perm×8 B per band row (measured:
+    # the dominant cost). Signatures rejoin the (small) candidate set below.
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -246,19 +248,25 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand.join(
+            sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
     )
     est = (
         F.aggregate(

@@ -321,6 +321,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal
 # ---------------------------------------------------------------------------
 @query(
+    "multimodal_features",
+    oracle=None,  # sha256-expansion pseudo-decode not SQL-expressible;
+    # determinism + batch-shape tested in tests/test_multimodal.py
+    description="Arrow-batched feature extraction over binary payloads "
+    "(stub decode — codecs absent in container; the mapInPandas plumbing, "
+    "schema and determinism are real and tested).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.as_binary_payload(
+        load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
+    )
+    out = multimodal.extract_features(df, id_col="doc_id", dim=8)
+    return out.select("doc_id", "mime", "n_bytes", "decoder")
+
+
+@query(
     "multimodal_meta",
     oracle="""
         SELECT doc_id,

@@ -1,0 +1,46 @@
+"""Source coverage: csv/json catalogs, heterogeneous schema merging."""
+
+from __future__ import annotations
+
+from node_mongo2influx_spark.plans.tables import load
+from node_mongo2influx_spark.sources.catalog import DirectoryCatalog
+from node_mongo2influx_spark.sources.schema_merge import (
+    merge_read_json,
+    union_heterogeneous,
+)
+
+
+def test_catalog_reads_csv_and_json(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    events.coalesce(1).write.option("header", "true").csv(str(tmp_path / "ecsv.csv"))
+    events.coalesce(1).write.json(str(tmp_path / "ejson.json"))
+    cat = DirectoryCatalog(spark, str(tmp_path))
+    assert set(cat.table_names()) == {"ecsv", "ejson"}
+    assert cat.read("ecsv").count() == 1000
+    assert cat.read("ejson").count() == 1000
+    # csv type inference produced numeric ids
+    assert dict(cat.read("ecsv").dtypes)["event_id"] in ("int", "bigint")
+
+
+def test_union_heterogeneous_fields(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, b double")
+    c = spark.createDataFrame([(3, "y", 9.9)], "id long, a string, b double")
+    out = union_heterogeneous([a, b, c]).orderBy("id").collect()
+    assert [r.asDict() for r in out] == [
+        {"id": 1, "a": "x", "b": None},
+        {"id": 2, "a": None, "b": 3.5},
+        {"id": 3, "a": "y", "b": 9.9},
+    ]
+
+
+def test_merge_read_json_schema_drift(spark, tmp_path):
+    # two files, drifting fields and a type widening (int -> double)
+    f1 = tmp_path / "p1.json"
+    f2 = tmp_path / "p2.json"
+    f1.write_text('{"id": 1, "v": 2}\n{"id": 2, "v": 3}\n')
+    f2.write_text('{"id": 3, "v": 4.5, "extra": "hi"}\n')
+    df = merge_read_json(spark, [str(f1), str(f2)])
+    assert set(df.columns) == {"id", "v", "extra"}
+    assert dict(df.dtypes)["v"] == "double"
+    assert df.where("extra IS NOT NULL").count() == 1
