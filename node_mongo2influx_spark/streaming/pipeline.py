@@ -123,6 +123,35 @@ def stateful_user_totals(
     )
 
 
+def session_window_stream(
+    source: DataFrame,
+    time_col: str = "time",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time session windows: a session closes after ``gap`` of
+    inactivity per key (dynamic-length windows, state bounded by the
+    watermark). The streaming analogue of the batch sessionize_events
+    query."""
+    return (
+        source.withWatermark(time_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(time_col), gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+
+
 def windowed_rollup_stream(
     source: DataFrame,
     time_col: str = "time",

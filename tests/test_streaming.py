@@ -66,6 +66,58 @@ def test_stateful_user_totals(spark, events_stream_dir, tmp_path):
     assert final == batch
 
 
+def test_session_window_stream_matches_batch_sessionization(
+    spark, events_stream_dir, tmp_path
+):
+    schema = spark.read.parquet(events_stream_dir).schema
+    source = sp.read_stream(spark, events_stream_dir, schema).withColumnRenamed(
+        "ts", "time"
+    )
+    sessions = sp.session_window_stream(source, gap="30 minutes", watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT user_id, count(*) AS n_sessions FROM sessions_test GROUP BY user_id"
+    ).collect()
+    # batch ground truth: same 30-min-gap sessionization computed in batch
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = spark.read.parquet(events_stream_dir)
+    prev = F.lag("ts").over(w)
+    ns = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    batch = {
+        r["user_id"]: r["n"]
+        for r in e.withColumn("ns", ns)
+        .withColumn("sn", F.sum("ns").over(run))
+        .groupBy("user_id")
+        .agg(F.count_distinct("sn").alias("n"))
+        .collect()
+    }
+    streamed = {r["user_id"]: r["n_sessions"] for r in got}
+    # the final (still-open) session per user may be withheld by the
+    # watermark, so allow a deficit of exactly it
+    assert set(streamed) <= set(batch)
+    assert all(0 <= batch[u] - streamed.get(u, 0) <= 1 for u in batch), (
+        streamed,
+        batch,
+    )
+
+
 def test_windowed_rollup_stream(spark, events_stream_dir, tmp_path):
     schema = spark.read.parquet(events_stream_dir).schema
     source = sp.read_stream(spark, events_stream_dir, schema).withColumnRenamed(
