@@ -84,8 +84,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    description="Star join (broadcast customer dim) + agg + global top-k "
-    "(TPC-H Q3 shape). TakeOrderedAndProject avoids a full sort.",
+    description="Star join + agg + global top-k (TPC-H Q3 shape). Only the "
+    "customer DIM broadcasts; orders⋈lineitem is fact⋈fact and stays a "
+    "shuffle join (AQE auto-broadcasts at runtime when a side turns out "
+    "small — broadcasting a fact table by hint would OOM at 100 TB). "
+    "TakeOrderedAndProject avoids a full sort.",
 )
 def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -93,7 +96,7 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -121,8 +124,11 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND s.s_nationkey = c.c_nationkey
         GROUP BY n.n_name
     """,
-    description="Five-way star join, all dims broadcast (TPC-H Q5 shape): "
-    "the fact table never shuffles for the dimension joins.",
+    description="Five-way star join (TPC-H Q5 shape): every DIM "
+    "(region/nation/customer/supplier) broadcasts so the fact tables never "
+    "shuffle for dimension lookups; lineitem⋈orders is the one fact⋈fact "
+    "join and stays a shuffle join on the orderkey (AQE may auto-broadcast "
+    "at runtime when small — a broadcast HINT on orders would OOM at 100 TB).",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
@@ -135,9 +141,9 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    o_enriched = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        l.join(o_enriched, l.l_orderkey == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),

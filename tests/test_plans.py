@@ -38,8 +38,11 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir, reg):
 
 def test_star_join_broadcasts_dims_no_smj(spark, sf_dir, reg):
     plan = _plan(reg["q5_revenue_by_nation"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, "dimension join fell back to SMJ:\n" + plan
+    # every dimension join broadcasts (nation, region, dims->orders,
+    # supplier); the single allowed shuffle join is fact x fact
+    # (lineitem x orders) — a broadcast hint there would OOM at 100 TB.
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, "dimension join fell back to SMJ:\n" + plan
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir, reg):
