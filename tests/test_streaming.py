@@ -11,6 +11,16 @@ from node_mongo2influx_spark.streaming import pipeline as sp
 from node_mongo2influx_spark.plans.tables import load
 
 
+@pytest.fixture(scope="module", autouse=True)
+def few_state_partitions(spark):
+    # Each streaming state-store partition costs checkpoint files per
+    # micro-batch; 32 partitions of ~1000 rows is pure overhead in tests.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, sf_dir, tmp_path_factory):
     # Re-write fixture events as micros-timestamp parquet (streaming file
