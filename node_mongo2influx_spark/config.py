@@ -52,6 +52,12 @@ class EngineConfig:
     #: Emit per-table progress logs (reference `logging`, index.js:49).
     logging: bool = True
 
+    #: Abort the whole migration on the first table failure — the
+    #: reference's behavior (async.eachLimit error semantics,
+    #: index.js:294-316). Default False: failures are isolated per table
+    #: and reported (partial progress is durable either way).
+    fail_fast: bool = False
+
     # -- catalog filtering -------------------------------------------------
     #: Skip tables whose name starts with one of these prefixes. The
     #: reference skips any name *containing* "system" (index.js:298), which

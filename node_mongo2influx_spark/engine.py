@@ -146,14 +146,20 @@ class Engine:
                 name = futures[fut]
                 try:
                     report.tables.append(fut.result())
-                except Exception as exc:  # table-level isolation
-                    # Deviation from the reference, which aborts the whole
-                    # run on first error (async.eachLimit semantics,
-                    # index.js:294-316): we isolate failures per table and
-                    # report them, since partial progress is durable anyway.
+                except Exception as exc:
+                    # Default: isolate failures per table and report them
+                    # (deviation from the reference, which aborts the whole
+                    # run on first error — async.eachLimit semantics,
+                    # index.js:294-316). fail_fast=True restores reference
+                    # behavior: cancel what hasn't started, re-raise.
                     report.tables.append(TableReport(table=name, error=str(exc)))
                     if self.config.logging:
                         logger.exception("table %s failed", name)
+                    if self.config.fail_fast:
+                        for f in futures:
+                            f.cancel()
+                        report.seconds = time.monotonic() - t0
+                        raise
                 done += 1
                 if self.config.logging:
                     # Overall progress (reference M2, index.js:126) — but

@@ -95,7 +95,9 @@ class HttpTransport:
     """POST batches to ``/write`` (line protocol endpoint). Stdlib-only."""
 
     def __init__(self, url: str, database: str, timeout: float = 30.0) -> None:
-        self.endpoint = f"{url.rstrip('/')}/write?db={database}"
+        self.url = url.rstrip("/")
+        self.database = database
+        self.endpoint = f"{self.url}/write?db={database}"
         self.timeout = timeout
 
     def __call__(self, series: str, lines: list[str]) -> None:
@@ -103,6 +105,24 @@ class HttpTransport:
         req = urllib.request.Request(
             self.endpoint, data=body, method="POST",
             headers={"Content-Type": "text/plain; charset=utf-8"},
+        )
+        urllib.request.urlopen(req, timeout=self.timeout).read()
+
+    def truncate(self, series: str) -> None:
+        """Drop the series' points (reference `emptySeries`, index.js:328 —
+        but parameterized via urlencode, never string-concatenated SQL).
+        Measurement names are validated to the line-protocol-safe charset
+        first; InfluxQL identifiers are double-quoted."""
+        import re
+        import urllib.parse
+
+        if not re.fullmatch(r"[\w .\-]+", series):
+            raise ValueError(f"refusing to truncate suspicious series name {series!r}")
+        q = urllib.parse.urlencode(
+            {"db": self.database, "q": f'DELETE FROM "{series}"'}
+        )
+        req = urllib.request.Request(
+            f"{self.url}/query?{q}", data=b"", method="POST"
         )
         urllib.request.urlopen(req, timeout=self.timeout).read()
 
@@ -170,9 +190,12 @@ class InfluxLineProtocolSink(Sink):
     def truncate(self, series: str) -> None:
         # The reference issues `DELETE FROM <series> WHERE time < now()` by
         # string concatenation (index.js:328) — injection-prone; here the
-        # deletion callable is injected and owns its own parameterization.
+        # deletion is either the injected callable or the transport's own
+        # parameterized truncate (HttpTransport.truncate).
         if self.truncate_fn is not None:
             self.truncate_fn(series)
+        elif hasattr(self.transport, "truncate"):
+            self.transport.truncate(series)
 
 
 def batches(lines: Iterable[str], limit: int) -> Iterator[list[str]]:

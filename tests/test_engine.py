@@ -100,6 +100,28 @@ def test_table_failure_is_isolated(engine, catalog):
     assert len(report.tables) == 2
 
 
+def test_fail_fast_aborts_run(engine, catalog):
+    import pytest
+
+    spec = TransformSpec(rename={"no_such_column": "time"})
+    sink = MemorySink()
+    ff = type(engine)(engine.spark, engine.config.merged(fail_fast=True))
+    with pytest.raises(Exception):
+        ff.migrate(catalog, spec, sink, tables=["events", "region"])
+
+
+def test_influx_transport_truncate(engine, sf_dir):
+    # HttpTransport.truncate: parameterized DELETE via /query, and the
+    # unsafe-name guard refuses injection-shaped series names.
+    import pytest
+
+    from node_mongo2influx_spark.sinks.influx import HttpTransport
+
+    t = HttpTransport("http://127.0.0.1:9", "db")
+    with pytest.raises(ValueError):
+        t.truncate('x"; DROP MEASUREMENT "y')
+
+
 def test_config_merge_explicit_falsy_wins(engine):
     cfg = engine.config.merged(logging=False, table_concurrency=1)
     assert cfg.logging is False

@@ -45,9 +45,17 @@ def test_http_transport_posts_batches(engine, sf_dir, http_server):
     sink = InfluxLineProtocolSink(
         HttpTransport(http_server, database="tsdb"), insert_limit=300
     )
-    report = engine.migrate(
+    trunc_engine = type(engine)(
+        engine.spark, engine.config.merged(empty_series=True)
+    )
+    report = trunc_engine.migrate(
         catalog, TransformSpec(rename={"ts": "time"}), sink, tables=["events"]
     )
+    # emptySeries mode issued a parameterized DELETE before any write
+    first_path = _Recorder.requests[0][0]
+    assert first_path.startswith("/query?")
+    assert "DELETE+FROM+%22events%22" in first_path
+    _Recorder.requests = [r for r in _Recorder.requests if r[0].startswith("/write")]
     assert not report.failed and report.rows_written == 1000
     paths = {p for p, _ in _Recorder.requests}
     assert paths == {"/write?db=tsdb"}
