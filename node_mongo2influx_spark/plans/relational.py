@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.plans import query
-from node_mongo2influx_spark.plans.tables import load
+from node_mongo2influx_spark.plans.tables import load, stable_round
 
 
 # ---------------------------------------------------------------------------
@@ -36,9 +36,9 @@ from node_mongo2influx_spark.plans.tables import load
                round(sum(l_extendedprice), 2)                              AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                   AS avg_qty,
-               round(avg(l_extendedprice), 4)                              AS avg_price,
-               round(avg(l_discount), 4)                                   AS avg_disc,
+               floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0            AS avg_qty,
+               floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0       AS avg_price,
+               floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0            AS avg_disc,
                count(*)                                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,9 +57,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -401,12 +401,12 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_moving_avg",
     oracle="""
         SELECT event_id, user_id,
-               round(avg(value) OVER (
+               floor(avg(value) OVER (
                    PARTITION BY user_id
                    ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)) * 1000000)
                             AS BIGINT)
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-               ), 4) AS avg_1h
+               ) * 10000.0 + 0.5) / 10000.0 AS avg_1h
         FROM events
     """,
     description="RANGE-frame window: trailing 1-hour moving average keyed on "
@@ -423,7 +423,7 @@ def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        stable_round(F.avg("value").over(w), 4).alias("avg_1h"),
     )
 
 
@@ -559,7 +559,8 @@ def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_type_by_weekday",
     oracle="""
         SELECT event_type, CAST(isodow(ts) AS INT) AS weekday,
-               count(*) AS n, round(avg(value), 4) AS avg_value
+               count(*) AS n,
+               floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM events
         GROUP BY CUBE (event_type, CAST(isodow(ts) AS INT))
     """,
@@ -571,7 +572,8 @@ def cube_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday", F.dayofweek(F.expr("ts - INTERVAL 1 DAY")).cast("int")
     )
     return e.cube("event_type", "weekday").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.avg("value"), 4).alias("avg_value"),
     )
 
 

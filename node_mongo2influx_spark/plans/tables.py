@@ -18,3 +18,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def stable_round(col, digits: int = 4):
+    """Engine-stable rounding: floor(x·10^d + 0.5)/10^d.
+
+    Spark's round() (BigDecimal HALF_UP on the exact decimal expansion) and
+    DuckDB's round() disagree on exact .5-at-last-digit boundaries — which
+    averages of 2-decimal currency values hit SYSTEMATICALLY (sum/8 ends in
+    .00005). This formulation is plain IEEE double arithmetic, identical in
+    both engines; pair it with stable_round_sql in the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def stable_round_sql(expr: str, digits: int = 4) -> str:
+    """DuckDB-side twin of :func:`stable_round` (same doubles, same result)."""
+    scale = float(10**digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.plans import query
-from node_mongo2influx_spark.plans.tables import load
+from node_mongo2influx_spark.plans.tables import load, stable_round
 
 
 @query(
@@ -19,7 +19,7 @@ from node_mongo2influx_spark.plans.tables import load
                CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
                     AS TIMESTAMP) AS bucket,
                count(*) AS n,
-               round(avg(value), 4) AS avg_value,
+               floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
                round(min(value), 2) AS min_value,
                round(max(value), 2) AS max_value,
                round(arg_max(value, ts), 2) AS last_value
@@ -40,7 +40,7 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_round(F.avg("value"), 4).alias("avg_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
             F.round(F.max_by("value", "ts"), 2).alias("last_value"),
