@@ -92,6 +92,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if not pathlib.Path(args.source).is_dir():
         raise SystemExit(f"source is not a directory: {args.source}")
+    if args.tables is not None and not args.tables:
+        # `--tables` with no values (e.g. an empty shell expansion) would
+        # otherwise silently migrate nothing and exit 0.
+        raise SystemExit("--tables given but empty; omit it to migrate all tables")
 
     from node_mongo2influx_spark import Engine, EngineConfig, TransformSpec
     from node_mongo2influx_spark.sources.catalog import DirectoryCatalog

@@ -128,9 +128,19 @@ class Engine:
         partition parallelism replaces the reference's serial page/batch
         loops (index.js:194, :227).
         """
-        names = tables if tables is not None else [
-            n for n, _ in self._enumerate(catalog)
-        ]
+        if tables is not None:
+            names = tables
+        else:
+            # Enumerate names only — Catalog.tables() would also construct
+            # every DataFrame (a schema-inference scan for csv/json), all
+            # discarded here and re-read in _migrate_table.
+            from node_mongo2influx_spark.sources.catalog import is_system_table
+
+            names = [
+                n
+                for n in catalog.table_names()
+                if not is_system_table(n, self.config.system_prefixes)
+            ]
         report = MigrationReport()
         t0 = time.monotonic()
         max_workers = max(1, self.config.table_concurrency)
@@ -170,9 +180,6 @@ class Engine:
                     )
         report.seconds = time.monotonic() - t0
         return report
-
-    def _enumerate(self, catalog: Catalog):
-        return catalog.tables(self.config.system_prefixes)
 
     def _migrate_table(
         self, catalog: Catalog, name: str, transform: TransformSpec, sink: Sink

@@ -1,7 +1,7 @@
-"""Skew-handling helpers: key salting for hot-key aggregations and joins.
+"""Skew-handling helpers: salting for hot-key AGGREGATIONS.
 
-AQE's skew-join splitting (on by default in Engine.builder) handles most
-cases at runtime; explicit salting remains the tool when a single group key
+AQE's skew-join splitting (on by default in Engine.builder) handles skewed
+JOINS at runtime; explicit salting remains the tool when a single group key
 dominates an aggregation (AQE cannot split a hash-aggregate group) — e.g.
 per-user counts when one user is 30% of a 100 TB events table.
 """
@@ -14,10 +14,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def salted(col: str | Column, buckets: int) -> Column:
-    """Deterministic salt in [0, buckets) derived from a stable per-row id —
-    spreads one hot key over ``buckets`` reducers without randomness (task
-    retries must land rows in the same salt bucket)."""
+def row_salt(buckets: int) -> Column:
+    """Deterministic per-row salt in [0, buckets) — spreads one hot key over
+    ``buckets`` reducers without randomness (task retries must land rows in
+    the same salt bucket). Suitable for AGGREGATION salting only: for join
+    salting both sides must agree on the salt, which requires replicating
+    the small side across all bucket values instead (not a per-row salt)."""
     return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
 
 
@@ -32,7 +34,7 @@ def salted_count(
     output is |keys|×buckets rows, so the second shuffle is tiny.
     """
     partial = (
-        df.withColumn("__salt", salted(keys[0], buckets))
+        df.withColumn("__salt", row_salt(buckets))
         .groupBy(*keys, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
@@ -48,7 +50,7 @@ def salted_sum(
 ) -> DataFrame:
     """Two-phase skew-safe sum (same shape as :func:`salted_count`)."""
     partial = (
-        df.withColumn("__salt", salted(keys[0], buckets))
+        df.withColumn("__salt", row_salt(buckets))
         .groupBy(*keys, "__salt")
         .agg(F.sum(value_col).alias("__partial"))
     )

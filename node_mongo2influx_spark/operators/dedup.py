@@ -160,6 +160,10 @@ def minhash_signatures(
     independently. (A pure-Column formulation with 128 min() aggregates
     measured ~10× slower: >64 expressions per row falls out of whole-stage
     codegen into interpreted evaluation.)
+
+    Documents with fewer than ``shingle_n`` words have no shingle set and
+    are OMITTED from the output (Jaccard is undefined for them; a sentinel
+    signature would spuriously match every other short doc).
     """
     a, b = _perm_coeffs(num_perm, seed)
     a_arr = np.asarray(a, dtype=np.int64).reshape(-1, 1)
@@ -185,23 +189,31 @@ def minhash_signatures(
     def kernel(batches):
         import pandas as pd
 
-        empty_sig = np.full(len(a_arr), _MERSENNE31, dtype=np.int64)
         for pdf in batches:
-            sigs = []
-            for hw in pdf["hw"]:
+            ids, sigs = [], []
+            for doc_id, hw in zip(pdf[id_col], pdf["hw"]):
                 w = np.asarray(hw, dtype=np.int64).view(np.uint64)
                 n = w.size - shingle_n + 1
                 if n <= 0:
-                    # Empty shingle set: max-valued signature ("min over
-                    # empty set" identity), never collides.
-                    sigs.append(empty_sig)
+                    # No shingles → no Jaccard similarity is defined; emit
+                    # nothing. (A shared constant "empty signature" would
+                    # make every short doc an LSH candidate of every other
+                    # short doc with est_jaccard = 1.0.)
                     continue
                 sh = np.zeros(n, dtype=np.uint64)
                 for j in range(shingle_n):
                     sh ^= w[j : j + n] * mix[j]
                 h = np.unique(sh).view(np.int64).__mod__(_MERSENNE31)
+                ids.append(doc_id)
                 sigs.append((a_arr * h + b_arr).__mod__(_MERSENNE31).min(axis=1))
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+            # explicit dtypes: an all-skipped batch would otherwise yield a
+            # float64 'sig' column Arrow can't convert to list<int64>
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=np.int64),
+                    "sig": pd.Series(sigs, dtype=object),
+                }
+            )
 
     return hashed.mapInPandas(kernel, schema=f"{id_col} long, sig array<long>")
 

@@ -82,13 +82,19 @@ def render_lines(df: DataFrame, series: str, time_column: str = "time") -> DataF
     ]
     if not fields:
         raise ValueError("line protocol requires at least one field")
+    rendered_fields = F.concat_ws(",", F.array_compact(F.array(*fields)))
     line = F.concat(
         F.lit(_escape_measurement(series) + " "),
-        F.concat_ws(",", F.array_compact(F.array(*fields))),
+        rendered_fields,
         F.lit(" "),
         (F.unix_micros(F.col(time_column).cast("timestamp")) * 1000).cast("string"),
     )
-    return df.select(line.alias("line"))
+    # A row whose every field is NULL would render as 'series  <ts>' —
+    # invalid line protocol that 400s the whole batch. Such rows carry no
+    # information for a field-value store; drop them.
+    return df.select(line.alias("line"), rendered_fields.alias("__f")).where(
+        F.col("__f") != ""
+    ).select("line")
 
 
 class HttpTransport:
@@ -138,6 +144,12 @@ class SpoolTransport:
         d = pathlib.Path(self.path) / series
         d.mkdir(parents=True, exist_ok=True)
         (d / f"{uuid.uuid4().hex}.lp").write_text("\n".join(lines) + "\n")
+
+    def truncate(self, series: str) -> None:
+        d = pathlib.Path(self.path) / series
+        if d.is_dir():
+            for f in d.glob("*.lp"):
+                f.unlink()
 
 
 class InfluxLineProtocolSink(Sink):
@@ -196,6 +208,13 @@ class InfluxLineProtocolSink(Sink):
             self.truncate_fn(series)
         elif hasattr(self.transport, "truncate"):
             self.transport.truncate(series)
+        else:
+            # Never silently skip a requested truncate (empty_series mode
+            # would otherwise bulk-load on top of stale data).
+            raise RuntimeError(
+                f"transport {type(self.transport).__name__} cannot truncate; "
+                "pass truncate_fn or use a transport with .truncate()"
+            )
 
 
 def batches(lines: Iterable[str], limit: int) -> Iterator[list[str]]:

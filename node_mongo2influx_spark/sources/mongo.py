@@ -24,7 +24,15 @@ def _connection_uri(
     user: str | None = None,
     password: str | None = None,
 ) -> str:
-    auth = f"{user}:{password}@" if user else ""
+    from urllib.parse import quote_plus
+
+    if user:
+        cred = quote_plus(user)
+        if password is not None:
+            cred += f":{quote_plus(password)}"
+        auth = f"{cred}@"
+    else:
+        auth = ""
     return f"mongodb://{auth}{hostname}:{port}/"
 
 

@@ -17,9 +17,15 @@ under any caller-provided SparkSession config.
 from __future__ import annotations
 
 import pathlib
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: The nanosAsLong conf is session-global; concurrent reads (Engine.migrate
+#: runs table_concurrency threads) must not interleave their set/restore
+#: windows or one thread's restore breaks another's analysis.
+_CONF_LOCK = threading.Lock()
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
@@ -46,14 +52,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(path)
-        # Force plan analysis while the conf is set.
-        df.schema
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    with _CONF_LOCK:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+            # Force plan analysis while the conf is set.
+            df.schema
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return df.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
     )

@@ -63,6 +63,18 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert len(mh_pairs) <= max(4 * len(exact_pairs), 10)
 
 
+def test_short_docs_are_not_spurious_near_dups(spark):
+    # two unrelated sub-shingle-width docs must NOT pair up (a shared
+    # "empty signature" sentinel would give them est_jaccard = 1.0)
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "goodbye world"), (3, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"] for r in dedup.minhash_signatures(df).collect()}
+    assert sigs == {3}
+    assert dedup.minhash_lsh_pairs(df, threshold=0.1).count() == 0
+
+
 def test_minhash_signature_deterministic(docs):
     s1 = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
     s2 = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}

@@ -30,6 +30,35 @@ def test_render_lines_types_and_nulls(spark):
     )
 
 
+def test_render_drops_all_null_field_rows(spark):
+    # a row with every non-time field NULL would be invalid line protocol
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), None, None),
+         (datetime.datetime(2024, 1, 2), 1.0, "x")],
+        "time timestamp, v double, s string",
+    )
+    lines = [r["line"] for r in render_lines(df, "m").collect()]
+    assert len(lines) == 1 and 'v=1.0,s="x"' in lines[0]
+
+
+def test_spool_truncate_removes_stale_batches(spark, tmp_path):
+    from node_mongo2influx_spark.sinks.influx import SpoolTransport
+
+    t = SpoolTransport(str(tmp_path))
+    t("events", ["a b 1"])
+    assert list(pathlib.Path(tmp_path, "events").glob("*.lp"))
+    t.truncate("events")
+    assert not list(pathlib.Path(tmp_path, "events").glob("*.lp"))
+
+
+def test_truncate_without_support_raises(spark):
+    import pytest
+
+    sink = InfluxLineProtocolSink(lambda s, l: None)  # bare callable transport
+    with pytest.raises(RuntimeError):
+        sink.truncate("x")
+
+
 def test_insertlimit_batching():
     got = list(batches(iter(["a", "b", "c", "d", "e"]), 2))
     assert got == [["a", "b"], ["c", "d"], ["e"]]
