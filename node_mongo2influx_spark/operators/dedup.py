@@ -295,6 +295,70 @@ def minhash_lsh_pairs(
     )
 
 
+def components_from_pairs(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, component_id),
+    component_id = the smallest doc id in the component.
+
+    Small-label propagation: every node repeatedly adopts the minimum label
+    in its neighborhood until fixpoint. Each iteration is two hash
+    joins + one aggregate — no driver-side graph; label count shrinks
+    geometrically so convergence is ~O(log(diameter)) iterations (typical
+    near-dup clusters are tiny; 20 iterations covers chains of ~2^20).
+    Labels persist per iteration; previous iterations' cache is released.
+
+    This is the 'keep one canonical doc per duplicate cluster' step that
+    turns pairwise candidates into an actual dedup decision.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

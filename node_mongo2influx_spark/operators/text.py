@@ -137,6 +137,41 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
     """
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_non_alpha: float = 0.3,
+    min_stopword: float = 0.01,
+) -> DataFrame:
+    """Composed corpus quality gate: keep rows passing token-count bounds,
+    non-alpha ceiling, stopword floor. Returns the input columns plus the
+    computed features (so downstream stages can re-threshold without
+    recomputing). All Column expressions — the filter runs scan-side."""
+    n_chars = F.length(text_col)
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    alpha_only = F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
+    non_alpha = (n_chars - F.length(alpha_only)).cast("double") / n_chars
+    stopword = _marker_count(text_col, QUALITY_STOPWORDS).cast("double") / n_tokens
+    return (
+        df.where(n_chars > 0)
+        .withColumns(
+            {
+                "n_tokens": n_tokens,
+                "non_alpha_ratio": non_alpha,
+                "stopword_ratio": stopword,
+            }
+        )
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("non_alpha_ratio") < max_non_alpha)
+            & (F.col("stopword_ratio") > min_stopword)
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

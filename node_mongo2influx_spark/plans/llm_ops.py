@@ -98,6 +98,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared CTE producing the exact near-dup pair list (mirrors
+#: dedup_ngram_jaccard's oracle) — the input graph for cluster queries.
+_PAIRS_CTE = """
+        docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 3 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       ELSE [] END
+                   )) AS sh
+            FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shingles a JOIN shingles b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM inter p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE CAST(p.i AS DOUBLE) / (sa.n + sb.n - p.i) >= 0.5
+        )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges(src, dst) AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        )
+        SELECT node AS doc_id, min(label) AS component_id
+        FROM reach GROUP BY node
+    """,
+    description="Near-dup clustering: connected components over exact-"
+    "Jaccard pairs via distributed small-label propagation (two hash joins "
+    "+ one aggregate per iteration, no driver-side graph). The oracle is a "
+    "recursive-CTE transitive closure. This is the step that turns pairwise "
+    "candidates into keep/drop decisions (canonical = min doc_id).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        n=3, threshold=0.5,
+    )
+    return dedup.components_from_pairs(pairs)
+
+
 @query(
     "dedup_simhash",
     oracle=None,  # bit-mixing not SQL-expressible; deterministic, tested in pytest
@@ -259,6 +323,42 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, lang, source,
+                   length(text) AS n_chars_m,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        AS DOUBLE) / length(text) AS non_alpha_ratio,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> w IN ('the','a','of','to','and','in','is','it')))
+                        AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, lang, source, n_tokens
+        FROM q
+        WHERE n_tokens BETWEEN 10 AND 5000
+          AND non_alpha_ratio < 0.3
+          AND stopword_ratio > 0.01
+    """,
+    description="The composed training-data quality gate: token-count "
+    "bounds + non-alpha ceiling + stopword floor — the standard pre-dedup "
+    "corpus filter, all scan-side predicates over computed features.",
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    kept = text.quality_filter(
+        docs, text_col="text",
+        min_tokens=10, max_tokens=5000,
+        max_non_alpha=0.3, min_stopword=0.01,
+    )
+    return kept.select("doc_id", "lang", "source", "n_tokens")
 
 
 @query(

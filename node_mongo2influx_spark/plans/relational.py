@@ -834,6 +834,23 @@ def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentiles_by_type",
+    oracle=None,  # t-digest sketch; tolerance vs exact asserted in tests
+    description="approx_percentile (t-digest, accuracy 10000): the "
+    "mergeable-sketch percentile path for 100 TB — map-side partial "
+    "sketches, constant memory per group. Tolerance vs the exact "
+    "percentiles_by_type asserted in tests/test_relational_extra.py.",
+)
+def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle=None,  # sketch-based; exactness asserted against count_distinct in tests
     description="approx_count_distinct (HyperLogLog++, rsd=0.01): the "

@@ -25,6 +25,43 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
 
 
+def test_approx_percentiles_rank_accurate(spark, sf_dir):
+    # approx_percentile returns an actual sample (no interpolation), so in
+    # a sparse tail its VALUE can differ a lot from the interpolated exact
+    # percentile while still being rank-correct. Assert rank: the fraction
+    # of values <= approx_pq must be within ~1.5% of q.
+    reg = load_registry()
+    approx = {
+        r["event_type"]: r
+        for r in reg["approx_percentiles_by_type"].fn(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    for k, row in approx.items():
+        vals = [
+            r["value"] for r in e.where(F.col("event_type") == k).select("value").collect()
+        ]
+        n = len(vals)
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            frac = sum(1 for v in vals if v <= row[name]) / n
+            assert q - 0.015 <= frac <= min(1.0, q + 0.015 + 1.0 / n), (
+                k, name, row[name], frac,
+            )
+
+
+def test_components_from_pairs_basic(spark):
+    from node_mongo2influx_spark.operators.dedup import components_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in components_from_pairs(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
 def test_sessionize_invariants(spark, sf_dir):
     reg = load_registry()
     rows = reg["sessionize_events"].fn(spark, sf_dir).collect()
