@@ -66,10 +66,17 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="node_mongo2influx_spark",
         description="Migrate every table of a source through a declarative "
-        "transform into a sink (the reference pipeline, Spark-first).",
+        "transform into a sink (the reference pipeline, Spark-first), or run "
+        "a named query from the library (--list-queries / --query).",
     )
-    ap.add_argument("--source", required=True, help="directory of table files")
-    ap.add_argument("--sink", required=True, help="parquet:<dir> | influx:<url>#<db> | influx-spool:<dir> | memory | noop")
+    ap.add_argument("--source", help="directory of table files")
+    ap.add_argument("--sink", help="parquet:<dir> | influx:<url>#<db> | influx-spool:<dir> | memory | noop")
+    ap.add_argument("--list-queries", action="store_true",
+                    help="list the query library and exit")
+    ap.add_argument("--query", default=None, metavar="NAME",
+                    help="run one library query against --source and print rows")
+    ap.add_argument("--show-rows", type=int, default=20,
+                    help="rows to print for --query")
     ap.add_argument("--tables", nargs="*", default=None, help="subset of tables")
     ap.add_argument("--rename", nargs="*", default=[], metavar="OLD=NEW")
     ap.add_argument("--drop", nargs="*", default=[], metavar="COL")
@@ -87,6 +94,34 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(message)s", stream=sys.stderr
     )
+
+    if args.list_queries:
+        from node_mongo2influx_spark.plans import load_registry
+
+        for name, qd in sorted(load_registry().items()):
+            oracle = "oracle" if qd.oracle else "rows-only"
+            print(f"{name:32s} [{oracle}] {qd.description.splitlines()[0][:90]}")
+        return 0
+
+    if args.query is not None:
+        if not args.source:
+            raise SystemExit("--query requires --source <fixture dir>")
+        from node_mongo2influx_spark import Engine
+        from node_mongo2influx_spark.plans import load_registry
+
+        reg = load_registry()
+        if args.query not in reg:
+            raise SystemExit(
+                f"unknown query {args.query!r}; see --list-queries"
+            )
+        engine = Engine.builder(master=args.master)
+        df = reg[args.query].fn(engine.spark, args.source)
+        df.show(args.show_rows, truncate=False)
+        print(f"rows: {df.count()}")
+        return 0
+
+    if not args.source or not args.sink:
+        raise SystemExit("--source and --sink are required for migration")
 
     import pathlib
 

@@ -123,6 +123,23 @@ def stateful_user_totals(
     )
 
 
+def dedup_stream(
+    source: DataFrame,
+    keys: list[str],
+    time_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes it — duplicates arriving within the lateness bound are
+    dropped, state is evicted after, so 100 TB/day streams don't accumulate
+    an unbounded seen-set. (Plain dropDuplicates on a stream never forgets.)
+    """
+    return source.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def session_window_stream(
     source: DataFrame,
     time_col: str = "time",

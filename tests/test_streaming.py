@@ -128,6 +128,29 @@ def test_session_window_stream_matches_batch_sessionization(
     )
 
 
+def test_dedup_stream_drops_replayed_rows(spark, sf_dir, tmp_path):
+    # source with every row duplicated (a replayed at-least-once feed)
+    base = load(spark, sf_dir, "events").withColumnRenamed("ts", "time")
+    dup_dir = str(tmp_path / "dup_src")
+    base.union(base).repartition(4).write.parquet(dup_dir)
+    schema = spark.read.parquet(dup_dir).schema
+    source = sp.read_stream(spark, dup_dir, schema)
+    out = sp.dedup_stream(source, keys=["event_id"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream_test"
+    ).first()
+    assert got["n"] == got["d"] == 1000  # 2000 in, each event exactly once
+
+
 def test_windowed_rollup_stream(spark, events_stream_dir, tmp_path):
     schema = spark.read.parquet(events_stream_dir).schema
     source = sp.read_stream(spark, events_stream_dir, schema).withColumnRenamed(
