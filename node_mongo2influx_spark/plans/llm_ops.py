@@ -326,6 +326,62 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_contamination",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, source, string_split(lower(text), ' ') AS words
+            FROM documents
+        ),
+        shingles AS (
+            SELECT DISTINCT source, sh FROM (
+                SELECT source,
+                       unnest(CASE WHEN len(words) >= 3 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       ELSE [] END) AS sh
+                FROM docs
+            )
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_shingles
+        FROM shingles a JOIN shingles b
+             ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+        HAVING count(*) >= 20
+    """,
+    description="Contamination audit: source pairs sharing ≥20 distinct "
+    "3-gram shingles (the train/test-overlap decontamination check at "
+    "n-gram granularity). Join keys are shingles, aggregated per source "
+    "pair — at 100 TB, hash the shingles first so the overlap join moves "
+    "8-byte keys, not text.",
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from node_mongo2influx_spark.operators.dedup import (
+        _with_words,
+        shingles_from_words,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("source"), F.split(F.lower(F.col("text")), " ").alias("__words")
+    )
+    sh = words.select(
+        "source", F.explode(shingles_from_words("__words", 3)).alias("sh")
+    ).distinct()
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    return (
+        a.join(b, ["sh"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= 20)
+    )
+
+
+@query(
     "quality_filter_pipeline",
     oracle="""
         WITH q AS (
