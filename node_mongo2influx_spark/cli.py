@@ -115,9 +115,12 @@ def main(argv: list[str] | None = None) -> int:
                 f"unknown query {args.query!r}; see --list-queries"
             )
         engine = Engine.builder(master=args.master)
-        df = reg[args.query].fn(engine.spark, args.source)
-        df.show(args.show_rows, truncate=False)
-        print(f"rows: {df.count()}")
+        df = reg[args.query].fn(engine.spark, args.source).persist()
+        try:
+            df.show(args.show_rows, truncate=False)
+            print(f"rows: {df.count()}")  # served from cache, not a re-run
+        finally:
+            df.unpersist()
         return 0
 
     if not args.source or not args.sink:

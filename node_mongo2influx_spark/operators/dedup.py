@@ -304,12 +304,18 @@ def components_from_pairs(
     """Connected components over near-dup pairs → (doc_id, component_id),
     component_id = the smallest doc id in the component.
 
-    Small-label propagation: every node repeatedly adopts the minimum label
-    in its neighborhood until fixpoint. Each iteration is two hash
-    joins + one aggregate — no driver-side graph; label count shrinks
-    geometrically so convergence is ~O(log(diameter)) iterations (typical
-    near-dup clusters are tiny; 20 iterations covers chains of ~2^20).
-    Labels persist per iteration; previous iterations' cache is released.
+    Small-label propagation with pointer jumping: each iteration every node
+    adopts the minimum label among itself and its neighbors (one hop), then
+    jumps to its label's label (halving the distance to the component
+    minimum). Neighbor-min alone converges in O(diameter); the jump makes it
+    O(log diameter), so ``max_iterations=20`` genuinely covers chains of
+    ~2^20 nodes. Three hash joins + one aggregate per iteration — no
+    driver-side graph. Raises RuntimeError if the budget is exhausted
+    before fixpoint (silent mis-clustering is worse than failing).
+
+    The returned frame is lineage-truncated via ``localCheckpoint`` — the
+    iterative plan is not replayed on reuse, and no persist outlives the
+    returned reference.
 
     This is the 'keep one canonical doc per duplicate cluster' step that
     turns pairwise candidates into an actual dedup decision.
@@ -320,27 +326,45 @@ def components_from_pairs(
         .distinct()
         .persist()
     )
+    # Iterations MUST truncate lineage (localCheckpoint), not merely cache:
+    # each round references the previous labels four times, so the logical
+    # plan otherwise grows 4^k and the driver OOMs analyzing it around
+    # k≈12 — persist() bounds recomputation but not plan size.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        hop = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jump: label -> label's label. Labels are always node ids,
+        # so the lookup side is the label table itself.
+        lookup = hop.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            hop.join(lookup, hop.label == lookup.l_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -349,11 +373,17 @@ def components_from_pairs(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"components_from_pairs did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
+    # Checkpoint blocks are released when the returned DataFrame is GC'd.
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -37,23 +37,33 @@ def _marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
     return F.expr(f"size(filter({_words(text_col)}, w -> w IN ({lst})))")
 
 
-def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality features: char/token counts, average token
-    length, non-alpha ratio, stopword ratio."""
+def _quality_features(text_col: str) -> dict[str, Column]:
+    """The shared quality feature expressions (single definition — both
+    quality() and quality_filter() and their oracles depend on these)."""
     n_chars = F.length(text_col)
     n_tokens = F.size(F.split(F.col(text_col), " "))
     alpha_only = F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
-    return df.where(n_chars > 0).select(
+    return {
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": n_chars.cast("double") / n_tokens,
+        "non_alpha_ratio": (n_chars - F.length(alpha_only)).cast("double") / n_chars,
+        "stopword_ratio": _marker_count(text_col, QUALITY_STOPWORDS).cast("double")
+        / n_tokens,
+    }
+
+
+def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char/token counts, average token
+    length, non-alpha ratio, stopword ratio."""
+    f = _quality_features(text_col)
+    return df.where(f["n_chars_m"] > 0).select(
         F.col(id_col),
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
-        F.round(
-            (n_chars - F.length(alpha_only)).cast("double") / n_chars, 4
-        ).alias("non_alpha_ratio"),
-        F.round(
-            _marker_count(text_col, QUALITY_STOPWORDS).cast("double") / n_tokens, 4
-        ).alias("stopword_ratio"),
+        f["n_chars_m"].alias("n_chars_m"),
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["avg_token_len"], 4).alias("avg_token_len"),
+        F.round(f["non_alpha_ratio"], 4).alias("non_alpha_ratio"),
+        F.round(f["stopword_ratio"], 4).alias("stopword_ratio"),
     )
 
 
@@ -149,18 +159,14 @@ def quality_filter(
     non-alpha ceiling, stopword floor. Returns the input columns plus the
     computed features (so downstream stages can re-threshold without
     recomputing). All Column expressions — the filter runs scan-side."""
-    n_chars = F.length(text_col)
-    n_tokens = F.size(F.split(F.col(text_col), " "))
-    alpha_only = F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
-    non_alpha = (n_chars - F.length(alpha_only)).cast("double") / n_chars
-    stopword = _marker_count(text_col, QUALITY_STOPWORDS).cast("double") / n_tokens
+    f = _quality_features(text_col)
     return (
-        df.where(n_chars > 0)
+        df.where(f["n_chars_m"] > 0)
         .withColumns(
             {
-                "n_tokens": n_tokens,
-                "non_alpha_ratio": non_alpha,
-                "stopword_ratio": stopword,
+                "n_tokens": f["n_tokens"],
+                "non_alpha_ratio": f["non_alpha_ratio"],
+                "stopword_ratio": f["stopword_ratio"],
             }
         )
         .where(

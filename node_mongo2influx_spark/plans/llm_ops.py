@@ -358,10 +358,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from node_mongo2influx_spark.operators.dedup import (
-        _with_words,
-        shingles_from_words,
-    )
+    from node_mongo2influx_spark.operators.dedup import shingles_from_words
 
     docs = load(spark, sf_dir, "documents")
     words = docs.select(

@@ -48,6 +48,21 @@ def test_approx_percentiles_rank_accurate(spark, sf_dir):
             )
 
 
+def test_components_deep_chain_converges(spark):
+    # a 40-node chain has diameter 39: neighbor-min alone would need 39
+    # iterations; pointer jumping must close it within the default 20.
+    from node_mongo2influx_spark.operators.dedup import components_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in components_from_pairs(pairs).collect()
+    }
+    assert set(got.values()) == {1} and len(got) == 40
+
+
 def test_components_from_pairs_basic(spark):
     from node_mongo2influx_spark.operators.dedup import components_from_pairs
 
