@@ -163,6 +163,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_lsh",
+    oracle=None,  # approximate pair source; component logic oracle-checked
+    # via dedup_clusters, pair recall via dedup_minhash_lsh tests
+    description="The full 100 TB dedup pipeline in one query: MinHash-LSH "
+    "candidate pairs → connected components → (doc_id, component_id). The "
+    "exact-tier twin (dedup_clusters) oracle-checks the clustering logic; "
+    "this chains it onto the scalable pair source.",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        threshold=0.5,
+    )
+    return dedup.components_from_pairs(pairs)
+
+
+@query(
     "dedup_simhash",
     oracle=None,  # bit-mixing not SQL-expressible; deterministic, tested in pytest
     description="64-bit SimHash per document (token-hash sign aggregation) + "

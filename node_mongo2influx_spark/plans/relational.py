@@ -851,6 +851,35 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_zscore",
+    oracle="""
+        SELECT event_id, user_id,
+               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+                   AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+    description="Per-group normalization via applyInPandas (grouped-map "
+    "UDF: each user's rows arrive as one pandas frame, numpy standardizes). "
+    "Oracle is the equivalent window SQL — the gate checks the grouped-map "
+    "mechanism itself. Native windows are preferred when expressible; this "
+    "exists for transforms that genuinely need whole-group pandas access.",
+)
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def standardize(pdf):
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = ((pdf["value"] - mean) / std).round(4)
+        return pdf.assign(zscore=z)[["event_id", "user_id", "zscore"]]
+
+    return e.groupBy("user_id").applyInPandas(
+        standardize, schema="event_id long, user_id long, zscore double"
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle=None,  # sketch-based; exactness asserted against count_distinct in tests
     description="approx_count_distinct (HyperLogLog++, rsd=0.01): the "
