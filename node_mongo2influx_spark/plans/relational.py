@@ -466,6 +466,42 @@ def json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_rank_family",
+    oracle="""
+        SELECT event_id, user_id,
+               ntile(4)      OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume,
+               dense_rank()  OVER w AS drank,
+               first_value(event_id) OVER w AS first_ev,
+               last_value(event_id) OVER (
+                   PARTITION BY user_id ORDER BY value, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_ev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    description="The full ranking-window family (ntile / percent_rank / "
+    "cume_dist / dense_rank / first_value / last_value with an explicit "
+    "whole-partition frame) — one shuffle+sort serves all six.",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(whole).alias("last_ev"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k
 # ---------------------------------------------------------------------------
