@@ -103,6 +103,10 @@ class Engine:
             "spark.sql.execution.arrow.pyspark.enabled": "true",
             "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
             "spark.sql.session.timeZone": "UTC",
+            # Spark's 10 MB broadcast ceiling predates modern executor
+            # memory; 64 MB broadcasts mid-size dims (saving a shuffle of
+            # the fact side) while truly large tables still exceed it.
+            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         }
         defaults.update(cfg.spark_conf)
         for k, v in defaults.items():
