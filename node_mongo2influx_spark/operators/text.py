@@ -187,6 +187,11 @@ def tfidf_top_terms(
     aggregate is broadcast back — vocabularies are small relative to the
     corpus); idf smoothed as ln((1+N)/(1+df)). Deterministic tie-break on
     the term string. Returns (id, term, tfidf, rank).
+
+    Fully lazy: N (the corpus size) is a 1-row aggregate cross-joined onto
+    the scored terms — Spark broadcasts it (BroadcastNestedLoopJoin over a
+    single row), so building the operator triggers no job and composing it
+    never re-scans the corpus for a driver-side count.
     """
     from pyspark.sql import Window
 
@@ -196,10 +201,14 @@ def tfidf_top_terms(
     ).where(F.col("w") != "")
     tf = tokens.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
-    n_docs = df.count()  # scalar; one cheap count on the (cached) source
-    scored = tf.join(F.broadcast(dfreq), "w").withColumn(
-        "tfidf_raw",
-        F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))),
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log((1.0 + F.col("__n_docs")) / (1.0 + F.col("df"))),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf_raw").desc(), F.col("w"))
     return (

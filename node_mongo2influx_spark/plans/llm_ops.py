@@ -179,14 +179,76 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components_from_pairs(pairs)
 
 
+def simhash_oracle_sql(n_bands: int = 4) -> str:
+    """DuckDB replica of dedup.simhash(token_hash='fnv1a32x2').
+
+    Same arithmetic, different engine: FNV-1a over code points via
+    list_reduce (list_prepend supplies the basis — DuckDB's reduce has no
+    init argument), 64 conditional-sum votes, sign-packed BIGINT, arithmetic
+    shift + mask for bands ((x >> s) & 0xFFFF equals the unsigned-shift
+    version because the mask discards the sign-filled high bits).
+    """
+    from node_mongo2influx_spark.operators.dedup import _FNV_BASIS, _FNV_PRIME
+
+    def fnv(word_expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST({_FNV_BASIS} AS BIGINT), "
+            f"list_transform(generate_series(1, length({word_expr})), "
+            f"i -> CAST(ord(substr({word_expr}, i, 1)) AS BIGINT))), "
+            f"(acc, x) -> (xor(acc, x) * {_FNV_PRIME}) & 4294967295)"
+        )
+
+    votes = ",\n".join(
+        f"sum(CASE WHEN ({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    # bit 63 is the sign bit: -(2^63) as a literal (1<<63 overflows BIGINT)
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({(1 << j) if j < 63 else '-9223372036854775807 - 1'} AS BIGINT) ELSE 0 END)"
+        for j in range(64)
+    )
+    width = 64 // n_bands
+    bands = ",\n".join(
+        f"(simhash >> {i * width}) & {(1 << width) - 1} AS band{i}"
+        for i in range(n_bands)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {fnv('w')} AS lo, {fnv("w || '#'")} AS hi
+            FROM tok WHERE w <> ''
+        ),
+        votes AS (
+            SELECT doc_id, {votes}
+            FROM hashed GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT doc_id, {packed} AS simhash FROM votes
+        )
+        SELECT doc_id, simhash, {bands} FROM fp
+    """
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # bit-mixing not SQL-expressible; deterministic, tested in pytest
+    oracle=simhash_oracle_sql(),
     description="64-bit SimHash per document (token-hash sign aggregation) + "
-    "hamming-band grouping; rows-only check, determinism tested in pytest.",
+    "hamming-band grouping. This query runs the portable-hash tier "
+    "(token_hash='fnv1a32x2') so DuckDB can replicate the fingerprint "
+    "bit-for-bit; production default is xxhash64 (identical plan, JVM "
+    "leaf hash), covered by determinism tests in pytest.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+    return dedup.simhash(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        token_hash="fnv1a32x2",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +301,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.knn_cosine_lsh(
         emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
-        k=10, n_planes=8, seed=42,
+        k=10, n_planes=8, seed=42, dim=64,  # testdata embeddings are 64-wide
     )
 
 
@@ -286,6 +348,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.4,
+        dim=64,  # testdata embeddings are 64-wide
     )
 
 
@@ -368,9 +431,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Contamination audit: source pairs sharing ≥20 distinct "
     "3-gram shingles (the train/test-overlap decontamination check at "
-    "n-gram granularity). Join keys are shingles, aggregated per source "
-    "pair — at 100 TB, hash the shingles first so the overlap join moves "
-    "8-byte keys, not text.",
+    "n-gram granularity). Shingles are hashed to 64 bits (xxhash64) before "
+    "the distinct and the overlap self-join, so both shuffles move 8-byte "
+    "keys instead of 3-gram text; collisions are negligible at 64 bits "
+    "(the sf0.01 oracle, which joins on raw strings, still hash-matches).",
 )
 def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -381,13 +445,17 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.col("source"), F.split(F.lower(F.col("text")), " ").alias("__words")
     )
-    sh = words.select(
-        "source", F.explode(shingles_from_words("__words", 3)).alias("sh")
-    ).distinct()
-    a = sh.select(F.col("source").alias("source_a"), "sh")
-    b = sh.select(F.col("source").alias("source_b"), "sh")
+    sh = (
+        words.select(
+            "source", F.explode(shingles_from_words("__words", 3)).alias("sh")
+        )
+        .select("source", F.xxhash64("sh").alias("shh"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shh")
+    b = sh.select(F.col("source").alias("source_b"), "shh")
     return (
-        a.join(b, ["sh"])
+        a.join(b, ["shh"])
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))

@@ -890,8 +890,8 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_zscore",
     oracle="""
         SELECT event_id, user_id,
-               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
-                   AS zscore
+               round((value - avg(value) OVER w)
+                     / nullif(stddev_samp(value) OVER w, 0), 4) AS zscore
         FROM events
         WINDOW w AS (PARTITION BY user_id)
     """,
@@ -905,7 +905,14 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def standardize(pdf):
+        import numpy as np
+
         std = pdf["value"].std(ddof=1)
+        # SQL NULL semantics: stddev_samp is NULL for a 1-row group (pandas:
+        # NaN) and the oracle NULLIFs a zero stddev — pandas would emit NaN
+        # and ±inf respectively, which the comparator treats as values.
+        if std is None or not np.isfinite(std) or std == 0.0:
+            return pdf.assign(zscore=None)[["event_id", "user_id", "zscore"]]
         mean = pdf["value"].mean()
         z = ((pdf["value"] - mean) / std).round(4)
         return pdf.assign(zscore=z)[["event_id", "user_id", "zscore"]]

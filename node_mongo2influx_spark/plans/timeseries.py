@@ -52,7 +52,7 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle="""
         WITH gaps AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
                         OR lag(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
@@ -62,7 +62,7 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions AS (
             SELECT user_id,
                    sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_no
             FROM gaps
@@ -80,7 +80,10 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # The running sum orders by (ts, event_id) too: with ts alone, rows
+    # sharing a timestamp get an engine-dependent prefix-sum order and
+    # n_sessions could differ run-to-run vs the oracle.
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     prev = F.lag("ts").over(w)

@@ -19,8 +19,11 @@ Spark-first design — the two halves are deliberately split:
 
 At-least-once caveat: a retried task re-POSTs its partition. InfluxDB
 upserts points keyed by (measurement, tagset, timestamp), which makes
-replays idempotent for typical schemas; for field-only schemas enable the
-``dedup_key`` note in MigrationReport. (SURVEY.md §7 hard-part 1.)
+replays idempotent for typical schemas; for field-only schemas pass
+``dedup_tag`` to :class:`InfluxLineProtocolSink` / :func:`render_lines`
+— it adds a content-hash tag so replayed rows that share a timestamp
+upsert onto themselves instead of clobbering each other. (SURVEY.md §7
+hard-part 1.)
 """
 
 from __future__ import annotations
@@ -58,22 +61,43 @@ def _field_expr(name: str, dtype: T.DataType) -> Column:
         val = col.cast("string")
     else:
         # String-ish (incl. complex types via JSON): quoted, with \ and "
-        # escaped. Rendering stays JVM-side.
+        # escaped. Line protocol is newline-delimited and cannot represent a
+        # literal newline in a field value — an unescaped \n would split one
+        # point into two malformed lines and 400 the whole POST batch — so
+        # CR/LF become the two-char sequence \n (after backslash doubling,
+        # which keeps a pre-existing literal "\n" distinguishable).
+        # Rendering stays JVM-side.
         s = col if isinstance(dtype, T.StringType) else F.to_json(col)
         escaped = F.regexp_replace(
-            F.regexp_replace(s, r"\\", r"\\\\"), '"', r'\\"'
+            F.regexp_replace(
+                F.regexp_replace(s, r"\\", r"\\\\"), '"', r'\\"'
+            ),
+            "\r\n|[\r\n]",
+            r"\\n",
         )
         val = F.concat(F.lit('"'), escaped, F.lit('"'))
     rendered = F.concat(key, F.lit("="), val)
     return F.when(col.isNull(), F.lit(None)).otherwise(rendered)
 
 
-def render_lines(df: DataFrame, series: str, time_column: str = "time") -> DataFrame:
+def render_lines(
+    df: DataFrame,
+    series: str,
+    time_column: str = "time",
+    dedup_tag: str | None = None,
+) -> DataFrame:
     """Project ``df`` to a single-column frame of line-protocol strings.
 
     Pure Column expressions → whole-stage codegen; null fields are omitted
     per protocol. Timestamp precision: nanoseconds (micros * 1000 — parquet
     timestamps are micros).
+
+    ``dedup_tag``: optional tag name; when set, each line carries
+    ``,<dedup_tag>=<xxhash64 of the rendered fields>`` in its tagset.
+    InfluxDB upserts points keyed by (measurement, tagset, timestamp), so
+    with the tag a replayed partition (at-least-once task retry) lands on
+    the same series points instead of clobbering distinct rows that share a
+    timestamp — this makes replays idempotent even for field-only schemas.
     """
     fields = [
         _field_expr(f.name, f.dataType)
@@ -83,18 +107,30 @@ def render_lines(df: DataFrame, series: str, time_column: str = "time") -> DataF
     if not fields:
         raise ValueError("line protocol requires at least one field")
     rendered_fields = F.concat_ws(",", F.array_compact(F.array(*fields)))
+    measurement: Column = F.lit(_escape_measurement(series))
+    if dedup_tag is not None:
+        measurement = F.concat(
+            measurement, F.lit(f",{dedup_tag}="), F.xxhash64(rendered_fields).cast("string")
+        )
     line = F.concat(
-        F.lit(_escape_measurement(series) + " "),
+        measurement,
+        F.lit(" "),
         rendered_fields,
         F.lit(" "),
         (F.unix_micros(F.col(time_column).cast("timestamp")) * 1000).cast("string"),
     )
-    # A row whose every field is NULL would render as 'series  <ts>' —
-    # invalid line protocol that 400s the whole batch. Such rows carry no
-    # information for a field-value store; drop them.
-    return df.select(line.alias("line"), rendered_fields.alias("__f")).where(
-        F.col("__f") != ""
-    ).select("line")
+    # Two row classes render as malformed/poisonous lines and are dropped:
+    # all-fields-NULL ('series  <ts>' — no information for a field-value
+    # store, 400s the batch) and NULL time (concat goes NULL; a None among
+    # the lines would crash '\n'.join mid-POST). Upstream TransformSpec
+    # normally filters null time already — this guard makes the sink safe
+    # standalone (time_column=None specs, --no-time-filter).
+    return (
+        df.select(line.alias("line"), rendered_fields.alias("__f"))
+        .where(F.col("__f") != "")
+        .where(F.col("line").isNotNull())
+        .select("line")
+    )
 
 
 class HttpTransport:
@@ -161,14 +197,16 @@ class InfluxLineProtocolSink(Sink):
         insert_limit: int = 100,
         time_column: str = "time",
         truncate_fn: Callable[[str], None] | None = None,
+        dedup_tag: str | None = None,
     ) -> None:
         self.transport = transport
         self.insert_limit = insert_limit
         self.time_column = time_column
         self.truncate_fn = truncate_fn
+        self.dedup_tag = dedup_tag
 
     def write(self, df: DataFrame, series: str) -> int:
-        lines_df = render_lines(df, series, self.time_column)
+        lines_df = render_lines(df, series, self.time_column, self.dedup_tag)
         transport, limit = self.transport, self.insert_limit
 
         # Delivery via mapInPandas (not foreachPartition): it stays a SQL

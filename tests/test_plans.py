@@ -92,6 +92,24 @@ def test_observe_pins_filter_above_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(ts)]" not in plan
 
 
+def test_lsh_bucket_join_carries_ids_only(spark, sf_dir, reg):
+    # The LSH candidate join must move (id, t, bucket) rows only; the
+    # embedding vectors rejoin the candidate set afterwards. An exchange
+    # that hashes on bucket but carries a vector column replicates every
+    # embedding n_tables× (the round-1 scale defect) — pin it out.
+    for qname in ("embedding_neardup_lsh", "knn_cosine_lsh"):
+        plan = _plan(reg[qname].fn(spark, sf_dir))
+        for blk in plan.split("\n\n"):
+            if "Exchange" not in blk and "BroadcastExchange" not in blk:
+                continue
+            if "bucket#" not in blk:
+                continue
+            for payload in ("vec#", "cvec#", "qvec#", " va#", " vb#", "vnorm#"):
+                assert payload not in blk, (
+                    f"{qname}: vector payload in bucket exchange:\n{blk}"
+                )
+
+
 def test_asof_join_no_cartesian(spark, sf_dir, reg):
     # The as-of is an equi-join on the key with a range residual — never a
     # cartesian/broadcast-nested-loop over the fact tables.

@@ -57,8 +57,9 @@ def test_lsh_recall_vs_bruteforce(emb):
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
     ]
-    # hamming-1 multiprobe at 8 planes: average recall should be decent
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # hamming-1 multiprobe at 8 planes × 8 tables: a regression that halves
+    # recall must fail, so the gate sits just under the measured ~0.9.
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
 def test_cosine_pairs_lsh_recall(emb):

@@ -41,6 +41,61 @@ def test_render_drops_all_null_field_rows(spark):
     assert len(lines) == 1 and 'v=1.0,s="x"' in lines[0]
 
 
+def test_render_escapes_newlines_in_string_fields(spark):
+    # Line protocol is newline-delimited: an unescaped \n in a field value
+    # splits one point into two malformed lines and 400s the POST batch.
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), "a\nb\r\nc\rd"),
+         (datetime.datetime(2024, 1, 2), "has \\n literal")],
+        "time timestamp, s string",
+    )
+    lines = sorted(r["line"] for r in render_lines(df, "m").collect())
+    assert len(lines) == 2
+    assert all("\n" not in ln and "\r" not in ln for ln in lines)
+    assert 's="a\\nb\\nc\\nd"' in lines[0]
+    # a pre-existing literal backslash-n survives distinguishably (doubled \)
+    assert 's="has \\\\n literal"' in lines[1]
+
+
+def test_render_drops_null_time_rows(spark):
+    # NULL time → NULL line after concat; a None among the lines would
+    # crash '\n'.join mid-POST. The sink must be safe without upstream
+    # time filtering (TransformSpec(time_column=None) / --no-time-filter).
+    df = spark.createDataFrame(
+        [(None, 1.0), (datetime.datetime(2024, 1, 2), 2.0)],
+        "time timestamp, v double",
+    )
+    lines = [r["line"] for r in render_lines(df, "m").collect()]
+    assert len(lines) == 1 and "v=2.0" in lines[0]
+
+
+def test_dedup_tag_makes_replay_idempotent(spark, tmp_path):
+    # Two rows share a timestamp in a field-only schema: without the tag a
+    # replayed POST upserts both onto one point (same measurement+tagset+ts)
+    # and data is silently lost; with the tag each row keys its own point,
+    # so a replay lands on the same two points.
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(ts, 1.0), (ts, 2.0)], "time timestamp, v double")
+    lines = [r["line"] for r in render_lines(df, "m", dedup_tag="ck").collect()]
+    keys = {(ln.split(" ")[0], ln.split(" ")[-1]) for ln in lines}
+    assert len(keys) == 2  # distinct (measurement,tagset)+ts upsert keys
+    assert all(",ck=" in ln.split(" ")[0] for ln in lines)
+
+    sink = InfluxLineProtocolSink(
+        SpoolTransport(str(tmp_path)), insert_limit=10, dedup_tag="ck"
+    )
+    sink.write(df, "m")
+    sink.write(df, "m")  # replay
+    spooled = [
+        ln
+        for f in pathlib.Path(tmp_path, "m").glob("*.lp")
+        for ln in f.read_text().splitlines()
+    ]
+    # upsert key = (measurement+tagset, ts): replay collapses to 2 points
+    assert len(spooled) == 4
+    assert len({(ln.split(" ")[0], ln.split(" ")[-1]) for ln in spooled}) == 2
+
+
 def test_spool_truncate_removes_stale_batches(spark, tmp_path):
     from node_mongo2influx_spark.sinks.influx import SpoolTransport
 

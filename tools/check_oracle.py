@@ -37,7 +37,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # .17g round-trips the double exactly — at 9 sig digits monetary
+        # sums >= 1e8 rounded to cents lose the cents identically on both
+        # sides, false-passing real sub-unit mismatches. Legitimate
+        # cross-engine float noise is handled by explicit round() in the
+        # queries themselves (both sides), not by loose formatting here.
+        return f"{v:.17g}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
