@@ -389,28 +389,10 @@ def components_from_pairs(
     )
 
 
-#: FNV-1a 32-bit offset basis / prime. Used by the portable token hash:
-#: every intermediate stays < 2^56, so the arithmetic is exact (and
-#: ANSI-overflow-safe) in both Spark longs and DuckDB BIGINTs.
-_FNV_BASIS = 2166136261
-_FNV_PRIME = 16777619
-
-
-def _fnv1a32_sql(word_expr: str) -> str:
-    """Spark-SQL FNV-1a (32-bit) over the code points of ``word_expr``.
-
-    Portable by construction: the identical fold — xor, multiply by the
-    FNV prime, mask to 32 bits — is expressible in DuckDB (see
-    ``simhash_oracle_sql`` in plans/llm_ops.py), which is the whole point:
-    xxhash64 exists only on the Spark side, so the oracle-checkable tier
-    needs a hash both engines can compute bit-identically.
-    """
-    return (
-        f"aggregate(transform(sequence(1, length({word_expr})), "
-        f"i -> cast(ascii(substring({word_expr}, i, 1)) as bigint)), "
-        f"cast({_FNV_BASIS} as bigint), "
-        f"(acc, x) -> ((acc ^ x) * {_FNV_PRIME}) & 4294967295)"
-    )
+# Portable token hash for the oracle-checkable tier: xxhash64 exists only
+# on the Spark side, so bit-for-bit DuckDB comparison needs a hash both
+# engines compute identically — FNV-1a from functions/phash.
+from node_mongo2influx_spark.functions.phash import fnv1a32_spark_sql as _fnv1a32_sql
 
 
 def simhash(

@@ -1,0 +1,150 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline ops).
+
+Random sampling (``df.sample``) is useless for dataset curation at scale:
+it isn't reproducible across runs/engines, can't be joined against later
+("which split did doc X land in?"), and resamples everything when the
+corpus grows. These operators derive membership from a *hash of the row's
+id + a salt*, which makes splits
+
+* **stable** — a document keeps its split for life; appending new data
+  never reshuffles old assignments (the property that keeps eval sets
+  uncontaminated across corpus versions);
+* **reproducible** — any engine that can hash can recompute the split
+  (the DuckDB oracles replay the exact arithmetic via functions/phash);
+* **tunable per stratum** — per-source rates for mixture weighting.
+
+All membership tests are integer comparisons of a 32-bit hash against a
+precomputed cutoff — no float division, no cross-engine representation
+questions. Everything is Column expressions (whole-stage codegen); the
+only shuffle in the counting queries is the final small aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_mongo2influx_spark.functions.phash import (
+    cutoff32,
+    fnv1a32_spark_sql,
+)
+
+#: Default split spec: name -> fraction (must sum to <= 1; remainder falls
+#: in the last split via the open-ended ELSE).
+DEFAULT_SPLITS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def split_hash(id_col: str, salt: str) -> Column:
+    """32-bit portable hash of ``cast(id as string) || ':' || salt``.
+
+    The salt namespaces independent decisions: a split assignment and a
+    sampling pass over the same ids must not reuse one hash, or sampling
+    would systematically favor one split (hash < cutoff twice).
+    """
+    if "'" in salt:
+        raise ValueError("salt must not contain quotes")
+    key = f"concat(cast({id_col} as string), ':{salt}')"
+    return F.expr(fnv1a32_spark_sql(key))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits=DEFAULT_SPLITS,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column: deterministic train/val/test assignment.
+
+    Cumulative integer cutoffs over the 32-bit hash space; the last split
+    absorbs the tail so fractions that don't sum to exactly 1 can't drop
+    rows.
+    """
+    names = [n for n, _ in splits]
+    cums, acc = [], 0.0
+    for _, frac in splits:
+        acc += frac
+        cums.append(cutoff32(min(acc, 1.0)))
+    h = split_hash(id_col, salt)
+    expr: Column = F.lit(names[-1])
+    # Build the CASE from the right: WHEN h < cut_0 THEN s_0 ... ELSE last.
+    for name, cut in reversed(list(zip(names[:-1], cums[:-1]))):
+        expr = F.when(h < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its hash falls
+    under its stratum's cutoff. ``fractions`` maps stratum value -> keep
+    rate; strata not listed get ``default_fraction``. The mixture-weighting
+    primitive: rates express source proportions for a training blend, and
+    the same (id, salt) always yields the same keep decision.
+    """
+    h = split_hash(id_col, salt)
+    cut: Column = F.lit(cutoff32(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(F.col(strata_col) == F.lit(value), F.lit(cutoff32(frac))).otherwise(cut)
+    return df.where(h < cut)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    ctx_len: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Assign documents to fixed-size context windows (training-sequence
+    packing), bucketed for scale.
+
+    Greedy-by-order packing: within a bucket, documents are laid out in
+    id order and a document joins the bin its start offset falls in
+    (``floor(prefix_tokens / ctx_len)``) — the streaming concatenate-and-
+    chop layout most LLM data loaders use. A single global order would
+    need a one-partition window; hashing ids into ``n_buckets``
+    independent buckets keeps the window shuffle n_buckets-way parallel
+    and each bin fully deterministic (grow n_buckets with the corpus;
+    packing quality is unaffected since bins never span buckets).
+
+    Returns one row per document: (id, bucket, bin, tokens, prefix before
+    the doc) — downstream writers group by (bucket, bin).
+    """
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(F.col(id_col), bucket, F.col(tokens_col).alias("toks"))
+    out = out.withColumn("cum", F.sum("toks").over(w))
+    return out.select(
+        id_col,
+        "bucket",
+        F.floor((F.col("cum") - F.col("toks")) / ctx_len).alias("bin"),
+        F.col("toks").alias("n_tokens"),
+        (F.col("cum") - F.col("toks")).alias("start_offset"),
+    )
+
+
+def split_oracle_case_duckdb(
+    id_col: str, splits=DEFAULT_SPLITS, salt: str = "split-v1"
+) -> str:
+    """DuckDB CASE expression replaying :func:`assign_split` exactly."""
+    from node_mongo2influx_spark.functions.phash import fnv1a32_duckdb_sql
+
+    key = f"concat(CAST({id_col} AS VARCHAR), ':{salt}')"
+    h = fnv1a32_duckdb_sql(key)
+    names = [n for n, _ in splits]
+    whens, acc = [], 0.0
+    for name, frac in zip(names[:-1], [f for _, f in splits][:-1]):
+        acc += frac
+        whens.append(f"WHEN {h} < {cutoff32(min(acc, 1.0))} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"

@@ -294,8 +294,6 @@ def knn_cosine_lsh(
     candidate (query_id, neighbor_id) pairs then pick up corpus vectors
     with one hash join on id and query vectors with one broadcast join.
     """
-    from pyspark.sql import Window
-
     d = _vec_dim(corpus, vec_col, dim)
     planes_t, weights = _srp_planes(n_tables, n_planes, d, seed)
 
@@ -335,6 +333,22 @@ def knn_cosine_lsh(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _score_candidates_topk(cand, corpus, queries, id_col, vec_col, k, round_to)
+
+
+def _score_candidates_topk(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int,
+) -> DataFrame:
+    """Exact-cosine scoring + per-query top-k over a (query_id, neighbor_id)
+    candidate table. Corpus vectors arrive via one hash join on id, query
+    vectors via one broadcast join — candidates are the only rows scored."""
+    from pyspark.sql import Window
 
     cfeat = _features(corpus, id_col, vec_col).select(
         F.col("fid").alias("neighbor_id"),
@@ -359,3 +373,155 @@ def knn_cosine_lsh(
             "query_id", "neighbor_id", F.round("cos_raw", round_to).alias("cosine")
         )
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 3,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Spherical k-means centroids for IVF coarse quantization (unit rows).
+
+    Distributed Lloyd iterations, Spark-first: assignment is one Arrow
+    matmul kernel per pass (batch × dim) @ (dim × cells); the centroid
+    update is ``n_cells`` groups × ``dim`` plain ``avg(vec[i])`` aggregates
+    — JVM-side with map-side partial aggregation, so each iteration
+    shuffles O(partitions × cells × dim) partial sums, never rows.
+
+    The driver holds only the k × dim centroid matrix between iterations —
+    model state, O(cells·dim) regardless of corpus size (the one permitted
+    driver materialization, same class as a broadcast dim table).
+
+    Init is deterministic: the ``n_cells`` rows with smallest xxhash64(id)
+    (a seedless uniform spread that any engine/run reproduces).
+    """
+    d = _vec_dim(df, vec_col, dim)
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    init_rows = (
+        base.orderBy(F.xxhash64(F.col("vid").cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.asarray([r["vec"] for r in init_rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iters):
+        assigned = _assign_cells(base, cents, keep_vec=True)
+        new = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("vec")[i]).alias(f"c{i}") for i in range(d)])
+            .collect()
+        )
+        for row in new:
+            v = np.asarray([row[f"c{i}"] for i in range(d)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                cents[row["cell"]] = v / n
+        # empty cells keep their previous centroid (stable, deterministic)
+    return cents
+
+
+def _assign_cells(
+    base: DataFrame, centroids_unit: np.ndarray, keep_vec: bool
+) -> DataFrame:
+    """(vid, cell[, vec]): nearest-centroid assignment by cosine, one
+    matmul per Arrow batch. ``keep_vec=False`` for the search-time cell
+    table — ids only, nothing data-sized rides the candidate join."""
+    cents = centroids_unit  # closure capture; k × dim, broadcast with the task
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cell = ((mat / norms) @ cents.T).argmax(axis=1).astype(np.int32)
+            out = {"vid": pdf["vid"], "cell": cell}
+            if keep_vec:
+                out["vec"] = pdf["vec"]
+            yield pd.DataFrame(out)
+
+    schema = "vid long, cell int" + (", vec array<double>" if keep_vec else "")
+    return base.mapInPandas(kernel, schema=schema)
+
+
+def knn_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    round_to: int = 4,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) search —
+    the cell-partitioned alternative to :func:`knn_cosine_lsh`.
+
+    Classic two-level ANN: spherical k-means coarse-quantizes the corpus
+    into ``n_cells`` cells; each query probes its ``n_probe`` nearest cells
+    and scores only those cells' members exactly. Expected work per query
+    is ~n_probe/n_cells of the corpus. Versus LSH: cells adapt to the data
+    distribution (better recall at equal candidate budget), at the cost of
+    the training passes. Pass ``centroids`` to reuse a trained quantizer
+    (the 100 TB deployment shape: train once on a sample, assign
+    incrementally as the corpus grows).
+
+    Scale shape mirrors the LSH tier: the corpus cell table is (id, cell)
+    only; the probe table is (query_id, cell), broadcast; vectors rejoin
+    the candidate pairs by id. Recall vs :func:`knn_cosine` is asserted in
+    tests.
+    """
+    d = _vec_dim(corpus, vec_col, dim)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, dim=d
+        )
+    cents = centroids
+
+    c = _assign_cells(
+        corpus.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        ),
+        cents,
+        keep_vec=False,
+    ).select(F.col("vid").alias("neighbor_id"), "cell")
+
+    n_probe_eff = min(n_probe, len(cents))
+
+    def probe_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ cents.T
+            # n_probe nearest cells per query, exploded pandas-side (the
+            # probe table is queries × n_probe rows — broadcast-sized).
+            top = np.argsort(-sims, axis=1)[:, :n_probe_eff]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vid"].to_numpy(), n_probe_eff),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).mapInPandas(probe_kernel, schema="query_id long, cell int")
+
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _score_candidates_topk(cand, corpus, queries, id_col, vec_col, k, round_to)

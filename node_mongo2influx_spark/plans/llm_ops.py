@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from node_mongo2influx_spark.operators import dedup, multimodal, similarity, text
+from node_mongo2influx_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from node_mongo2influx_spark.plans import query
 from node_mongo2influx_spark.plans.tables import load
 
@@ -188,15 +194,7 @@ def simhash_oracle_sql(n_bands: int = 4) -> str:
     shift + mask for bands ((x >> s) & 0xFFFF equals the unsigned-shift
     version because the mask discards the sign-filled high bits).
     """
-    from node_mongo2influx_spark.operators.dedup import _FNV_BASIS, _FNV_PRIME
-
-    def fnv(word_expr: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST({_FNV_BASIS} AS BIGINT), "
-            f"list_transform(generate_series(1, length({word_expr})), "
-            f"i -> CAST(ord(substr({word_expr}, i, 1)) AS BIGINT))), "
-            f"(acc, x) -> (xor(acc, x) * {_FNV_PRIME}) & 4294967295)"
-        )
+    from node_mongo2influx_spark.functions.phash import fnv1a32_duckdb_sql as fnv
 
     votes = ",\n".join(
         f"sum(CASE WHEN ({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1 = 1 "
@@ -302,6 +300,23 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_lsh(
         emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
         k=10, n_planes=8, seed=42, dim=64,  # testdata embeddings are 64-wide
+    )
+
+
+@query(
+    "knn_cosine_ivf",
+    oracle=None,  # approximate (kmeans cells); recall vs brute force in tests
+    description="ANN top-k via IVF: spherical k-means coarse quantizer "
+    "(distributed Lloyd iterations — Arrow-matmul assignment, JVM avg(vec[i]) "
+    "centroid update), queries probe their n_probe nearest cells, exact "
+    "cosine on cell members only. Cells adapt to the data distribution "
+    "(vs LSH's fixed hyperplanes). Recall asserted in tests/test_similarity.py.",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine_ivf(
+        emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
+        k=10, n_cells=16, n_probe=8, dim=64,
     )
 
 
@@ -595,3 +610,109 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
     )
     return multimodal.payload_meta(df, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dataset splitting & deterministic sampling
+# ---------------------------------------------------------------------------
+def _split_oracle_sql() -> str:
+    case = sampling.split_oracle_case_duckdb("doc_id")
+    return f"""
+        SELECT source, {case} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum(n_chars) AS n_chars
+        FROM documents
+        GROUP BY source, 2
+    """
+
+
+@query(
+    "train_val_test_split",
+    oracle=_split_oracle_sql(),
+    description="Deterministic 90/5/5 train/val/test assignment from a "
+    "salted portable hash of doc_id (integer cutoff over the 32-bit space), "
+    "aggregated per (source, split). Membership is stable under corpus "
+    "growth — new data never reshuffles old assignments — and the DuckDB "
+    "oracle replays the exact hash arithmetic (functions/phash).",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = sampling.assign_split(load(spark, sf_dir, "documents"))
+    return docs.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+#: Per-source keep rates for the mixture-sampling query: even-numbered
+#: sources at 50%, odd at 20% (a stand-in for real mixture weights).
+_MIX_FRACTIONS = {f"src{i}": (0.5 if i % 2 == 0 else 0.2) for i in range(20)}
+
+
+def _sample_oracle_sql() -> str:
+    from node_mongo2influx_spark.functions.phash import (
+        cutoff32,
+        fnv1a32_duckdb_sql,
+    )
+
+    h = fnv1a32_duckdb_sql("concat(CAST(doc_id AS VARCHAR), ':sample-v1')")
+    # Same rates as _MIX_FRACTIONS, expressed via the numeric source suffix.
+    return f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE {h} < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN {cutoff32(0.5)} ELSE {cutoff32(0.2)} END
+    """
+
+
+@query(
+    "stratified_sample_hash",
+    oracle=_sample_oracle_sql(),
+    description="Deterministic per-source stratified sample (the mixture-"
+    "weighting primitive): keep a document iff its salted hash falls under "
+    "its source's integer cutoff. Reproducible across engines/runs — the "
+    "oracle recomputes membership from scratch in DuckDB — and disjoint "
+    "salts keep it independent of the train/val/test assignment.",
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, _MIX_FRACTIONS).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, doc_id % 16 AS bucket,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, bucket, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, bucket,
+               CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+               n_tokens,
+               cum - n_tokens AS start_offset
+        FROM c
+    """,
+    description="Training-sequence packing: documents concatenate in id "
+    "order and chop into 2048-token context windows (bin = start offset "
+    "div ctx). Bucketed by doc_id%16 so the prefix-sum window shuffles "
+    "n_buckets-way parallel instead of needing a global single-partition "
+    "sort — grow n_buckets with the corpus.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(toks, ctx_len=2048, n_buckets=16)

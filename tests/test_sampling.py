@@ -1,0 +1,92 @@
+"""Deterministic split/sample tests: stability, coverage, rate accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_mongo2influx_spark.operators import sampling
+from node_mongo2influx_spark.plans.tables import load
+
+
+def test_split_total_and_stability(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = sampling.assign_split(docs).select("doc_id", "split")
+    b = sampling.assign_split(docs).select("doc_id", "split")
+    # every row gets exactly one split, assignments identical across runs
+    assert a.count() == docs.count()
+    assert a.exceptAll(b).count() == 0
+    got = {r["split"] for r in a.select("split").distinct().collect()}
+    assert got <= {"train", "val", "test"}
+
+
+def test_split_fractions_roughly_hold(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = {
+        r["split"]: r["n"]
+        for r in sampling.assign_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 90/5/5 within generous tolerance at 500 docs (binomial noise)
+    assert abs(counts.get("train", 0) / n - 0.90) < 0.06
+    assert abs(counts.get("val", 0) / n - 0.05) < 0.04
+    assert abs(counts.get("test", 0) / n - 0.05) < 0.04
+
+
+def test_split_stable_under_corpus_growth(spark, sf_dir):
+    # The defining property: a document's split never changes when more
+    # data arrives — assignment on a subset equals assignment on the full
+    # corpus restricted to that subset.
+    docs = load(spark, sf_dir, "documents")
+    sub = docs.where("doc_id % 3 = 0")
+    full = sampling.assign_split(docs).where("doc_id % 3 = 0").select("doc_id", "split")
+    part = sampling.assign_split(sub).select("doc_id", "split")
+    assert full.exceptAll(part).count() == 0 and part.exceptAll(full).count() == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    fr = {"src0": 1.0, "src1": 0.0}
+    got = sampling.stratified_sample(docs, fr, default_fraction=0.5)
+    per = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_src0 = docs.where("source = 'src0'").count()
+    assert per.get("src0") == n_src0  # fraction 1.0 keeps everything
+    assert "src1" not in per  # fraction 0.0 keeps nothing
+    # determinism
+    again = sampling.stratified_sample(docs, fr, default_fraction=0.5)
+    assert got.exceptAll(again).count() == 0
+
+
+def test_pack_sequences_layout(spark):
+    # ids 0,4,8,12 all hash to bucket 0 (mod 4); laid out in id order the
+    # start offsets are 0, 1000, 2000, 3000 → bins 0, 0, 0, 1 at ctx 2048.
+    rows = [(0, 1000), (4, 1000), (8, 1000), (12, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["bin"], r["start_offset"])
+        for r in sampling.pack_sequences(df, ctx_len=2048, n_buckets=4).collect()
+    }
+    assert got[0] == (0, 0, 0)
+    assert got[4] == (0, 0, 1000)
+    assert got[8] == (0, 0, 2000)
+    assert got[12] == (0, 1, 3000)
+
+
+def test_salts_are_independent(spark, sf_dir):
+    # With the same salt, sampling at 50% then splitting would correlate;
+    # different salts must give ~independent membership. Check the sampled
+    # subset's train fraction stays near 90%.
+    docs = load(spark, sf_dir, "documents")
+    sampled = sampling.stratified_sample(
+        docs, {}, default_fraction=0.5, salt="sample-v1"
+    )
+    frac = (
+        sampling.assign_split(sampled).where("split = 'train'").count()
+        / sampled.count()
+    )
+    assert abs(frac - 0.90) < 0.06

