@@ -191,6 +191,149 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_nation_trade_flow",
+    oracle="""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                   / 10000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+        WHERE cn.n_name <> sn.n_name
+          AND l.l_shipdate >= DATE '1995-01-01'
+        GROUP BY cn.n_name, sn.n_name
+    """,
+    description="Cross-border trade flows (TPC-H Q7 shape): revenue between "
+    "every (customer nation, supplier nation) pair after a pushed-down date "
+    "filter. The chain is fact⋈fact (lineitem⋈orders, shuffle on orderkey) "
+    "then broadcast dims; the nation table joins twice under different "
+    "aliases — the self-alias case the planner must keep distinct.",
+)
+def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1995-01-01")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            # Exact-integer revenue: price and discount are 2-decimal, so
+            # cents × discount-centipoints is an integer — integers sum
+            # exactly in ANY order, unlike the double product, whose sums
+            # here land exactly on .xx65 round boundaries where even
+            # stable_round is engine-dependent. Summed as decimal so the
+            # exactness survives 100 TB row counts (a long sum would hit
+            # ANSI overflow ~9e18; DuckDB's BIGINT sum widens to HUGEINT).
+            # One division at the end maps back to currency, same double
+            # in both engines.
+            (
+                F.sum(
+                    (
+                        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                        * F.floor((1 - F.col("l_discount")) * 100 + F.lit(0.5))
+                    ).cast("decimal(24,0)")
+                )
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+        SELECT p.p_brand, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_partkey NOT IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+        )
+        GROUP BY p.p_brand, p.p_size
+    """,
+    description="Supplier variety per (brand, size) for parts never ordered "
+    "in near-max quantity (TPC-H Q16 shape): a distinct aggregate (two-"
+    "phase expand + partial agg) on top of a broadcast LEFT ANTI join — "
+    "the exclusion list is an aggregate subquery, small, so the anti probe "
+    "never shuffles the part table.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    excluded = l.where(F.col("l_quantity") >= 49).select(
+        F.col("l_partkey").alias("x_partkey")
+    ).distinct()
+    kept = p.join(
+        F.broadcast(excluded), p.p_partkey == F.col("x_partkey"), "left_anti"
+    )
+    return (
+        l.join(kept, l.l_partkey == kept.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                       / 100.0 AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s
+        JOIN rev r ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    description="Top revenue supplier (TPC-H Q15 shape): a per-supplier "
+    "revenue aggregate compared against its own scalar max — the 1-row max "
+    "cross-joins back (broadcast nested loop over one row), so the CTE "
+    "evaluates as one lazy plan with no driver round-trip. Revenue rounded "
+    "on both sides before the equality.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1996-01-01")
+    s = load(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        # stable_round, not round: total_rev feeds an equality against its
+        # own max, so a .xx5 boundary divergence would change the winner
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
     "semi_anti_join",
     oracle="""
         SELECT c_custkey, c_name

@@ -92,6 +92,29 @@ def test_observe_pins_filter_above_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(ts)]" not in plan
 
 
+def test_q7_broadcasts_dims_single_fact_shuffle(spark, sf_dir, reg):
+    # Four broadcast dim joins (customer, supplier, nation twice under
+    # different aliases); the only shuffle join is lineitem x orders.
+    plan = _plan(reg["q7_nation_trade_flow"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_q16_anti_join_broadcasts_exclusion_list(spark, sf_dir, reg):
+    # The exclusion subquery is an aggregate (small): the anti join must be
+    # a broadcast probe, never a shuffle of the part table.
+    plan = _plan(reg["q16_supplier_variety"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_scalar_max_stays_lazy(spark, sf_dir, reg):
+    # The scalar max joins back as a 1-row broadcast (nested-loop over one
+    # row) — the whole query is one plan, no driver round-trip mid-build.
+    plan = _plan(reg["q15_top_supplier"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_lsh_bucket_join_carries_ids_only(spark, sf_dir, reg):
     # The LSH candidate join must move (id, t, bucket) rows only; the
     # embedding vectors rejoin the candidate set afterwards. An exchange
