@@ -620,7 +620,7 @@ def _split_oracle_sql() -> str:
     return f"""
         SELECT source, {case} AS split,
                CAST(count(*) AS BIGINT) AS n_docs,
-               sum(n_chars) AS n_chars
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
         FROM documents
         GROUP BY source, 2
     """
@@ -691,16 +691,16 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c AS (
             SELECT doc_id, bucket, n_tokens,
-                   sum(n_tokens) OVER (
+                   CAST(sum(n_tokens) OVER (
                        PARTITION BY bucket ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum
+                   ) AS BIGINT) AS cum
             FROM t
         )
         SELECT doc_id, bucket,
                CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
                n_tokens,
-               cum - n_tokens AS start_offset
+               CAST(cum - n_tokens AS BIGINT) AS start_offset
         FROM c
     """,
     description="Training-sequence packing: documents concatenate in id "

@@ -117,10 +117,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    description="Star join + agg + global top-k (TPC-H Q3 shape). Only the "
-    "customer DIM broadcasts; orders⋈lineitem is fact⋈fact and stays a "
-    "shuffle join (AQE auto-broadcasts at runtime when a side turns out "
-    "small — broadcasting a fact table by hint would OOM at 100 TB). "
+    description="Star join + agg + global top-k (TPC-H Q3 shape). No table "
+    "is broadcast-HINTED: customer grows ~150k rows/sf (a hint overrides "
+    "Spark's size check and would force-broadcast a multi-TB table at "
+    "100 TB), so AQE decides at runtime — it broadcasts the filtered "
+    "customer while genuinely small and falls back to shuffle-hash at "
+    "scale. Hints are reserved for fixed-size dims (region/nation). "
     "TakeOrderedAndProject avoids a full sort.",
 )
 def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +131,7 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
-        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -157,11 +159,12 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND s.s_nationkey = c.c_nationkey
         GROUP BY n.n_name
     """,
-    description="Five-way star join (TPC-H Q5 shape): every DIM "
-    "(region/nation/customer/supplier) broadcasts so the fact tables never "
-    "shuffle for dimension lookups; lineitem⋈orders is the one fact⋈fact "
-    "join and stays a shuffle join on the orderkey (AQE may auto-broadcast "
-    "at runtime when small — a broadcast HINT on orders would OOM at 100 TB).",
+    description="Five-way star join (TPC-H Q5 shape): fixed-size dims "
+    "(region/nation) carry explicit broadcast hints; customer/supplier "
+    "scale linearly with sf (150k·sf / 10k·sf rows) so they are left "
+    "unhinted — AQE broadcasts them while small and shuffle-hashes at "
+    "scale, where a hint would force-broadcast a multi-TB table and OOM. "
+    "lineitem⋈orders is the one fact⋈fact join and shuffles on orderkey.",
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
@@ -174,11 +177,11 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    o_enriched = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+    o_enriched = o.join(dims, o.o_custkey == F.col("c_custkey"))
     return (
         l.join(o_enriched, l.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
@@ -211,8 +214,10 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Cross-border trade flows (TPC-H Q7 shape): revenue between "
     "every (customer nation, supplier nation) pair after a pushed-down date "
     "filter. The chain is fact⋈fact (lineitem⋈orders, shuffle on orderkey) "
-    "then broadcast dims; the nation table joins twice under different "
-    "aliases — the self-alias case the planner must keep distinct.",
+    "then dim joins: nation (fixed 25 rows) is broadcast-hinted twice under "
+    "different aliases — the self-alias case the planner must keep distinct "
+    "— while customer/supplier are unhinted (they scale with sf; AQE "
+    "broadcasts them only while actually small).",
 )
 def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1995-01-01")
@@ -228,8 +233,8 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
@@ -325,12 +330,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("__max_rev"))
-    return (
+    # The max-filtered rev is ~1 row — broadcast IT into supplier, never
+    # the other way round (supplier scales 10k·sf; a hint there would
+    # force-broadcast a huge table at the 100 TB target).
+    top = (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev")
+        .select("l_suppkey", "total_rev")
     )
+    return s.join(
+        F.broadcast(top), F.col("l_suppkey") == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_rev")
 
 
 @query(

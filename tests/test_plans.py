@@ -38,11 +38,67 @@ def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir, reg):
 
 def test_star_join_broadcasts_dims_no_smj(spark, sf_dir, reg):
     plan = _plan(reg["q5_revenue_by_nation"].fn(spark, sf_dir))
-    # every dimension join broadcasts (nation, region, dims->orders,
-    # supplier); the single allowed shuffle join is fact x fact
-    # (lineitem x orders) — a broadcast hint there would OOM at 100 TB.
+    # At test scale every dimension join broadcasts (size-based planning /
+    # AQE); the single allowed shuffle join is fact x fact
+    # (lineitem x orders).
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert plan.count("SortMergeJoin") <= 1, "dimension join fell back to SMJ:\n" + plan
+
+
+#: Column markers identifying relations whose size scales with sf. An
+#: explicit broadcast HINT on one of these overrides Spark's size check and
+#: force-broadcasts a multi-TB table at the 100 TB target. (region/nation
+#: are fixed-size and may be hinted.)
+_SCALING_MARKERS = (
+    "c_custkey#", "s_suppkey#", "o_orderkey#", "l_orderkey#",
+    "p_partkey#", "event_id#", "doc_id#",
+)
+
+
+def _hint_subtrees(analyzed: str) -> list[str]:
+    """Each ResolvedHint node's subtree from an analyzed-plan tree string."""
+    lines = analyzed.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        depth = ln.index("ResolvedHint")
+        sub = []
+        for nxt in lines[i + 1:]:
+            body = nxt.replace(":", " ").replace("+-", "  ")
+            indent = len(body) - len(body.lstrip())
+            if indent <= depth and nxt.strip():
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q3_top_unshipped_revenue", "q5_revenue_by_nation",
+        "q7_nation_trade_flow", "q15_top_supplier", "q16_supplier_variety",
+        "semi_anti_join", "semi_join_active_customers",
+        "full_outer_reconcile", "asof_join_last_order",
+    ],
+)
+def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
+    # The 100x rule: a broadcast hint is legitimate only on a fixed-size dim
+    # (region/nation) or on an aggregated/deduplicated subtree whose output
+    # is bounded by its grouping keys. A hint over a bare scan of a table
+    # that grows with sf (customer, supplier, orders, lineitem, part,
+    # events, documents) is a force-broadcast OOM at 100 TB — AQE decides
+    # those joins instead.
+    df = reg[qname].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for sub in _hint_subtrees(analyzed):
+        if "Aggregate" in sub or "Deduplicate" in sub:
+            continue  # bounded output: ok to hint
+        for marker in _SCALING_MARKERS:
+            assert marker not in sub, (
+                f"{qname}: broadcast hint over a scaling table:\n{sub}"
+            )
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir, reg):
@@ -93,8 +149,10 @@ def test_observe_pins_filter_above_scan(spark, sf_dir):
 
 
 def test_q7_broadcasts_dims_single_fact_shuffle(spark, sf_dir, reg):
-    # Four broadcast dim joins (customer, supplier, nation twice under
-    # different aliases); the only shuffle join is lineitem x orders.
+    # Four broadcast dim joins at test scale (customer, supplier, nation
+    # twice under different aliases — only the nations are HINTED; customer
+    # and supplier broadcast by size); the only shuffle join is
+    # lineitem x orders.
     plan = _plan(reg["q7_nation_trade_flow"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert plan.count("SortMergeJoin") <= 1, plan

@@ -101,14 +101,30 @@ def main() -> int:
             print(f"ok-   {name}: rows-only, {len(srows)} rows ({dt:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = [tuple(r) for r in res.fetchall()]
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = [tuple(r) for r in rel.fetchall()]
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         problems = []
+        # The driver's comparator round-trips DuckDB results through
+        # arrow/pandas, where HUGEINT (int128, e.g. from integer sum())
+        # and DECIMAL become float/decimal and stringify as "3.0" vs
+        # Spark's "3". fetchall() hides that (plain Python ints), so gate
+        # on the declared type instead: cast to BIGINT/DOUBLE in the oracle.
+        hazards = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if t == "HUGEINT" or t.startswith("DECIMAL")
+        ]
+        if hazards:
+            problems.append(
+                f"oracle emits arrow-hostile types ({', '.join(hazards)}) — "
+                "CAST to BIGINT/DOUBLE"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
