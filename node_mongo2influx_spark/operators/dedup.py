@@ -249,23 +249,25 @@ def minhash_lsh_pairs(
     # Band with ids only: carrying the 128-long signature through the
     # 32-band explode would shuffle ~num_perm×8 B per band row (measured:
     # the dominant cost). Signatures rejoin the (small) candidate set below.
+    # The band index is PACKED INTO the bucket hash (xxhash64(band, slice))
+    # so the candidate self-join runs on one 8-byte key instead of a
+    # (band, bucket) composite — same collision semantics (two docs agree
+    # on a band iff their packed hashes agree), one column less through the
+    # exchange and a single-key hash compare.
     banded = sigs.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bucket"),
-                ),
+                lambda i: F.xxhash64(i, F.slice("sig", i * r + 1, r)),
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    )
 
-    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    a = banded.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "bucket")
     cand = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])

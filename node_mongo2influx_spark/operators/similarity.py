@@ -382,28 +382,57 @@ def kmeans_centroids(
     n_cells: int = 16,
     n_iters: int = 3,
     dim: int | None = None,
+    train_fraction: float = 0.1,
+    min_train_rows: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids for IVF coarse quantization (unit rows).
 
-    Distributed Lloyd iterations, Spark-first: assignment is one Arrow
-    matmul kernel per pass (batch × dim) @ (dim × cells); the centroid
-    update is ``n_cells`` groups × ``dim`` plain ``avg(vec[i])`` aggregates
-    — JVM-side with map-side partial aggregation, so each iteration
-    shuffles O(partitions × cells × dim) partial sums, never rows.
+    Distributed Lloyd iterations, sized for the 100 TB corpus:
 
-    The driver holds only the k × dim centroid matrix between iterations —
-    model state, O(cells·dim) regardless of corpus size (the one permitted
-    driver materialization, same class as a broadcast dim table).
+    * **Sampled training.** The quantizer trains on a deterministic
+      hash-sample — ``train_fraction`` of rows, floored at
+      ``min_train_rows`` (default ``64 · n_cells``) so small corpora still
+      see enough rows per cell. A coarse quantizer needs the density
+      shape, not every row; at scale each Lloyd pass touches ~10% of the
+      data instead of all of it. The cutoff is a salted xxhash64 on the
+      id, so the sample (and therefore the centroids) is identical across
+      runs and engines.
+    * **Fused assign + partial-sum kernel.** Each iteration is ONE Arrow
+      pass: the kernel matmul-assigns its batch to cells and accumulates
+      per-cell (count, Σvec) locally, emitting one partial row per
+      non-empty cell per partition — O(partitions × cells) rows of
+      ``dim``-wide arrays, never the data. (The previous shape — ``dim``
+      separate ``avg(vec[i])`` aggregates — planned fine at dim=64 but is
+      codegen-hostile at 768+: one aggregate expression per dimension.)
 
-    Init is deterministic: the ``n_cells`` rows with smallest xxhash64(id)
-    (a seedless uniform spread that any engine/run reproduces).
+    The driver holds only the k × dim centroid matrix and the tiny partial
+    rows between iterations — model state, O(cells·dim·partitions)
+    regardless of corpus size (same class as a broadcast dim table).
+
+    Init is deterministic: the ``n_cells`` sample rows with smallest
+    xxhash64(id) (a seedless uniform spread that any engine/run reproduces).
     """
-    d = _vec_dim(df, vec_col, dim)
     base = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
+    train = base
+    if train_fraction < 1.0:
+        floor_rows = (
+            min_train_rows if min_train_rows is not None else 64 * n_cells
+        )
+        total = base.count()
+        frac = min(1.0, max(train_fraction, floor_rows / max(total, 1)))
+        if frac < 1.0:
+            cut = int(frac * 1_000_000)
+            train = base.where(
+                F.pmod(
+                    F.xxhash64(F.col("vid").cast("string"), F.lit("km-train")),
+                    F.lit(1_000_000),
+                )
+                < cut
+            )
     init_rows = (
-        base.orderBy(F.xxhash64(F.col("vid").cast("string")))
+        train.orderBy(F.xxhash64(F.col("vid").cast("string")))
         .limit(n_cells)
         .collect()
     )
@@ -411,27 +440,56 @@ def kmeans_centroids(
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     for _ in range(n_iters):
-        assigned = _assign_cells(base, cents, keep_vec=True)
-        new = (
-            assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("vec")[i]).alias(f"c{i}") for i in range(d)])
-            .collect()
-        )
-        for row in new:
-            v = np.asarray([row[f"c{i}"] for i in range(d)], dtype=np.float64)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for row in _cell_partial_sums(train, cents).collect():
+            sums[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+            counts[row["cell"]] += row["n"]
+        for cell in np.nonzero(counts)[0]:
+            v = sums[cell]
             n = np.linalg.norm(v)
             if n > 1e-12:
-                cents[row["cell"]] = v / n
+                cents[cell] = v / n
         # empty cells keep their previous centroid (stable, deterministic)
     return cents
 
 
-def _assign_cells(
-    base: DataFrame, centroids_unit: np.ndarray, keep_vec: bool
-) -> DataFrame:
-    """(vid, cell[, vec]): nearest-centroid assignment by cosine, one
-    matmul per Arrow batch. ``keep_vec=False`` for the search-time cell
-    table — ids only, nothing data-sized rides the candidate join."""
+def _cell_partial_sums(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame:
+    """One Lloyd pass fused into a single Arrow kernel: per input partition,
+    assign each vector to its nearest centroid (cosine) and emit one
+    (cell, n, Σvec) partial row per non-empty cell — map-side combine done
+    in numpy, O(partitions × cells) output rows."""
+    cents = centroids_unit  # closure capture; k × dim, broadcast with the task
+
+    def kernel(batches):
+        import pandas as pd
+
+        k, d = cents.shape
+        acc = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cell = ((mat / norms) @ cents.T).argmax(axis=1)
+            np.add.at(cnt, cell, 1)
+            np.add.at(acc, cell, mat)
+        nz = np.nonzero(cnt)[0]
+        yield pd.DataFrame(
+            {
+                "cell": nz.astype(np.int32),
+                "n": cnt[nz],
+                "s": [acc[i].tolist() for i in nz],
+            }
+        )
+
+    return base.mapInPandas(kernel, schema="cell int, n long, s array<double>")
+
+
+def _assign_cells(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame:
+    """(vid, cell): nearest-centroid assignment by cosine, one matmul per
+    Arrow batch. Ids only — nothing data-sized rides the candidate join."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
 
     def kernel(batches):
@@ -441,13 +499,9 @@ def _assign_cells(
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             cell = ((mat / norms) @ cents.T).argmax(axis=1).astype(np.int32)
-            out = {"vid": pdf["vid"], "cell": cell}
-            if keep_vec:
-                out["vec"] = pdf["vec"]
-            yield pd.DataFrame(out)
+            yield pd.DataFrame({"vid": pdf["vid"], "cell": cell})
 
-    schema = "vid long, cell int" + (", vec array<double>" if keep_vec else "")
-    return base.mapInPandas(kernel, schema=schema)
+    return base.mapInPandas(kernel, schema="vid long, cell int")
 
 
 def knn_cosine_ivf(
@@ -492,7 +546,6 @@ def knn_cosine_ivf(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
         ),
         cents,
-        keep_vec=False,
     ).select(F.col("vid").alias("neighbor_id"), "cell")
 
     n_probe_eff = min(n_probe, len(cents))

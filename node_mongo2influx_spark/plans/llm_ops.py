@@ -307,10 +307,11 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_cosine_ivf",
     oracle=None,  # approximate (kmeans cells); recall vs brute force in tests
     description="ANN top-k via IVF: spherical k-means coarse quantizer "
-    "(distributed Lloyd iterations — Arrow-matmul assignment, JVM avg(vec[i]) "
-    "centroid update), queries probe their n_probe nearest cells, exact "
-    "cosine on cell members only. Cells adapt to the data distribution "
-    "(vs LSH's fixed hyperplanes). Recall asserted in tests/test_similarity.py.",
+    "trained on a deterministic hash-sample (~10% at scale, floored for "
+    "small corpora), each Lloyd pass one fused Arrow assign+partial-sum "
+    "kernel; queries probe their n_probe nearest cells, exact cosine on "
+    "cell members only. Cells adapt to the data distribution (vs LSH's "
+    "fixed hyperplanes). Recall asserted in tests/test_similarity.py.",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
