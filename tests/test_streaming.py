@@ -49,6 +49,8 @@ def test_migrate_stream_end_to_end(spark, events_stream_dir, tmp_path):
 
 
 def test_stateful_user_totals(spark, events_stream_dir, tmp_path):
+    import time
+
     schema = spark.read.parquet(events_stream_dir).schema
     source = sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=2)
     out = sp.stateful_user_totals(source)
@@ -60,7 +62,22 @@ def test_stateful_user_totals(spark, events_stream_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # A ProcessingTimeTimeout stateful query never self-terminates even
+    # under availableNow — Spark keeps scheduling empty batches to fire
+    # state timeouts. Drain explicitly: stop once every input row has been
+    # processed and an empty batch has run (all updates emitted).
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        prog = q.recentProgress
+        if (
+            prog
+            and prog[-1]["numInputRows"] == 0
+            and sum(p["numInputRows"] for p in prog) >= 1000
+        ):
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
     got = spark.sql(
         "SELECT key, max(n_events) AS n, max(total) AS total FROM stateful_test GROUP BY key"
     ).collect()
