@@ -31,9 +31,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["migrate_events"].fn(spark, "/root/testdata/sf0.001")
 
 
+#: Queries that have never received a driver correctness row (the r1/r2
+#: snapshots each covered a 50-query window in registry order, so entries
+#: past #50 were skipped both rounds). They are listed first so a capped
+#: window reaches them; everything else follows in registry order and is
+#: already green in CORRECTNESS_r01/r02.
+_NEVER_CHECKED_FIRST = (
+    # new in round 3
+    "q10_returned_revenue", "q12_priority_by_returnflag",
+    "q14_promo_revenue_pct", "q18_large_volume_customers",
+    "window_lead_lag_delta", "doc_repetition_ratio", "label_centroid_cosine",
+    # skipped by the 50-query windows of rounds 1-2
+    "distinct_users_per_type", "scalar_string_math", "scalar_date_json",
+    "pivot_event_matrix", "grouping_sets_explicit", "percentiles_by_type",
+    "correlated_max_order", "udaf_geomean_value", "udtf_explode_props",
+    "approx_percentiles_by_type", "grouped_zscore", "approx_distinct_users",
+    "array_functions", "hypertable_rollup_5min", "sessionize_events",
+    "gapfill_minutely",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in _registry().items()}
+    reg = _registry()
+    ordered = [n for n in _NEVER_CHECKED_FIRST if n in reg]
+    ordered += [n for n in reg if n not in _NEVER_CHECKED_FIRST]
+    return {name: reg[name].fn for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -8,6 +8,7 @@ oracle-checked queries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.operators import (
     dedup,
@@ -717,3 +718,108 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
     return sampling.pack_sequences(toks, ctx_len=2048, n_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: repetition quality signal + per-label embedding centroids
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repetition_ratio",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, word, count(*) AS n
+            FROM w GROUP BY doc_id, word
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS top_word_count,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS repetition_ratio
+        FROM c GROUP BY doc_id
+    """,
+    description="Gopher-style repetition signal: fraction of a document "
+    "occupied by its single most frequent word (high ratio = boilerplate / "
+    "degenerate text, a standard pretraining quality filter). Two-level "
+    "aggregation in the classic word-count shape: explode words, "
+    "groupBy(doc, word) with map-side combine, then per-doc max/sum — both "
+    "shuffles key on doc_id so the second agg is exchange-free under AQE.",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.max("n").alias("top_word_count"),
+        F.sum("n").alias("n_words"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 4).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+@query(
+    "label_centroid_cosine",
+    oracle="""
+        WITH elems AS (
+            SELECT label, vec_id, CAST(i AS INT) AS pos,
+                   CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+            FROM embeddings, range(1, 65) t(i)
+        ),
+        cent AS (
+            SELECT label, pos, avg(v) AS c FROM elems GROUP BY label, pos
+        ),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.v * c.c) AS dot,
+                   sum(e.v * e.v) AS nv,
+                   sum(c.c * c.c) AS nc
+            FROM elems e JOIN cent c USING (label, pos)
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(nv) * sqrt(nc)), 4) AS cos_to_centroid
+        FROM dots
+    """,
+    description="Per-label embedding centroid + each vector's cosine to its "
+    "own label centroid — the embedding-space QA op (low cosine = mislabeled "
+    "or outlier row, the thing you filter before training). Spark shape: "
+    "centroids via posexplode + two-level avg (the only exploded data is "
+    "what the element-wise mean needs), re-packed into a label-indexed "
+    "array and BROADCAST back; the corpus side computes its cosine with "
+    "zip_with/aggregate Column exprs — never exploded, never shuffled. At "
+    "768+ dims swap the centroid step for the fused Arrow partial-sum "
+    "kernel used by the IVF trainer (operators/similarity.py).",
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    elems = e.select("label", F.posexplode("vec").alias("pos", "v"))
+    cent = (
+        elems.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c,
+            ).alias("cvec")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "cvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    nc = F.aggregate(F.col("cvec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    return e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(dot / (F.sqrt(nv) * F.sqrt(nc)), 4).alias("cos_to_centroid"),
+    )

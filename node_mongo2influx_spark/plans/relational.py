@@ -1121,3 +1121,199 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq_norm, 6).alias("sq_norm"),
         F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: additional TPC-H-shaped join/agg patterns (Q10/Q12/Q14/Q18) and
+# the lead/lag window family.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_revenue",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= DATE '1995-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    description="Returned-item revenue by customer, top 20 (TPC-H Q10 "
+    "shape): a HIGH-CARDINALITY aggregation — the group key is the customer "
+    "key itself, ~150k·sf groups, so the partial/final agg pair carries real "
+    "weight (unlike the 6-group q1). Joins: lineitem⋈orders shuffles on "
+    "orderkey; customer is unhinted (AQE broadcasts while small, "
+    "shuffle-hash at scale); nation (25 rows) is broadcast-hinted. "
+    "TakeOrderedAndProject caps the result without a global sort.",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "1995-01-01")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    oracle="""
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= DATE '1995-06-01'
+        GROUP BY l.l_returnflag
+    """,
+    description="Conditional aggregation (TPC-H Q12 shape): per return flag, "
+    "line counts split by order priority via sum(CASE WHEN) — both counts in "
+    "ONE pass over the join, no second scan or self-join. The CASE stays a "
+    "Column expression inside whole-stage codegen; the fact⋈fact join "
+    "shuffles on orderkey with the date filter pushed to the lineitem scan.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1995-06-01")
+    o = load(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+               ) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= DATE '1995-09-01'
+          AND l.l_shipdate <  DATE '1995-10-01'
+    """,
+    description="Promotion revenue share (TPC-H Q14 shape): a scalar ratio "
+    "of two conditional sums computed in one aggregation over "
+    "lineitem⋈part. Part is unhinted (scales 200k·sf — AQE broadcasts while "
+    "small); the one-month shipdate range is pushed to the lineitem scan, "
+    "so the join input is ~1/84 of the fact table.",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        JOIN big b      ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    description="Large-volume orders (TPC-H Q18 shape): a HAVING-filtered "
+    "aggregate over the biggest fact table becomes the join key set — the "
+    "aggregate-then-semi-join-back pattern. The groupBy(l_orderkey) agg is "
+    "map-side-combined on the join key, so the subsequent join with orders "
+    "reuses the same hash partitioning (no extra exchange under AQE); the "
+    "HAVING filter cuts the key set to a sliver before anything joins.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .where(F.col("__qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "window_lead_lag_delta",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value)  OVER w, 4) AS delta_prev,
+               round(lead(value) OVER w - value, 4) AS delta_next,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                   AS micros_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="lead/lag window family: per-user value deltas against the "
+    "previous and next event plus the inter-event gap in microseconds — one "
+    "shuffle+sort on user_id serves all three offset functions (completes "
+    "the window coverage: ranking, running, RANGE frame, offsets).",
+)
+def window_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+    )

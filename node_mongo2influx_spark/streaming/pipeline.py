@@ -169,6 +169,40 @@ def session_window_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_time: str = "l_time",
+    right_time: str = "r_time",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: a right-side
+    row matches left-side rows of the same key whose event time falls in
+    ``[right_time - max_delay, right_time]`` (e.g. clicks attributed to a
+    purchase they preceded).
+
+    Both sides carry watermarks and the join predicate bounds the time
+    difference in BOTH directions — that pair is what lets Spark evict
+    buffered state once the watermark passes a row's match window; an
+    unbounded condition would buffer each side forever. State per key is
+    O(rows within max_delay + watermark), independent of stream length.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    return l.join(
+        r,
+        (l[key_col] == r[key_col])
+        & (F.col(left_time) <= F.col(right_time))
+        & (F.col(left_time) >= F.col(right_time) - F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        l[key_col].alias("key"),
+        F.col(left_time),
+        F.col(right_time),
+    )
+
+
 def windowed_rollup_stream(
     source: DataFrame,
     time_col: str = "time",

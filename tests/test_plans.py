@@ -81,6 +81,8 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q7_nation_trade_flow", "q15_top_supplier", "q16_supplier_variety",
         "semi_anti_join", "semi_join_active_customers",
         "full_outer_reconcile", "asof_join_last_order",
+        "q10_returned_revenue", "q12_priority_by_returnflag",
+        "q14_promo_revenue_pct", "q18_large_volume_customers",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
@@ -189,6 +191,25 @@ def test_lsh_bucket_join_carries_ids_only(spark, sf_dir, reg):
                 assert payload not in blk, (
                     f"{qname}: vector payload in bucket exchange:\n{blk}"
                 )
+
+
+def test_q10_high_cardinality_topk(spark, sf_dir, reg):
+    # ~150k·sf group keys: the agg must keep its partial/final pair and the
+    # top-20 must be TakeOrderedAndProject, never a global sort.
+    plan = _plan(reg["q10_returned_revenue"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plan or "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_label_centroid_corpus_not_exploded(spark, sf_dir, reg):
+    # Only the centroid computation may explode (one Generate); the corpus
+    # side computes its cosine with array exprs — a second Generate would
+    # mean the 64x row expansion leaked into the data path.
+    plan = _plan(reg["label_centroid_cosine"].fn(spark, sf_dir))
+    # formatted mode prints each operator twice (tree line "Generate (7)" +
+    # detail header "(7) Generate") — count tree lines only
+    assert plan.count("Generate (") == 1, plan
 
 
 def test_asof_join_no_cartesian(spark, sf_dir, reg):

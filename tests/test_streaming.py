@@ -168,6 +168,54 @@ def test_dedup_stream_drops_replayed_rows(spark, sf_dir, tmp_path):
     assert got["n"] == got["d"] == 1000  # 2000 in, each event exactly once
 
 
+def test_interval_join_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    # clicks attributed to purchases of the same user within 30 minutes
+    # before the purchase — streamed result must equal the batch join.
+    schema = spark.read.parquet(events_stream_dir).schema
+    clicks = (
+        sp.read_stream(spark, events_stream_dir, schema)
+        .where("event_type = 'click'")
+        .select(F.col("user_id"), F.col("ts").alias("l_time"))
+    )
+    purchases = (
+        sp.read_stream(spark, events_stream_dir, schema)
+        .where("event_type = 'purchase'")
+        .select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_time"))
+    )
+    joined = sp.interval_join_stream(
+        clicks.withColumnRenamed("user_id", "user_id"),
+        purchases.withColumnRenamed("r_user", "user_id"),
+        key_col="user_id",
+        max_delay="30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ivj_test").first()["n"]
+    e = spark.read.parquet(events_stream_dir)
+    c = e.where("event_type = 'click'").select("user_id", F.col("ts").alias("lt"))
+    p = e.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("rt")
+    )
+    batch = c.join(
+        p,
+        (c.user_id == p.pu)
+        & (c.lt <= p.rt)
+        & (c.lt >= p.rt - F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    # the streamed join may withhold matches whose window the final
+    # watermark hasn't closed; with availableNow over bounded input the
+    # inner join emits matches as both sides arrive, so counts are equal
+    assert got == batch, (got, batch)
+
+
 def test_windowed_rollup_stream(spark, events_stream_dir, tmp_path):
     schema = spark.read.parquet(events_stream_dir).schema
     source = sp.read_stream(spark, events_stream_dir, schema).withColumnRenamed(
