@@ -823,3 +823,51 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(dot / (F.sqrt(nv) * F.sqrt(nc)), 4).alias("cos_to_centroid"),
     )
+
+
+@query(
+    "top_bigrams",
+    oracle="""
+        WITH ws AS (
+            SELECT string_split(text, ' ') AS w FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM ws
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
+    description="Corpus-level top-50 bigram counts (the n-gram frequency "
+    "table behind contamination screens and quality heuristics). Bigrams "
+    "form JVM-side — transform over an index sequence, zero string "
+    "re-parsing — then explode feeds a map-side-combined count and "
+    "TakeOrderedAndProject caps the result; ties break lexically so the "
+    "cut is deterministic.",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    # sequence(1, n-1) would run DESCENDING for one-word docs (Spark fills
+    # start>stop backwards) — guard those to an empty list like DuckDB's
+    # range(1, 1).
+    idx = F.when(
+        F.size(ws) > 1, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )

@@ -1317,3 +1317,61 @@ def window_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "micros_since_prev"
         ),
     )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                   - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l.l_quantity + 0.5) AS BIGINT) * 60)
+                   / 10000.0 AS profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+    """,
+    description="Profit by supplier nation and order year (TPC-H Q9 shape, "
+    "supply cost synthesized as 60% of retail — the fixture has no "
+    "partsupp): lineitem joins TWO fact-sized tables (orders on orderkey, "
+    "part on partkey — different keys, so two shuffles is the honest "
+    "minimum) plus unhinted supplier and broadcast nation; grouping is on a "
+    "DERIVED date part. The p_name LIKE filter stays on the part scan. "
+    "Currency handled as exact integer 1e-4 dollars summed in decimal "
+    "(same discipline as q7 — floats would land on .xx5 round boundaries).",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    rev = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) * F.floor(
+        (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    cost = (
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        * F.floor(F.col("l_quantity") + F.lit(0.5))
+        * 60
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.sum((rev - cost).cast("decimal(24,0)")) / 10000.0).alias(
+                "profit"
+            )
+        )
+    )

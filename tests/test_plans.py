@@ -83,6 +83,7 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "full_outer_reconcile", "asof_join_last_order",
         "q10_returned_revenue", "q12_priority_by_returnflag",
         "q14_promo_revenue_pct", "q18_large_volume_customers",
+        "q9_profit_by_nation_year",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
