@@ -871,3 +871,37 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH o AS (
+            -- DuckDB has no BLOB substring; the fixture text is pure ASCII
+            -- (verified: no multibyte), so char offsets == byte offsets and
+            -- slicing the VARCHAR then casting the slice is byte-identical.
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(octet_length(CAST(text AS BLOB))
+                                            - 15, 1) + 1, 1024)) AS off
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST((off - 1) / 1024 AS INT) AS frame_no,
+               CAST(substring(text, CAST(off AS INT), 16) AS BLOB) AS frame
+        FROM o
+    """,
+    description="Deterministic frame sampling over opaque binary payloads "
+    "(one 16-byte slice per 1024 bytes — the video-frame-extraction shape "
+    "with the codec swapped for byte slicing so the result is "
+    "oracle-checkable). Pure Column expressions: offsets from sequence(), "
+    "slices from substring() on BinaryType, posexplode for the frame index "
+    "— only sampled bytes survive the projection, nothing crosses into "
+    "Python. See operators/multimodal.py for the real-decoder seam.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.as_binary_payload(
+        load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
+    )
+    return multimodal.sample_frames(
+        docs, id_col="doc_id", every_n_bytes=1024, frame_bytes=16
+    )
