@@ -41,6 +41,29 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("__partial").alias(count_col))
 
 
+def salted_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase skew-safe (count, sum) in ONE pass: partial per (key,
+    salt), final per key — both statistics share the same two small
+    shuffles instead of running :func:`salted_count` and :func:`salted_sum`
+    separately. Output columns: ``n``, ``total``."""
+    partial = (
+        df.withColumn("__salt", row_salt(buckets))
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(value_col).alias("__s"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n"), F.sum("__s").alias("total")
+    )
+
+
 def salted_sum(
     df: DataFrame,
     keys: Sequence[str],

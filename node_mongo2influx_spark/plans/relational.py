@@ -1375,3 +1375,30 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "skew_salted_rollup",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Hot-key-safe aggregation via explicit two-phase salting "
+    "(functions/skew.py): rows spread over (key, salt) for the partial "
+    "count+sum, then a tiny |keys|×buckets final pass — the tool for the "
+    "one case AQE cannot fix (a hash-aggregate group that IS one key, e.g. "
+    "a single event_type at 30% of a 100 TB table). The oracle is the "
+    "plain GROUP BY, proving the salted plan computes the identical "
+    "answer; equality is also property-tested in tests/test_property.py.",
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.skew import salted_stats
+
+    e = load(spark, sf_dir, "events")
+    out = salted_stats(e, keys=["event_type"], value_col="value", buckets=32)
+    return out.select(
+        "event_type", "n", F.round("total", 2).alias("total")
+    )

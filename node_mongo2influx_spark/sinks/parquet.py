@@ -18,12 +18,36 @@ from node_mongo2influx_spark.sinks.base import Sink
 class ParquetSink(Sink):
     supports_truncate = True
 
-    def __init__(self, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    def __init__(
+        self,
+        path: str,
+        partition_by: tuple[str, ...] = (),
+        dynamic_overwrite: bool = False,
+    ) -> None:
+        """``dynamic_overwrite=True`` turns a partitioned sink into an
+        incremental loader: each write REPLACES exactly the partitions
+        present in the batch and leaves every other partition untouched
+        (``spark.sql.sources.partitionOverwriteMode=dynamic``). This is the
+        idempotent daily-reload shape at 100 TB — re-running a day's load
+        rewrites that day's partitions instead of appending duplicates or
+        truncating the table."""
         self.path = pathlib.Path(path)
         self.partition_by = partition_by
+        self.dynamic_overwrite = dynamic_overwrite
+        if dynamic_overwrite and not partition_by:
+            raise ValueError("dynamic_overwrite requires partition_by")
         self._truncated: set[str] = set()
 
     def write(self, df: DataFrame, series: str) -> int:
+        if self.dynamic_overwrite:
+            writer = (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+            )
+            writer.parquet(str(self.path / series))
+            self._truncated.discard(series)
+            return -1
         mode = "overwrite" if series in self._truncated else "append"
         writer = df.write.mode(mode)
         if self.partition_by:
@@ -37,3 +61,33 @@ class ParquetSink(Sink):
         # atomic (no window where the series is empty), unlike the
         # reference's DELETE-then-insert (index.js:328).
         self._truncated.add(series)
+
+    def compact(self, df_reader, series: str, target_file_bytes: int = 128 << 20) -> int:
+        """Small-file compaction: rewrite a series into files of
+        ~``target_file_bytes`` (read current size from disk, coalesce to
+        ceil(size/target) output tasks). Streaming/incremental appends
+        accumulate per-batch-per-partition files; at 100 TB the scan-open
+        cost of millions of tiny files dominates, so compaction is a
+        first-class maintenance op. Returns the new file count.
+
+        ``df_reader`` is a callable path→DataFrame (pass
+        ``lambda p: spark.read.parquet(p)`` or the nanos-safe
+        ``parquet_compat.read_parquet`` partial) so the sink stays
+        session-free.
+        """
+        target = self.path / series
+        files = [p for p in target.rglob("*.parquet") if p.is_file()]
+        total = sum(p.stat().st_size for p in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = df_reader(str(target))
+        tmp = target.with_name(target.name + "__compact_tmp")
+        writer = df.coalesce(int(n_out)).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(str(tmp))
+        # swap: atomic-enough on one FS; on object stores use a manifest
+        import shutil
+
+        shutil.rmtree(target)
+        tmp.rename(target)
+        return len([p for p in target.rglob("*.parquet") if p.is_file()])

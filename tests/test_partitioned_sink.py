@@ -41,3 +41,70 @@ def test_partitioned_sink_prunes_on_read(engine, sf_dir, tmp_path):
     assert 0 < n < 1000
     # and day directories exist on disk
     assert (tmp_path / "out" / "events" / "day=2024-01-02").exists()
+
+
+def test_dynamic_overwrite_replaces_only_touched_partitions(engine, sf_dir, tmp_path):
+    spark = engine.spark
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "value", F.to_date("ts").alias("day")
+    )
+    sink = ParquetSink(
+        str(tmp_path / "inc"), partition_by=("day",), dynamic_overwrite=True
+    )
+    sink.write(e, "events")
+    days = [r["day"] for r in e.select("day").distinct().collect()]
+    assert len(days) > 2
+    reload_day = sorted(days)[1]
+
+    # incremental reload of ONE day with modified values: that partition is
+    # replaced (not appended), all others byte-identical
+    redo = e.where(F.col("day") == F.lit(reload_day)).withColumn(
+        "value", F.col("value") * 2
+    )
+    n_redo = redo.count()
+    sink.write(redo, "events")
+
+    back = spark.read.parquet(str(tmp_path / "inc" / "events"))
+    assert back.count() == e.count()  # no duplicate rows appended
+    assert back.where(F.col("day") == F.lit(reload_day)).count() == n_redo
+    # untouched partition still matches the original data
+    other_day = sorted(days)[0]
+    orig_sum = e.where(F.col("day") == F.lit(other_day)).agg(
+        F.sum("value")
+    ).first()[0]
+    back_sum = back.where(F.col("day") == F.lit(other_day)).agg(
+        F.sum("value")
+    ).first()[0]
+    assert back_sum == orig_sum
+    # reloaded partition carries the doubled values
+    redo_sum = back.where(F.col("day") == F.lit(reload_day)).agg(
+        F.sum("value")
+    ).first()[0]
+    orig_reload_sum = e.where(F.col("day") == F.lit(reload_day)).agg(
+        F.sum("value")
+    ).first()[0]
+    assert abs(redo_sum - 2 * orig_reload_sum) < 1e-6
+
+
+def test_compact_reduces_file_count_preserves_rows(engine, sf_dir, tmp_path):
+    spark = engine.spark
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    sink = ParquetSink(str(tmp_path / "cmp"))
+    # simulate accumulated small appends
+    for i in range(4):
+        sink.write(e.repartition(8), "events")
+    target = tmp_path / "cmp" / "events"
+    before = len(list(target.rglob("*.parquet")))
+    assert before >= 32
+
+    after = sink.compact(
+        lambda p: spark.read.parquet(p), "events", target_file_bytes=128 << 20
+    )
+    assert after < before
+    back = spark.read.parquet(str(target))
+    assert back.count() == 4 * 1000
+    assert back.agg(F.sum("value")).first()[0] is not None
