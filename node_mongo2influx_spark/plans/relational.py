@@ -1402,3 +1402,174 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", F.round("total", 2).alias("total")
     )
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate <  DATE '1995-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    description="Order-priority check (TPC-H Q4 shape): EXISTS against "
+    "lineitem with a CORRELATED inequality (shipdate > that order's date) "
+    "— a left-semi join whose condition mixes the equi key with a "
+    "non-equi residual. The quarter filter is pushed to the orders scan; "
+    "the semi join keeps at most one match per order so no post-join "
+    "dedup is needed.",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_order_histogram",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '5-LOW'
+            GROUP BY c.c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+    """,
+    description="Customer order-count distribution (TPC-H Q13 shape): LEFT "
+    "outer join so zero-order customers keep a row (count(o_orderkey) "
+    "counts non-null matches only — the left-join-count idiom), then a "
+    "second aggregation histograms the counts. First agg keys on custkey "
+    "(high cardinality, partial/final), second on the tiny count domain.",
+)
+def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity >= 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity >= 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size <= 30 AND l.l_quantity >= 40)
+    """,
+    description="Disjunctive predicate revenue (TPC-H Q19 shape): an "
+    "OR-of-ANDs mixing columns from both join sides. Catalyst splits it: "
+    "the part-only disjunction (brand/size) and the lineitem-only one "
+    "(quantity >= 20, the common lower bound) push below the join as "
+    "derived filters; the mixed residual evaluates post-join. The plan "
+    "gate asserts the scans are filtered, not bare.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 30)
+            & (F.col("l_quantity") >= 40)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000
+          )
+        GROUP BY c.c_mktsegment
+    """,
+    description="High-balance customers with no large orders (TPC-H Q22 "
+    "shape): a scalar subquery (average positive balance) feeds an "
+    "inequality filter — the 1-row aggregate cross-joins back as a "
+    "broadcast, keeping one lazy plan — and NOT EXISTS against filtered "
+    "orders is a left-anti join on the customer key. Segment rollup on "
+    "the survivors.",
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            o.where(F.col("o_totalprice") > 400000),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -83,7 +83,9 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "full_outer_reconcile", "asof_join_last_order",
         "q10_returned_revenue", "q12_priority_by_returnflag",
         "q14_promo_revenue_pct", "q18_large_volume_customers",
-        "q9_profit_by_nation_year",
+        "q9_profit_by_nation_year", "q4_order_priority_check",
+        "q13_customer_order_histogram", "q19_disjunctive_revenue",
+        "q22_dormant_high_balance",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
@@ -211,6 +213,15 @@ def test_label_centroid_corpus_not_exploded(spark, sf_dir, reg):
     # formatted mode prints each operator twice (tree line "Generate (7)" +
     # detail header "(7) Generate") — count tree lines only
     assert plan.count("Generate (") == 1, plan
+
+
+def test_q19_disjunction_splits_to_both_scans(spark, sf_dir, reg):
+    # Catalyst must derive per-side filters from the OR-of-ANDs: the
+    # quantity disjunction reaches the lineitem scan and the brand/size
+    # disjunction reaches the part scan — neither scan is bare.
+    plan = _plan(reg["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,20.0)" in plan, plan
+    assert "EqualTo(p_brand,Brand#1)" in plan, plan
 
 
 def test_asof_join_no_cartesian(spark, sf_dir, reg):
