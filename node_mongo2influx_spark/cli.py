@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--time-column", default="time")
     ap.add_argument("--no-time-filter", action="store_true")
     ap.add_argument("--empty-series", action="store_true", help="truncate first")
+    ap.add_argument("--compact", default=None, metavar="SERIES",
+                    help="maintenance: rewrite one series of a parquet sink "
+                    "into ~--target-file-mb files and exit")
+    ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--limit", type=int, default=2, help="concurrent tables")
     ap.add_argument("--insert-limit", type=int, default=100, help="sink batch rows")
     ap.add_argument("--master", default="local[*]")
@@ -121,6 +125,24 @@ def main(argv: list[str] | None = None) -> int:
             print(f"rows: {df.count()}")  # served from cache, not a re-run
         finally:
             df.unpersist()
+        return 0
+
+    if args.compact is not None:
+        from node_mongo2influx_spark import Engine
+        from node_mongo2influx_spark.sinks import ParquetSink
+        from node_mongo2influx_spark.sources.parquet_compat import read_parquet
+
+        kind, _, rest = (args.sink or "").partition(":")
+        if kind != "parquet" or not rest:
+            raise SystemExit("--compact requires --sink parquet:<dir>")
+        engine = Engine.builder(master=args.master)
+        sink = ParquetSink(rest)
+        n = sink.compact(
+            lambda p: read_parquet(engine.spark, p),
+            args.compact,
+            target_file_bytes=args.target_file_mb << 20,
+        )
+        print(json.dumps({"series": args.compact, "files_after": n}))
         return 0
 
     if not args.source or not args.sink:

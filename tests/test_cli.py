@@ -32,3 +32,22 @@ def test_cli_bad_sink_spec():
 
     with pytest.raises(SystemExit):
         main(["--source", "/tmp", "--sink", "bogus:x"])
+
+
+def test_cli_compact(spark, sf_dir, tmp_path, capsys):
+    # seed a fragmented series, then compact it via the CLI
+    base = spark.read.parquet(f"{sf_dir}/region.parquet")
+    for _ in range(3):
+        base.repartition(6).write.mode("append").parquet(f"{tmp_path}/c/region")
+    import pathlib
+
+    before = len(list(pathlib.Path(f"{tmp_path}/c/region").rglob("*.parquet")))
+    assert before >= 12  # 3 appends × ≥4 non-empty part files
+    rc = main(
+        ["--sink", f"parquet:{tmp_path}/c", "--compact", "region",
+         "--master", "local[4]"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] < before
+    assert spark.read.parquet(f"{tmp_path}/c/region").count() == 3 * base.count()
