@@ -156,3 +156,59 @@ def gapfill_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total", F.lit(0.0)).alias("total"),
         )
     )
+
+
+@query(
+    "batch_session_windows",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_no
+            FROM gaps
+        )
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+    description="Batch session windows via Spark's NATIVE session_window "
+    "aggregation (dynamic-length windows closing after 30 min of "
+    "inactivity) — one shuffle on user_id, no explicit lag/running-sum "
+    "pipeline. The oracle rebuilds the identical sessions with the "
+    "gap-and-running-sum formulation and reproduces session_window's "
+    "end-at-last-event-plus-gap convention. Complements sessionize_events "
+    "(the manual formulation) and session_window_stream (the streaming "
+    "twin).",
+)
+def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
