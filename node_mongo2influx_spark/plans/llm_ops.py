@@ -905,3 +905,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         docs, id_col="doc_id", every_n_bytes=1024, frame_bytes=16
     )
+
+
+@query(
+    "embedding_neardup_ivf",
+    oracle=None,  # approximate candidate source; exact tier is the oracle
+    description="Embedding near-dup pairs via IVF cells (soft-assigned to 2 "
+    "nearest k-means cells, within-cell pair join, exact cosine on "
+    "candidates) — the data-adaptive twin of embedding_neardup_lsh. "
+    "Candidates never carry vectors; recall vs the exact all-pairs tier "
+    "asserted in tests/test_similarity.py.",
+)
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_ivf(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_cells=16, n_assign=2, dim=64,
+    )

@@ -116,3 +116,19 @@ def test_srp_bucket_range(emb):
         F.min("b"), F.max("b")
     ).first()
     assert 0 <= out[0] and out[1] < 256
+
+
+def test_cosine_pairs_ivf_recall(emb):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs_ivf(
+            emb, threshold=0.4, n_cells=16, n_assign=2, dim=64
+        ).collect()
+    }
+    assert approx <= exact  # exact scoring on candidates: no false accepts
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.5, (len(approx), len(exact))
