@@ -45,7 +45,7 @@ _NEVER_CHECKED_FIRST = (
     "skew_salted_rollup", "q4_order_priority_check",
     "q13_customer_order_histogram", "q19_disjunctive_revenue",
     "q22_dormant_high_balance", "batch_session_windows",
-    "embedding_neardup_ivf",
+    "embedding_neardup_ivf", "range_join_clicks_near_purchase",
     # skipped by the 50-query windows of rounds 1-2
     "distinct_users_per_type", "scalar_string_math", "scalar_date_json",
     "pivot_event_matrix", "grouping_sets_explicit", "percentiles_by_type",

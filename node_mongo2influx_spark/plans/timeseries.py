@@ -212,3 +212,77 @@ def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@query(
+    "range_join_clicks_near_purchase",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL '1 hour'
+         AND c.ts <= p.ts + INTERVAL '1 hour'
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
+    description="Batch range join via TIME BUCKETING: clicks within ±1 h of "
+    "each purchase by the same user. A naive |Δt|<=1h join condition gives "
+    "Spark a BroadcastNestedLoopJoin (quadratic per user — dead at 100 TB); "
+    "instead each purchase explodes into its hour bucket ±1 (3 small rows), "
+    "the join is an EQUI-join on (user_id, bucket), and the interval check "
+    "is a residual filter. Any candidate pair within 1 h shares one of the "
+    "3 buckets, so the rewrite is exact (oracle: the naive inequality "
+    "join). Cost: 3× purchase-side rows through one hash shuffle vs "
+    "|user_events|² comparisons.",
+)
+def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hour = 3_600_000_000  # micros
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        (F.unix_micros("ts") / F.lit(hour)).cast("long").alias("bucket"),
+    )
+    p_bucketed = p.select(
+        "purchase_id",
+        "p_user",
+        "p_us",
+        F.explode(
+            F.array(
+                (F.col("p_us") / hour).cast("long") - 1,
+                (F.col("p_us") / hour).cast("long"),
+                (F.col("p_us") / hour).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        p_bucketed.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (p_bucketed.bucket == c.bucket)
+            & (F.col("c_us") >= F.col("p_us") - hour)
+            & (F.col("c_us") <= F.col("p_us") + hour),
+        )
+        # a click exactly on a bucket boundary could match via two exploded
+        # buckets — count distinct click ids per purchase
+        .groupBy("purchase_id")
+        .agg(F.count_distinct("click_id").alias("n_clicks_1h"))
+    )
+    return (
+        p.select("purchase_id")
+        .dropDuplicates(["purchase_id"])
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        )
+    )

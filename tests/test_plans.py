@@ -224,6 +224,15 @@ def test_q19_disjunction_splits_to_both_scans(spark, sf_dir, reg):
     assert "EqualTo(p_brand,Brand#1)" in plan, plan
 
 
+def test_range_join_is_bucketed_equi_join(spark, sf_dir, reg):
+    # The ±1h interval join must run as a hash equi-join on
+    # (user, hour-bucket) with the interval as residual — a naive interval
+    # condition would plan BroadcastNestedLoopJoin (quadratic per user).
+    plan = _plan(reg["range_join_clicks_near_purchase"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_asof_join_no_cartesian(spark, sf_dir, reg):
     # The as-of is an equi-join on the key with a range residual — never a
     # cartesian/broadcast-nested-loop over the fact tables.
