@@ -1573,3 +1573,87 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p    ON p.p_partkey = l.l_partkey
+        JOIN part_avg a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < a.qty_cut
+    """,
+    description="Small-quantity order revenue (TPC-H Q17 shape): each "
+    "lineitem compares against 0.2× the AVERAGE quantity OF ITS OWN PART — "
+    "the correlated-aggregate-join-back pattern. The per-part average "
+    "aggregates on the same key the join uses (partkey), so agg output and "
+    "join probe share hash partitioning; the brand filter prunes the part "
+    "side early. No correlated subquery re-execution — one aggregate, one "
+    "join.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    part_avg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+        WITH flows AS (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   sn.n_name AS supp_nation,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                              ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        FROM flows
+        GROUP BY o_year
+    """,
+    description="National market share by year (TPC-H Q8 shape): one "
+    "nation's fraction of total supply volume — a conditional-sum ratio "
+    "per group, computed in a single aggregation over the join (no "
+    "second pass for the denominator). Supplier is unhinted; nation (25 "
+    "rows) broadcast-hinted; the derived-year group key keeps the output "
+    "tiny.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_7", volume).otherwise(0.0)
+                )
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )

@@ -85,7 +85,8 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q14_promo_revenue_pct", "q18_large_volume_customers",
         "q9_profit_by_nation_year", "q4_order_priority_check",
         "q13_customer_order_histogram", "q19_disjunctive_revenue",
-        "q22_dormant_high_balance",
+        "q22_dormant_high_balance", "q17_small_quantity_revenue",
+        "q8_market_share",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
