@@ -922,3 +922,48 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
         n_cells=16, n_assign=2, dim=64,
     )
+
+
+@query(
+    "dedup_filtered_corpus",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges(src, dst) AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM comp c
+            WHERE c.doc_id = d.doc_id AND c.component_id < c.doc_id
+        )
+    """,
+    description="The dedup pipeline MATERIALIZED: pairs → connected "
+    "components → anti-join drops every non-canonical duplicate (keep = "
+    "smallest doc_id per cluster; unpaired docs pass through untouched) — "
+    "the 'cleaned corpus' a training run actually consumes. The drop list "
+    "is O(duplicates), so the anti join broadcasts it at any realistic "
+    "dup rate; the oracle rebuilds the same decision with a recursive-CTE "
+    "closure.",
+)
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+    comp = dedup.components_from_pairs(pairs)
+    drop = comp.where(F.col("component_id") < F.col("doc_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
