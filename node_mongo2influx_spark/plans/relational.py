@@ -1657,3 +1657,75 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        cand AS (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM lo l1
+            WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                  SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY
+              )
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM cand
+        JOIN supplier s ON s.s_suppkey = cand.l_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    description="Suppliers who alone held up multi-supplier orders (TPC-H "
+    "Q21 shape, lateness = shipped >60 days after order date). The naive "
+    "form is a QUADRUPLE-correlated EXISTS/NOT-EXISTS self-join (the "
+    "oracle keeps it, as the equivalence proof); the Spark plan "
+    "DECORRELATES it into one per-order aggregate — distinct suppliers, "
+    "distinct LATE suppliers, and the sole late supplier via min — "
+    "filtered to (n_supp >= 2, n_late = 1). One shuffle on orderkey "
+    "replaces three correlated probes of the biggest fact table.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select("late_supp")
+    return (
+        blamed.join(s, F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )

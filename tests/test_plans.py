@@ -86,7 +86,7 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q9_profit_by_nation_year", "q4_order_priority_check",
         "q13_customer_order_histogram", "q19_disjunctive_revenue",
         "q22_dormant_high_balance", "q17_small_quantity_revenue",
-        "q8_market_share",
+        "q8_market_share", "q21_waiting_supplier",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
