@@ -134,6 +134,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs: containment(A in B) = |A∩B| / |A|.
+
+    Catches SUBSET duplicates — a short doc fully embedded in a longer one
+    scores containment ≈ 1.0 while its Jaccard can be arbitrarily low
+    (union dominated by the long doc), so threshold-Jaccard dedup misses
+    exactly the quote/excerpt/boilerplate-inclusion class this exists for.
+    Ordered pairs: (doc_a contained-in doc_b), a ≠ b, both directions
+    evaluated from one symmetric intersection. Same shuffle shape as
+    :func:`ngram_jaccard_pairs` — the equi-join on shingle is the only
+    pair generator.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cont = F.col("inter") / F.col("n_a")
+    return (
+        inter.join(sa, "doc_a")
+        .where(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE31, size=num_perm).tolist()

@@ -967,3 +967,46 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS words
+            FROM documents
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 3 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       ELSE [] END
+                   )) AS sh
+            FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shingles a JOIN shingles b
+                 ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(p.i AS DOUBLE) / sa.n, 6) AS containment
+        FROM inter p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        WHERE CAST(p.i AS DOUBLE) / sa.n >= 0.8
+    """,
+    description="Asymmetric containment near-dup: |A∩B|/|A| >= 0.8 over "
+    "3-gram shingles — catches short docs embedded in longer ones "
+    "(quotes, boilerplate inclusion), which symmetric Jaccard misses "
+    "because the union is dominated by the long doc. Ordered pairs, both "
+    "directions from one symmetric shingle equi-join.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        n=3, threshold=0.8,
+    )
