@@ -742,21 +742,42 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Gopher-style repetition signal: fraction of a document "
     "occupied by its single most frequent word (high ratio = boilerplate / "
-    "degenerate text, a standard pretraining quality filter). Two-level "
-    "aggregation in the classic word-count shape: explode words, "
-    "groupBy(doc, word) with map-side combine, then per-doc max/sum — both "
-    "shuffles key on doc_id so the second agg is exchange-free under AQE.",
+    "degenerate text, a standard pretraining quality filter). ZERO-SHUFFLE "
+    "formulation: the top-word count is the longest equal-run in the "
+    "document's SORTED word array, computed as one higher-order fold per "
+    "row — a narrow map over the scan, embarrassingly parallel, vs the "
+    "word-count formulation's corpus-wide explode + (doc, word) exchange "
+    "(which the oracle keeps, proving equivalence).",
 )
 def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
-    return counts.groupBy("doc_id").agg(
-        F.max("n").alias("top_word_count"),
-        F.sum("n").alias("n_words"),
-        F.round(F.max("n").cast("double") / F.sum("n"), 4).alias(
-            "repetition_ratio"
+    ws = F.split("text", " ")
+    # longest equal-run over the sorted words == max per-word count; the
+    # fold state is (prev word, current run, best run)
+    best_run = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return docs.select(
+        "doc_id",
+        best_run.alias("top_word_count"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.round(
+            best_run.cast("double") / F.size(ws).cast("double"), 4
+        ).alias("repetition_ratio"),
     )
 
 

@@ -225,6 +225,15 @@ def test_q19_disjunction_splits_to_both_scans(spark, sf_dir, reg):
     assert "EqualTo(p_brand,Brand#1)" in plan, plan
 
 
+def test_doc_repetition_is_zero_shuffle(spark, sf_dir, reg):
+    # The repetition signal is a per-row fold over the sorted word array —
+    # a narrow map with NO exchange (the word-count formulation would
+    # shuffle every word in the corpus).
+    plan = _plan(reg["doc_repetition_ratio"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode either
+
+
 def test_range_join_is_bucketed_equi_join(spark, sf_dir, reg):
     # The ±1h interval join must run as a hash equi-join on
     # (user, hour-bucket) with the interval as residual — a naive interval
