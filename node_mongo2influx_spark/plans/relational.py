@@ -1712,11 +1712,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+    # Pre-aggregate to one row per (order, supplier) FIRST — then the
+    # per-order pass needs only plain count/sum/min, no distinct
+    # aggregates. Two count_distincts in one groupBy would plan an Expand
+    # (3x the join output through the shuffle — the biggest intermediate
+    # in the query); this shape keeps every row single-width.
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
         F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     blamed = per_order.where(
