@@ -99,7 +99,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_no", F.sum("new_session").over(run))
         .groupBy("user_id")
         .agg(
-            F.count_distinct("session_no").alias("n_sessions"),
+            # session_no is a contiguous running counter from 1, so
+            # max == count(distinct) — but max is a plain aggregate while
+            # mixing count_distinct with count(*) would plan an Expand
+            # (2x every event row through the aggregation).
+            F.max("session_no").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
