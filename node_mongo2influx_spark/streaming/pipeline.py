@@ -169,6 +169,20 @@ def session_window_stream(
     )
 
 
+def enrich_stream(
+    source: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the (bounded)
+    dimension table — no watermark, no state, because the static side is
+    re-resolved per batch (picking up dim updates between batches). The
+    streaming analogue of the batch star join; Spark broadcasts the static
+    side when it fits, same size rules as batch."""
+    return source.join(dim, keys, how)
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -305,3 +305,42 @@ def test_stream_foreachbatch_dynamic_overwrite_idempotent(
     )
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
     assert sum(r["n"] for r in first) == 1000
+
+
+def test_enrich_stream_matches_batch_join(spark, events_stream_dir, tmp_path):
+    # stream-static join: per-user historical stats enrich the live stream;
+    # the streamed result must equal the batch join row-for-row.
+    batch = spark.read.parquet(events_stream_dir)
+    dim = batch.groupBy("user_id").agg(
+        F.round(F.avg("value"), 4).alias("user_avg")
+    )
+    schema = batch.schema
+    source = sp.read_stream(spark, events_stream_dir, schema)
+    out = sp.enrich_stream(
+        source.select("event_id", "user_id", "value"), dim, keys=["user_id"]
+    ).withColumn("above_avg", F.col("value") > F.col("user_avg"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(CAST(above_avg AS INT)) AS above "
+        "FROM enrich_test"
+    ).first()
+    want = (
+        batch.select("event_id", "user_id", "value")
+        .join(dim, "user_id")
+        .withColumn("above_avg", F.col("value") > F.col("user_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("above_avg").cast("int")).alias("above"),
+        )
+        .first()
+    )
+    assert (got["n"], got["above"]) == (want["n"], want["above"])
+    assert got["n"] == 1000
