@@ -1031,3 +1031,72 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
         n=3, threshold=0.8,
     )
+
+
+def _split_contamination_oracle() -> str:
+    case = sampling.split_oracle_case_duckdb("doc_id")
+    return f"""
+        WITH assigned AS (
+            SELECT doc_id, text, {case} AS split FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, split,
+                   unnest(list_distinct(
+                       CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+                           list_transform(
+                               generate_series(1, len(string_split(text, ' ')) - 4),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2] || ' ' ||
+                                    string_split(text, ' ')[i+3] || ' ' ||
+                                    string_split(text, ' ')[i+4]
+                       ) ELSE [] END)) AS sh
+            FROM assigned
+        )
+        SELECT e.doc_id,
+               CAST(count(DISTINCT e.sh) AS BIGINT) AS n_shared_shingles
+        FROM sh e
+        JOIN sh t ON t.sh = e.sh AND t.split = 'train'
+        WHERE e.split <> 'train'
+        GROUP BY e.doc_id
+    """
+
+
+@query(
+    "split_contamination_audit",
+    oracle=_split_contamination_oracle(),
+    description="Train→eval contamination audit over the engine's OWN "
+    "train/val/test assignment: for every held-out document, the number "
+    "of its distinct 5-gram shingles that also occur anywhere in the "
+    "train split — the decontamination question a real eval pipeline "
+    "asks. Candidate generation is the shingle equi-join (hashed 8-byte "
+    "keys at scale, as in cross_source_contamination); the oracle replays "
+    "the split hash AND the shingle join in DuckDB.",
+)
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = sampling.assign_split(load(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    grams = F.when(
+        F.size(ws) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, i),
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                    F.element_at(ws, i + 3),
+                    F.element_at(ws, i + 4),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", "split", F.explode(grams).alias("sh"))
+    train = sh.where(F.col("split") == "train").select("sh").distinct()
+    held_out = sh.where(F.col("split") != "train")
+    return (
+        held_out.join(train, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared_shingles"))
+    )
