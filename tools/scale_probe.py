@@ -1,0 +1,123 @@
+"""Scaling sanity probe: run representative operators at 1x / 4x / 8x the
+sf0.1 input (the same parquet files listed N times — no extra disk, real
+extra rows) and report wall-clock scaling factors.
+
+What this catches: hidden super-linear behavior — a candidate join whose
+buckets grow quadratically, an aggregate whose key domain explodes, a
+driver-side collect proportional to data. A healthy operator's 8x time is
+roughly <= 8x its 1x time (often much less, since fixed stage overhead
+amortizes); a quadratic one blows past it.
+
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [sf_dir]
+Prints one JSON line: {"probe": {...}, "sf": ..., "factors": [1, 4, 8]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FACTORS = (1, 4, 8)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from node_mongo2influx_spark.engine import Engine
+    from node_mongo2influx_spark.operators import dedup, sampling, text
+    from node_mongo2influx_spark.sources.parquet_compat import read_parquet
+
+    eng = Engine.builder(
+        app_name="scale-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    spark = eng.spark
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def at_scale(table: str, k: int):
+        # list the same file k times: k x rows through every operator with
+        # zero extra disk. Ids are NOT uniquified — fine for scan/agg/window
+        # probes; dedup probes uniquify below.
+        df = read_parquet(spark, f"{SF_DIR}/{table}.parquet")
+        out = df
+        for _ in range(k - 1):
+            out = out.unionAll(df)
+        return out
+
+    def uniquified_docs(k: int):
+        # replica i shifts doc ids by i * 10^9 so dedup sees k x distinct
+        # docs (duplicate ids would make candidate counts quadratic in k
+        # by construction, which would test the data, not the operator).
+        df = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+        parts = [
+            df.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000)
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    probes = {
+        "agg_q1_shape": lambda k: at_scale("lineitem", k)
+        .where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))),
+        "window_running": lambda k: at_scale("events", k)
+        .withColumn(
+            "rt",
+            F.sum("value").over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window
+                .partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(-10**9, 0)
+            ),
+        ),
+        "dedup_minhash_lsh": lambda k: dedup.minhash_lsh_pairs(
+            uniquified_docs(k), text_col="text", id_col="doc_id", threshold=0.5
+        ),
+        "token_pack": lambda k: sampling.pack_sequences(
+            uniquified_docs(k).select(
+                "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+            ),
+            ctx_len=2048,
+            n_buckets=16,
+        ),
+        "text_quality": lambda k: text.quality(uniquified_docs(k)),
+    }
+
+    # warm up session + python workers
+    at_scale("region", 1).count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    report = {}
+    for name, fn in probes.items():
+        times = []
+        for k in FACTORS:
+            t0 = time.monotonic()
+            fn(k).write.format("noop").mode("overwrite").save()
+            times.append(round(time.monotonic() - t0, 3))
+        base = max(times[0], 1e-9)
+        report[name] = {
+            "sec": times,
+            "scaling_8x": round(times[-1] / base, 2),
+        }
+        print(f"# {name}: {times} (8x factor {report[name]['scaling_8x']})",
+              file=sys.stderr)
+
+    print(json.dumps({"probe": report, "sf_dir": SF_DIR, "factors": list(FACTORS)}))
+
+
+if __name__ == "__main__":
+    main()
