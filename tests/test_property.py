@@ -81,3 +81,47 @@ def test_salted_aggregation_matches_plain(spark, sf_dir, buckets):
     }
     assert ns == {k: v[0] for k, v in plain.items()}
     assert ss == {k: v[1] for k, v in plain.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_fold_matches_counter(spark, docs):
+    # the longest-equal-run-over-sorted-words fold must equal the max
+    # word frequency for ANY word multiset, not just fixture text
+    from collections import Counter
+
+    from node_mongo2influx_spark.plans.llm_ops import doc_repetition_ratio
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import node_mongo2influx_spark.plans.tables as tables
+
+    # route the query's load() to our synthetic frame
+    orig = tables.load
+    import node_mongo2influx_spark.plans.llm_ops as llm_ops
+
+    llm_ops.load = lambda s, d, n: df
+    try:
+        got = {
+            r["doc_id"]: (r["top_word_count"], r["n_words"])
+            for r in doc_repetition_ratio(spark, "unused").collect()
+        }
+    finally:
+        llm_ops.load = orig
+    for i, words in enumerate(docs):
+        c = Counter(words)
+        assert got[i] == (max(c.values()), len(words)), (i, words)
