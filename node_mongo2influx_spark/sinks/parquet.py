@@ -89,6 +89,29 @@ class ParquetSink(Sink):
         # reference's DELETE-then-insert (index.js:328).
         self._truncated.add(series)
 
+    def retention_sweep(self, series: str, keep_from: str) -> list[str]:
+        """Drop whole partitions older than ``keep_from`` — the InfluxDB
+        retention-policy analogue (the reference's sink expires series data
+        by time; a day-partitioned parquet sink expires by deleting
+        directories). Requires a single time-like partition column whose
+        values sort lexically (e.g. ``day=YYYY-MM-DD``). Deleting a
+        directory is O(1) metadata per partition — no rewrite, no scan —
+        which is the entire point of time-partitioned layout at 100 TB.
+        Returns the partition values dropped."""
+        if len(self.partition_by) != 1:
+            raise ValueError("retention_sweep needs exactly one partition column")
+        col = self.partition_by[0]
+        target = self.path / series
+        dropped = []
+        import shutil
+
+        for d in sorted(target.glob(f"{col}=*")):
+            value = d.name.split("=", 1)[1]
+            if value < keep_from:
+                shutil.rmtree(d)
+                dropped.append(value)
+        return dropped
+
     def compact(self, df_reader, series: str, target_file_bytes: int = 128 << 20) -> int:
         """Small-file compaction: rewrite a series into files of
         ~``target_file_bytes`` (read current size from disk, coalesce to

@@ -144,3 +144,28 @@ def test_range_sorted_write_files_cover_disjoint_key_ranges(engine, sf_dir, tmp_
     # read side benefits: a point filter scans far fewer rows than exist
     back = spark.read.parquet(out).where(F.col("event_id") == 500)
     assert back.count() == 1
+
+
+def test_retention_sweep_drops_only_expired_partitions(engine, sf_dir, tmp_path):
+    spark = engine.spark
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "value", F.to_date("ts").cast("string").alias("day")
+    )
+    sink = ParquetSink(str(tmp_path / "ret"), partition_by=("day",))
+    sink.write(e, "events")
+    days = sorted(r["day"] for r in e.select("day").distinct().collect())
+    assert len(days) > 3
+    cutoff = days[2]
+
+    dropped = sink.retention_sweep("events", keep_from=cutoff)
+    assert dropped == days[:2]
+    back = spark.read.parquet(str(tmp_path / "ret" / "events"))
+    # partition values are type-inferred as dates on read-back
+    back_days = sorted(
+        r["day"] for r in back.select(F.col("day").cast("string")).distinct().collect()
+    )
+    assert back_days == days[2:]
+    expect = e.where(F.col("day") >= cutoff).count()
+    assert back.count() == expect
