@@ -1100,3 +1100,42 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("n_shared_shingles"))
     )
+
+
+@query(
+    "pack_sequences_ffd",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, doc_id % 16 AS bucket,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY bucket
+                       ORDER BY n_tokens DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM t
+        )
+        SELECT doc_id, bucket,
+               CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+               n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset
+        FROM c
+    """,
+    description="Size-ordered sequence packing (first-fit-decreasing "
+    "flavour): each bucket lays out longest documents first, so bins fill "
+    "with large docs while empty and the boundary-straddling tail is "
+    "small docs — less padding waste than id-order packing at identical "
+    "cost (the prefix-sum window just sorts by (tokens DESC, id)). Same "
+    "bucketed n-way-parallel shuffle shape as pack_sequences.",
+)
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        toks, ctx_len=2048, n_buckets=16, size_ordered=True
+    )
