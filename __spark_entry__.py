@@ -52,7 +52,7 @@ _NEVER_CHECKED_FIRST = (
     "q17_small_quantity_revenue", "q8_market_share",
     "dedup_filtered_corpus", "q21_waiting_supplier",
     "dedup_containment_pairs", "split_contamination_audit",
-    "pack_sequences_ffd",
+    "pack_sequences_ffd", "null_semantics_probe",
     # skipped by the 50-query windows of rounds 1-2
     "distinct_users_per_type", "scalar_string_math", "scalar_date_json",
     "pivot_event_matrix", "grouping_sets_explicit", "percentiles_by_type",

@@ -1735,3 +1735,43 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "null_semantics_probe",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)     AS n_rows,
+               CAST(count(props) AS BIGINT) AS n_props,
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)              AS n_null_props,
+               CAST(count(DISTINCT props IS NULL) AS BIGINT) AS null_states,
+               round(avg(CASE WHEN props IS NULL THEN NULL ELSE value END), 4)
+                   AS avg_value_with_props
+        FROM events
+        GROUP BY event_type
+    """,
+    description="NULL-semantics parity probe: count(*) vs count(col) "
+    "(null-excluding), explicit null counting, a boolean-distinct over "
+    "IS NULL, and an aggregate whose input is nulled conditionally "
+    "(avg ignores NULLs identically in both engines). Pins the exact "
+    "NULL discipline every other aggregate in the registry relies on.",
+)
+def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props").alias("n_props"),
+        F.sum(
+            F.when(F.col("props").isNull(), 1).otherwise(0)
+        ).alias("n_null_props"),
+        F.count_distinct(F.col("props").isNull()).alias("null_states"),
+        F.round(
+            F.avg(
+                F.when(F.col("props").isNull(), F.lit(None)).otherwise(
+                    F.col("value")
+                )
+            ),
+            4,
+        ).alias("avg_value_with_props"),
+    )
