@@ -44,3 +44,60 @@ def test_merge_read_json_schema_drift(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "extra"}
     assert dict(df.dtypes)["v"] == "double"
     assert df.where("extra IS NOT NULL").count() == 1
+
+
+def test_mongospool_python_datasource_roundtrip(spark, sf_dir, tmp_path):
+    # write a mongoexport-style dump (BSON extended JSON, one doc/line,
+    # several files), read it back through the registered Python Data
+    # Source, and check values + partition planning.
+    import json
+
+    from node_mongo2influx_spark.plans.tables import load
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value", "props")
+        .limit(300)
+        .collect()
+    )
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    for i in range(3):  # 3 spool files -> 3 partitions
+        with open(dump / f"events.{i}.jsonl", "w") as fh:
+            for r in rows[i::3]:
+                fh.write(
+                    json.dumps(
+                        {
+                            "_id": {"$oid": f"{r['event_id']:024x}"},
+                            "event_id": r["event_id"],
+                            "ts": {
+                                "$date": int(r["ts"].timestamp() * 1000)
+                            },
+                            "user_id": r["user_id"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(dump)).load()
+    assert df.rdd.getNumPartitions() == 3
+    got = {r["event_id"]: r for r in df.collect()}
+    assert len(got) == 300
+    sample = rows[0]
+    back = got[sample["event_id"]]
+    assert back["_id"] == f"{sample['event_id']:024x}"
+    assert back["user_id"] == sample["user_id"]
+    assert abs(back["value"] - sample["value"]) < 1e-9
+    # $date decodes to a timestamp matching the original event time
+    # (mongoexport's $date is epoch-millis, so compare at ms precision)
+    assert abs((back["ts"] - sample["ts"]).total_seconds()) < 0.001
+    # schema inference: long/double/timestamp/string as expected
+    kinds = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert kinds["event_id"] == "bigint"
+    assert kinds["value"] == "double"
+    assert kinds["ts"] == "timestamp"
+    assert kinds["_id"] == "string"
