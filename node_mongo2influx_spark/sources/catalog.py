@@ -89,6 +89,38 @@ class DirectoryCatalog(Catalog):
         raise FileNotFoundError(f"no table file for {name!r} under {self.path}")
 
 
+class SpoolCatalog(Catalog):
+    """A mongoexport dump directory: ``<dir>/<collection>/<*.jsonl>``
+    (each collection a sub-directory of BSON-extended-JSON spool files).
+
+    Backed by the `mongospool` Python Data Source
+    (:mod:`~node_mongo2influx_spark.sources.mongospool`) — one
+    snapshot-stable input partition per spool file. With this catalog,
+    ``Engine.migrate`` runs the reference's EXACT end-to-end use case
+    (every Mongo collection → prepare → Influx) from a dump, no live
+    mongod required.
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        super().__init__(spark)
+        self.path = pathlib.Path(path)
+        from node_mongo2influx_spark.sources.mongospool import (
+            MongoSpoolDataSource,
+        )
+
+        spark.dataSource.register(MongoSpoolDataSource)
+
+    def table_names(self) -> list[str]:
+        return sorted(p.name for p in self.path.iterdir() if p.is_dir())
+
+    def read(self, name: str) -> DataFrame:
+        return (
+            self.spark.read.format("mongospool")
+            .option("path", str(self.path / name))
+            .load()
+        )
+
+
 class SessionCatalog(Catalog):
     """Tables already registered in the Spark session catalog (metastore /
     temp views) — the analogue of enumerating a live database."""

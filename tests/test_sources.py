@@ -101,3 +101,60 @@ def test_mongospool_python_datasource_roundtrip(spark, sf_dir, tmp_path):
     assert kinds["value"] == "double"
     assert kinds["ts"] == "timestamp"
     assert kinds["_id"] == "string"
+
+
+def test_spool_catalog_migrates_dump_to_influx(spark, sf_dir, tmp_path):
+    # the reference's end-to-end use case from a mongoexport dump: every
+    # collection -> prepare (rename date field to time) -> Influx lines.
+    import json
+
+    from node_mongo2influx_spark import Engine, TransformSpec
+    from node_mongo2influx_spark.plans.tables import load
+    from node_mongo2influx_spark.sinks import InfluxLineProtocolSink
+    from node_mongo2influx_spark.sinks.influx import SpoolTransport
+    from node_mongo2influx_spark.sources.catalog import SpoolCatalog
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .limit(200)
+        .collect()
+    )
+    dump = tmp_path / "dump" / "sensor_events"
+    dump.mkdir(parents=True)
+    for i in range(2):
+        with open(dump / f"part{i}.jsonl", "w") as fh:
+            for r in rows[i::2]:
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "date": {"$date": int(r["ts"].timestamp() * 1000)},
+                            "user_id": r["user_id"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+    # also a system collection that must be skipped
+    sysdir = tmp_path / "dump" / "system.profile"
+    sysdir.mkdir()
+    (sysdir / "x.jsonl").write_text('{"a": 1}\n')
+
+    engine = Engine(spark)
+    catalog = SpoolCatalog(spark, str(tmp_path / "dump"))
+    spool_out = tmp_path / "lines"
+    report = engine.migrate(
+        catalog,
+        TransformSpec(rename={"date": "time"}),
+        InfluxLineProtocolSink(SpoolTransport(str(spool_out))),
+    )
+    assert [t.table for t in report.tables] == ["sensor_events"]
+    assert not report.failed
+    assert report.rows_written == 200
+    lines = []
+    for f in spool_out.rglob("*"):
+        if f.is_file():
+            lines += [l for l in f.read_text().splitlines() if l]
+    assert len(lines) == 200
+    assert all(l.startswith("sensor_events") for l in lines)
