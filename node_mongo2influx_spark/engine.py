@@ -107,6 +107,9 @@ class Engine:
             # memory; 64 MB broadcasts mid-size dims (saving a shuffle of
             # the fact side) while truly large tables still exceed it.
             "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+            # Let Python Data Sources (sources/mongospool.py) receive
+            # pushed filters; off by default in Spark 4.1.
+            "spark.sql.python.filterPushdown.enabled": "true",
         }
         defaults.update(cfg.spark_conf)
         for k, v in defaults.items():

@@ -32,7 +32,18 @@ import pathlib
 from datetime import datetime, timezone
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -106,12 +117,50 @@ class MongoSpoolDataSource(DataSource):
     def reader(self, schema: StructType) -> "MongoSpoolReader":
         return MongoSpoolReader(self._files(), schema)
 
+    def simpleStreamReader(self, schema: StructType) -> "MongoSpoolStreamReader":
+        return MongoSpoolStreamReader(self.options["path"], schema)
+
+
+#: Comparison filters the reader evaluates itself (pushdown). Everything
+#: else is returned to Spark as unsupported and re-checked post-scan.
+_PUSHABLE = {
+    EqualTo: lambda v, x: v == x,
+    GreaterThan: lambda v, x: v > x,
+    GreaterThanOrEqual: lambda v, x: v >= x,
+    LessThan: lambda v, x: v < x,
+    LessThanOrEqual: lambda v, x: v <= x,
+}
+
 
 class MongoSpoolReader(DataSourceReader):
     def __init__(self, files: list[str], schema: StructType) -> None:
         self.files = files
         self.schema = schema
         self.fields = [(f.name, f.dataType) for f in schema.fields]
+        self._pushed: list = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept flat comparison filters — rows failing them never leave
+        the source (the custom-source half of predicate pushdown). Spark
+        re-applies anything we yield back as unsupported."""
+        for f in filters:
+            kind = type(f)
+            if kind in _PUSHABLE and len(f.attribute) == 1:
+                self._pushed.append((f.attribute[0], _PUSHABLE[kind], f.value))
+            else:
+                yield f
+
+    def _keep(self, doc: dict) -> bool:
+        for name, op, want in self._pushed:
+            v = _decode_extended(doc.get(name))
+            if v is None:
+                return False
+            try:
+                if not op(v, want):
+                    return False
+            except TypeError:
+                return False
+        return True
 
     def partitions(self):
         # one partition per spool file: snapshot-stable, scales with files
@@ -119,16 +168,64 @@ class MongoSpoolReader(DataSourceReader):
         return [InputPartition(f) for f in self.files]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        with open(partition.value, "r", encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                doc = json.loads(line)
-                row = []
-                for name, dtype in self.fields:
-                    v = _decode_extended(doc.get(name))
-                    if v is not None and isinstance(dtype, StringType):
-                        v = v if isinstance(v, str) else json.dumps(v)
-                    row.append(v)
-                yield tuple(row)
+        yield from _read_file(partition.value, self.fields, self._keep)
+
+
+def _read_file(path: str, fields, keep=None) -> Iterator[tuple]:
+    with open(path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            doc = json.loads(line)
+            if keep is not None and not keep(doc):
+                continue
+            row = []
+            for name, dtype in fields:
+                v = _decode_extended(doc.get(name))
+                if v is not None and isinstance(dtype, StringType):
+                    v = v if isinstance(v, str) else json.dumps(v)
+                row.append(v)
+            yield tuple(row)
+
+
+class MongoSpoolStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of a spool directory: the offset is the sorted list
+    of files already delivered; each micro-batch reads exactly the files
+    that appeared since (mongoexport writes a file then moves on, so
+    file-granularity delivery is append-only and replayable — the offset
+    log replays the same file set after a crash)."""
+
+    def __init__(self, path: str, schema: StructType) -> None:
+        self.path = pathlib.Path(path)
+        self.fields = [(f.name, f.dataType) for f in schema.fields]
+
+    def _all_files(self) -> list[str]:
+        return sorted(
+            str(p)
+            for pat in ("*.json", "*.jsonl", "*.ndjson")
+            for p in self.path.glob(pat)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [f for f in self._all_files() if f not in seen]
+        rows = []
+        for f in new:
+            rows.extend(_read_file(f, self.fields))
+        end = {"seen": sorted(seen | set(new))}
+        return (iter(rows), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay: exactly the files in end but not in start
+        files = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        rows = []
+        for f in files:
+            rows.extend(_read_file(f, self.fields))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # file set is the offset; nothing to clean up

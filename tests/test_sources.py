@@ -158,3 +158,71 @@ def test_spool_catalog_migrates_dump_to_influx(spark, sf_dir, tmp_path):
             lines += [l for l in f.read_text().splitlines() if l]
     assert len(lines) == 200
     assert all(l.startswith("sensor_events") for l in lines)
+
+
+def test_mongospool_filter_pushdown(spark, tmp_path):
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    d = tmp_path / "pf"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as fh:
+        for i in range(100):
+            fh.write(json.dumps({"k": i, "v": float(i) / 10}) + "\n")
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(d)).load()
+    out = df.where("k >= 90 AND v < 9.5").collect()
+    assert sorted(r["k"] for r in out) == [90, 91, 92, 93, 94]
+    # unsupported filter shapes still work (re-applied by Spark post-scan)
+    assert df.where("k % 7 = 0").count() == 15
+
+
+def test_mongospool_stream_reader_tails_new_files(spark, tmp_path):
+    import json
+    import time
+
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    d = tmp_path / "tail"
+    d.mkdir()
+
+    def write_file(idx, lo, hi):
+        with open(d / f"f{idx}.jsonl", "w") as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps({"k": i, "v": float(i)}) + "\n")
+
+    write_file(0, 0, 50)
+    spark.dataSource.register(MongoSpoolDataSource)
+    stream = (
+        spark.readStream.format("mongospool")
+        .schema("k long, v double")
+        .option("path", str(d))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("spool_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tail"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT count(*) n FROM spool_tail").first()["n"] >= 50:
+                break
+            time.sleep(0.5)
+        write_file(1, 50, 80)  # new file appears mid-stream
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT count(*) n FROM spool_tail").first()["n"] >= 80:
+                break
+            time.sleep(0.5)
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT k) AS d, CAST(sum(k) AS BIGINT) AS s "
+            "FROM spool_tail"
+        ).first()
+        assert (got["n"], got["d"], got["s"]) == (80, 80, sum(range(80)))
+    finally:
+        q.stop()
