@@ -69,7 +69,9 @@ def main(argv: list[str] | None = None) -> int:
         "transform into a sink (the reference pipeline, Spark-first), or run "
         "a named query from the library (--list-queries / --query).",
     )
-    ap.add_argument("--source", help="directory of table files")
+    ap.add_argument("--source", help="directory of table files, or "
+                    "spool:<dir> for a mongoexport JSON dump "
+                    "(one sub-directory per collection)")
     ap.add_argument("--sink", help="parquet:<dir> | influx:<url>#<db> | influx-spool:<dir> | memory | noop")
     ap.add_argument("--list-queries", action="store_true",
                     help="list the query library and exit")
@@ -150,15 +152,20 @@ def main(argv: list[str] | None = None) -> int:
 
     import pathlib
 
-    if not pathlib.Path(args.source).is_dir():
-        raise SystemExit(f"source is not a directory: {args.source}")
+    src_kind, _, src_rest = args.source.partition(":")
+    src_path = src_rest if src_kind == "spool" else args.source
+    if not pathlib.Path(src_path).is_dir():
+        raise SystemExit(f"source is not a directory: {src_path}")
     if args.tables is not None and not args.tables:
         # `--tables` with no values (e.g. an empty shell expansion) would
         # otherwise silently migrate nothing and exit 0.
         raise SystemExit("--tables given but empty; omit it to migrate all tables")
 
     from node_mongo2influx_spark import Engine, EngineConfig, TransformSpec
-    from node_mongo2influx_spark.sources.catalog import DirectoryCatalog
+    from node_mongo2influx_spark.sources.catalog import (
+        DirectoryCatalog,
+        SpoolCatalog,
+    )
 
     engine = Engine.builder(
         master=args.master,
@@ -176,7 +183,11 @@ def main(argv: list[str] | None = None) -> int:
         where=args.where,
         time_column=None if args.no_time_filter else args.time_column,
     )
-    catalog = DirectoryCatalog(engine.spark, args.source)
+    catalog = (
+        SpoolCatalog(engine.spark, src_path)
+        if src_kind == "spool"
+        else DirectoryCatalog(engine.spark, args.source)
+    )
     sink = _build_sink(args.sink, args.insert_limit)
     report = engine.migrate(catalog, spec, sink, tables=args.tables)
 

@@ -51,3 +51,31 @@ def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["files_after"] < before
     assert spark.read.parquet(f"{tmp_path}/c/region").count() == 3 * base.count()
+
+
+def test_cli_migrate_spool_source(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from node_mongo2influx_spark.plans.tables import load
+
+    dump = tmp_path / "dump" / "readings"
+    dump.mkdir(parents=True)
+    rows = load(spark, sf_dir, "events").select("event_id", "ts", "value").limit(50).collect()
+    with open(dump / "p0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps({
+                "event_id": r["event_id"],
+                "date": {"$date": int(r["ts"].timestamp() * 1000)},
+                "value": r["value"],
+            }) + "\n")
+    rc = main([
+        "--source", f"spool:{tmp_path}/dump",
+        "--sink", f"parquet:{tmp_path}/out",
+        "--rename", "date=time",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tables"]["readings"]["rows_written"] == 50
+    df = spark.read.parquet(f"{tmp_path}/out/readings")
+    assert df.count() == 50 and "time" in df.columns
