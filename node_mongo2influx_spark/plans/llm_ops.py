@@ -577,18 +577,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "multimodal_features",
-    oracle=None,  # sha256-expansion pseudo-decode not SQL-expressible;
-    # determinism + batch-shape tested in tests/test_multimodal.py
+    oracle="""
+        SELECT doc_id,
+               'text/plain' AS mime,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               list_transform(range(1, 9),
+                   i -> round(CAST(('0x' || substr(sha, 2*CAST(i AS INT)-1, 2))
+                              AS INT) / 255.0, 5)) AS feature_r,
+               'stub-fake' AS decoder
+        FROM (
+            SELECT doc_id, text,
+                   sha256(text || repeat(chr(0), 4)) AS sha
+            FROM documents
+        )
+    """,
     description="Arrow-batched feature extraction over binary payloads "
     "(stub decode — codecs absent in container; the mapInPandas plumbing, "
-    "schema and determinism are real and tested).",
+    "schema and determinism are real). FULL oracle: the sha256-expansion "
+    "pseudo-decode is replayed in DuckDB byte-for-byte (digest of "
+    "payload+counter, bytes/255), features rounded to 5 decimals on both "
+    "sides — safe for every k/255 under float32→double promotion "
+    "(verified exhaustively; round-6 has three boundary collisions).",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = multimodal.as_binary_payload(
         load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
     )
     out = multimodal.extract_features(df, id_col="doc_id", dim=8)
-    return out.select("doc_id", "mime", "n_bytes", "decoder")
+    return out.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.transform(
+            F.col("feature"), lambda x: F.round(x.cast("double"), 5)
+        ).alias("feature_r"),
+        "decoder",
+    )
 
 
 @query(
