@@ -31,43 +31,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["migrate_events"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: Queries that have never received a driver correctness row (the r1/r2
-#: snapshots each covered a 50-query window in registry order, so entries
-#: past #50 were skipped both rounds). They are listed first so a capped
-#: window reaches them; everything else follows in registry order and is
-#: already green in CORRECTNESS_r01/r02.
-_NEVER_CHECKED_FIRST = (
-    # red in the r2 snapshot (HUGEINT-oracle hash-fails / NTZ error) —
-    # fixed this round, so their green rows must land first
+#: Round-4 window ordering. The driver checks a 50-query prefix, so each
+#: round the prefix leads with queries that lack a driver-green row for
+#: their CURRENT code: (a) changed or added this round, (b) never green
+#: with their current oracle, then (c) everything whose last green row is
+#: r1/r2-era (i.e. outside round 3's window — CORRECTNESS_r03's keys),
+#: and finally the r3-green remainder.
+_RECHECK_FIRST = (
+    # never driver-green with current oracle / fixed this round
+    "multimodal_frame_sample",   # r3 comparator crash -> hex-encoded r4
+    "multimodal_features",       # full oracle landed late in r3, no row
+    # code changed in r3 but last green row is r1/r2-era (hint removals)
+    "q3_top_unshipped_revenue", "q5_revenue_by_nation",
+    "q7_nation_trade_flow", "q15_top_supplier",
+    # changed in r4 (vocabulary / exclusion-list broadcast-hint drops)
+    "tfidf_top_terms",
+    "q16_supplier_variety",
+    # bucket-key change in r3; rows-only but re-witness anyway
+    "dedup_minhash_lsh",
+    # new in round 4
+    "multimodal_image_dims",
+    "minhash_band_agreement",
+    "ann_recall_probe",
+    "quality_lang_matrix",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promo_part_suppliers",
+    "bpe_token_count",
+    "url_domain_stats",
+    "dedup_url_canonical",
+    "embedding_norm_qa",
+    "window_cume_ntile",
+    "events_user_funnel",
+    "orders_fill_rate_asof",
+)
+
+#: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query
+#: window) — their current code already has a fresh witness, so they sort
+#: last; the r1/r2-era remainder goes in between.
+_R3_GREEN = frozenset({
     "train_val_test_split", "pack_sequences", "window_range_moving_avg",
-    # new in round 3
     "q10_returned_revenue", "q12_priority_by_returnflag",
     "q14_promo_revenue_pct", "q18_large_volume_customers",
     "window_lead_lag_delta", "doc_repetition_ratio", "label_centroid_cosine",
-    "q9_profit_by_nation_year", "top_bigrams", "multimodal_frame_sample",
-    "skew_salted_rollup", "q4_order_priority_check",
-    "q13_customer_order_histogram", "q19_disjunctive_revenue",
-    "q22_dormant_high_balance", "batch_session_windows",
-    "embedding_neardup_ivf", "range_join_clicks_near_purchase",
-    "q17_small_quantity_revenue", "q8_market_share",
-    "dedup_filtered_corpus", "q21_waiting_supplier",
+    "q9_profit_by_nation_year", "top_bigrams", "skew_salted_rollup",
+    "q4_order_priority_check", "q13_customer_order_histogram",
+    "q19_disjunctive_revenue", "q22_dormant_high_balance",
+    "batch_session_windows", "embedding_neardup_ivf",
+    "range_join_clicks_near_purchase", "q17_small_quantity_revenue",
+    "q8_market_share", "dedup_filtered_corpus", "q21_waiting_supplier",
     "dedup_containment_pairs", "split_contamination_audit",
-    "pack_sequences_ffd", "null_semantics_probe",
-    # skipped by the 50-query windows of rounds 1-2
-    "distinct_users_per_type", "scalar_string_math", "scalar_date_json",
-    "pivot_event_matrix", "grouping_sets_explicit", "percentiles_by_type",
-    "correlated_max_order", "udaf_geomean_value", "udtf_explode_props",
-    "approx_percentiles_by_type", "grouped_zscore", "approx_distinct_users",
-    "array_functions", "hypertable_rollup_5min", "sessionize_events",
-    "gapfill_minutely",
-)
+    "pack_sequences_ffd", "null_semantics_probe", "distinct_users_per_type",
+    "scalar_string_math", "scalar_date_json", "pivot_event_matrix",
+    "grouping_sets_explicit", "percentiles_by_type", "correlated_max_order",
+    "udaf_geomean_value", "udtf_explode_props", "approx_percentiles_by_type",
+    "grouped_zscore", "approx_distinct_users", "array_functions",
+    "hypertable_rollup_5min", "sessionize_events", "gapfill_minutely",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_clusters_lsh",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     reg = _registry()
-    ordered = [n for n in _NEVER_CHECKED_FIRST if n in reg]
-    ordered += [n for n in reg if n not in _NEVER_CHECKED_FIRST]
+    ordered = [n for n in _RECHECK_FIRST if n in reg]
+    ordered += [
+        n for n in reg if n not in _RECHECK_FIRST and n not in _R3_GREEN
+    ]
+    ordered += [n for n in reg if n in _R3_GREEN and n not in _RECHECK_FIRST]
     return {name: reg[name].fn for name in ordered}
 
 

@@ -183,10 +183,15 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
-    tf: one shuffle on (doc, term); df: one shuffle on term (the vocabulary
-    aggregate is broadcast back — vocabularies are small relative to the
-    corpus); idf smoothed as ln((1+N)/(1+df)). Deterministic tie-break on
-    the term string. Returns (id, term, tfidf, rank).
+    tf: one shuffle on (doc, term); df: one shuffle on term. The tf⋈df
+    join is deliberately UNHINTED: the vocabulary of a web-scale corpus is
+    unbounded (URLs, typos, numbers — billions of distinct tokens at
+    100 TB), so a broadcast hint would force an OOM-sized broadcast. Both
+    sides are already partitioned on ``w`` from their aggregates, so the
+    join needs no extra shuffle; AQE still converts it to broadcast while
+    the vocabulary is actually small. idf smoothed as ln((1+N)/(1+df)).
+    Deterministic tie-break on the term string. Returns
+    (id, term, tfidf, rank).
 
     Fully lazy: N (the corpus size) is a 1-row aggregate cross-joined onto
     the scored terms — Spark broadcasts it (BroadcastNestedLoopJoin over a
@@ -203,7 +208,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.join(dfreq, "w")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf_raw",

@@ -932,7 +932,8 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST((off - 1) / 1024 AS INT) AS frame_no,
-               CAST(substring(text, CAST(off AS INT), 16) AS BLOB) AS frame
+               hex(CAST(substring(text, CAST(off AS INT), 16) AS BLOB))
+                   AS frame_hex
         FROM o
     """,
     description="Deterministic frame sampling over opaque binary payloads "
@@ -941,14 +942,20 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-checkable). Pure Column expressions: offsets from sequence(), "
     "slices from substring() on BinaryType, posexplode for the frame index "
     "— only sampled bytes survive the projection, nothing crosses into "
-    "Python. See operators/multimodal.py for the real-decoder seam.",
+    "Python. The frame bytes are hex-encoded at the output edge: binary "
+    "columns crash pandas-based result canonicalizers (bytearray is "
+    "unhashable), and hex carries identical information. See "
+    "operators/multimodal.py for the real-decoder seam.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = multimodal.as_binary_payload(
         load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
     )
-    return multimodal.sample_frames(
+    frames = multimodal.sample_frames(
         docs, id_col="doc_id", every_n_bytes=1024, frame_bytes=16
+    )
+    return frames.select(
+        "doc_id", "frame_no", F.hex("frame").alias("frame_hex")
     )
 
 

@@ -277,9 +277,11 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Supplier variety per (brand, size) for parts never ordered "
     "in near-max quantity (TPC-H Q16 shape): a distinct aggregate (two-"
-    "phase expand + partial agg) on top of a broadcast LEFT ANTI join — "
-    "the exclusion list is an aggregate subquery, small, so the anti probe "
-    "never shuffles the part table.",
+    "phase expand + partial agg) on top of a LEFT ANTI join. The exclusion "
+    "list is UNHINTED: distinct high-quantity partkeys scale with the part "
+    "table, so a broadcast hint would force an unbounded broadcast at "
+    "100 TB — AQE broadcasts while it measures small and falls back to a "
+    "shuffled anti join at scale (plan-gated).",
 )
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -288,7 +290,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("x_partkey")
     ).distinct()
     kept = p.join(
-        F.broadcast(excluded), p.p_partkey == F.col("x_partkey"), "left_anti"
+        excluded, p.p_partkey == F.col("x_partkey"), "left_anti"
     )
     return (
         l.join(kept, l.l_partkey == kept.p_partkey)

@@ -125,6 +125,21 @@ def main() -> int:
                 f"oracle emits arrow-hostile types ({', '.join(hazards)}) — "
                 "CAST to BIGINT/DOUBLE"
             )
+        # Binary output is the same driver-only-crash class: the driver
+        # canonicalizes through pandas sort_values, which cannot factorize
+        # bytearray (r3: multimodal_frame_sample crashed its comparator).
+        # _norm() here hexes bytes so it would false-pass locally — fail
+        # loudly instead: hex() at the query's output edge on both sides.
+        bin_hazards = [
+            f"spark:{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if "binary" in f.dataType.simpleString()
+        ] + [f"oracle:{c}:{t}" for c, t in zip(dcols, dtypes) if t == "BLOB"]
+        if bin_hazards:
+            problems.append(
+                f"binary output columns ({', '.join(bin_hazards)}) crash "
+                "the driver's pandas comparator — hex() them on both sides"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
