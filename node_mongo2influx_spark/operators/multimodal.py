@@ -128,3 +128,110 @@ def sample_frames(
             F.transform(offsets, lambda off: F.substring(F.col("payload"), off, frame_bytes))
         ).alias("frame_no", "frame"),
     )
+
+# ---------------------------------------------------------------------------
+# Codec-free image header parsing (PNG IHDR / JPEG SOF) — pure Column byte
+# arithmetic over BinaryType. A genuine multimodal capability that needs no
+# codec library: container formats put dimensions at documented offsets
+# (PNG: IHDR width/height at bytes 17-24 big-endian; JPEG: a marker-segment
+# walk to the first SOFn frame header). Runs fully inside whole-stage
+# codegen — no payload byte ever crosses into Python.
+# ---------------------------------------------------------------------------
+
+#: PNG signature (8 bytes) as uppercase hex, per the PNG spec.
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def _be_uint(payload, pos, nbytes):
+    """Big-endian unsigned int read at 1-based byte offset ``pos`` —
+    hex() the slice, then base-16 -> base-10. Pure Column expression."""
+    return F.conv(F.hex(F.substring(payload, pos, nbytes)), 16, 10).cast("long")
+
+
+def image_dims(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_jpeg_segments: int = 16,
+) -> DataFrame:
+    """Parse (format, width, height) out of raw image bytes.
+
+    PNG: signature check, then IHDR width (bytes 17-20) / height (21-24),
+    both big-endian u32 — fixed offsets, two slice reads.
+
+    JPEG: SOI (FFD8), then a bounded marker-segment walk (APPn/DQT/DHT/COM
+    all carry a big-endian u16 length) until the first SOFn frame header
+    (FFC0-FFCF minus C4/C8/CC), whose payload is
+    [len:2][precision:1][height:2][width:2]. The walk is an ``aggregate``
+    over ``sequence(1, max_jpeg_segments)`` carrying (pos, w, h) in a
+    struct — an unrolled fixed-trip loop the optimizer folds into one
+    projection; headers deeper than ``max_jpeg_segments`` segments yield
+    NULL dims rather than an error.
+
+    Anything else parses as format='unknown' with NULL dims. All reads are
+    Column expressions (substring/hex/conv) — zero Python, zero shuffle;
+    at 100 TB this is a map-only pass whose scan can prune to the payload
+    and id columns.
+    """
+    p = F.col(payload_col)
+
+    is_png = F.hex(F.substring(p, 1, 8)) == _PNG_MAGIC_HEX
+    png_w = _be_uint(p, 17, 4)
+    png_h = _be_uint(p, 21, 4)
+
+    is_jpeg = F.hex(F.substring(p, 1, 2)) == "FFD8"
+
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, _i):
+        pos = acc["pos"].cast("int")
+        marker = _be_uint(p, pos + 1, 1)          # byte after the 0xFF
+        seg_len = _be_uint(p, pos + 2, 2)          # includes its own 2 bytes
+        is_sof = (
+            marker.between(0xC0, 0xCF)
+            & (marker != 0xC4) & (marker != 0xC8) & (marker != 0xCC)
+        )
+        done = acc["w"] > 0
+        return F.struct(
+            F.when(done | is_sof, acc["pos"])
+            .otherwise((pos + 2 + seg_len).cast("long"))
+            .alias("pos"),
+            F.when(done, acc["w"])
+            .when(is_sof, _be_uint(p, pos + 7, 2))
+            .otherwise(zero)
+            .alias("w"),
+            F.when(done, acc["h"])
+            .when(is_sof, _be_uint(p, pos + 5, 2))
+            .otherwise(zero)
+            .alias("h"),
+        )
+
+    jpeg_scan = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_jpeg_segments)),
+        F.struct(
+            F.lit(3).cast("long").alias("pos"),    # first marker after SOI
+            zero.alias("w"),
+            zero.alias("h"),
+        ),
+        _step,
+    )
+
+    width = (
+        F.when(is_png, png_w)
+        .when(is_jpeg & (jpeg_scan["w"] > 0), jpeg_scan["w"])
+        .cast("long")
+    )
+    height = (
+        F.when(is_png, png_h)
+        .when(is_jpeg & (jpeg_scan["h"] > 0), jpeg_scan["h"])
+        .cast("long")
+    )
+    fmt = (
+        F.when(is_png, "png").when(is_jpeg, "jpeg").otherwise("unknown")
+    )
+    return df.select(
+        F.col(id_col),
+        fmt.alias("fmt"),
+        width.alias("width"),
+        height.alias("height"),
+    )

@@ -638,6 +638,51 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_meta(df, id_col="doc_id")
 
 
+@query(
+    "multimodal_image_dims",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+               CAST(16 + doc_id % 4081 AS BIGINT) AS width,
+               CAST(16 + (doc_id * 7) % 2033 AS BIGINT) AS height
+        FROM documents
+    """,
+    description="Codec-free image dimension extraction: PNG IHDR offsets / "
+    "JPEG SOF marker-segment walk as pure Column byte arithmetic over "
+    "BinaryType (operators/multimodal.py:image_dims). The fixture has no "
+    "image bytes, so the query synthesizes REAL container headers from "
+    "doc_id (even->PNG, odd->JPEG with a doc_id-dependent number of COM "
+    "filler segments, dims from doc_id formulas) and parses them back "
+    "with the generic parser; the oracle computes ground-truth dims "
+    "arithmetically, so any parser or construction bug mismatches. "
+    "Unit tests validate the parser on hand-built spec-correct headers "
+    "(tests/test_multimodal.py).",
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    w = (F.lit(16) + did % 4081).cast("long")
+    h = (F.lit(16) + (did * 7) % 2033).cast("long")
+
+    def be_hex(col, nbytes):  # fixed-width big-endian hex of an integer
+        return F.lpad(F.hex(col), 2 * nbytes, "0")
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be_hex(w, 4), be_hex(h, 4), F.lit("0806000000"),
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8" + "FFE00010" + "4A46494600010100000100010000"),
+        # 0-2 COM filler segments so the SOF walk depth varies per row
+        F.repeat(F.lit("FFFE000601020304"), (did % 3).cast("int")),
+        F.lit("FFC0000B08"), be_hex(h, 2), be_hex(w, 2), F.lit("01011100"),
+    )
+    payload = F.unhex(F.when(did % 2 == 0, png_hex).otherwise(jpeg_hex))
+    return multimodal.image_dims(
+        docs.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset splitting & deterministic sampling
 # ---------------------------------------------------------------------------

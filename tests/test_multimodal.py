@@ -54,3 +54,73 @@ def test_sample_frames(payloads):
     assert len(by_doc[1]) == 1  # tiny payload -> one frame
     assert len(by_doc[3]) == 5  # 5000 bytes / 1024 -> offsets 1,1025,...,4097
     assert all(len(bytes(r["frame"])) <= 16 for r in rows)
+
+
+# --- image_dims: real container-format headers, no codec needed ----------
+
+def _png(w: int, h: int) -> bytearray:
+    # signature + IHDR chunk (len, type, width, height, bit depth, color
+    # type, compression, filter, interlace) — crc omitted; the parser only
+    # reads the documented fixed offsets.
+    return bytearray(
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])
+    )
+
+
+def _jpeg(w: int, h: int, extra_segments: int = 2) -> bytearray:
+    # SOI, then APP0 (JFIF), then `extra_segments` dummy COM segments (so
+    # the marker walk is actually exercised), then SOF0 with the dims.
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for i in range(extra_segments):
+        body = bytes([i]) * 5
+        out += b"\xff\xfe" + (2 + len(body)).to_bytes(2, "big") + body
+    out += (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    return out
+
+
+def test_image_dims_parses_png_and_jpeg_headers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _png(640, 480)),
+            (2, _jpeg(1920, 1080)),
+            (3, _jpeg(33000, 2, extra_segments=8)),  # width > int16
+            (4, bytearray(b"not an image at all")),
+            (5, _png(1, 1)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.image_dims(df).collect()}
+    assert (rows[1]["fmt"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["fmt"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 1920, 1080)
+    assert (rows[3]["fmt"], rows[3]["width"], rows[3]["height"]) == ("jpeg", 33000, 2)
+    assert rows[4]["fmt"] == "unknown"
+    assert rows[4]["width"] is None and rows[4]["height"] is None
+    assert (rows[5]["width"], rows[5]["height"]) == (1, 1)
+
+
+def test_image_dims_jpeg_segment_cap_yields_null_not_error(spark):
+    deep = _jpeg(10, 10, extra_segments=40)  # beyond max_jpeg_segments
+    df = spark.createDataFrame([(1, bytearray(deep))], "doc_id long, payload binary")
+    row = multimodal.image_dims(df, max_jpeg_segments=16).collect()[0]
+    assert row["fmt"] == "jpeg"
+    assert row["width"] is None and row["height"] is None
+
+
+def test_image_dims_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, _png(2, 2))], "doc_id long, payload binary")
+    plan = multimodal.image_dims(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
