@@ -111,12 +111,18 @@ def cosine_pairs(
 
 
 def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
-    """Embedding dimensionality: prefer the caller-supplied value (parquet
-    schemas don't encode array length); fall back to a single-row size probe
-    — a driver action, so pass ``dim`` explicitly in composed pipelines."""
+    """Embedding dimensionality. Parquet schemas don't encode array
+    length, and probing a row (`first()`) would run an eager Spark job in
+    the middle of composing an otherwise-lazy pipeline — so the caller
+    must supply ``dim``. Raising here (instead of silently probing) keeps
+    'build the DataFrame' job-free, which tests/test_similarity.py gates."""
     if dim is not None:
         return dim
-    return df.select(F.size(vec_col)).first()[0]
+    raise ValueError(
+        f"dim is required: array column {vec_col!r} does not carry its "
+        "length in the schema, and probing a row would trigger an eager "
+        "Spark job during plan composition. Pass dim= explicitly."
+    )
 
 
 def _srp_planes(n_tables: int, n_planes: int, dim: int, seed: int):
@@ -396,21 +402,27 @@ def kmeans_centroids(
     n_cells: int = 16,
     n_iters: int = 3,
     dim: int | None = None,
-    train_fraction: float = 0.1,
-    min_train_rows: int | None = None,
+    train_rows: int | None = None,
+    train_fraction: float | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids for IVF coarse quantization (unit rows).
 
     Distributed Lloyd iterations, sized for the 100 TB corpus:
 
-    * **Sampled training.** The quantizer trains on a deterministic
-      hash-sample — ``train_fraction`` of rows, floored at
-      ``min_train_rows`` (default ``64 · n_cells``) so small corpora still
-      see enough rows per cell. A coarse quantizer needs the density
-      shape, not every row; at scale each Lloyd pass touches ~10% of the
-      data instead of all of it. The cutoff is a salted xxhash64 on the
-      id, so the sample (and therefore the centroids) is identical across
-      runs and engines.
+    * **Sampled training, no corpus count.** A coarse quantizer needs the
+      density shape, not every row — and it must not run a full-corpus
+      ``count()`` just to size its sample (that's an extra 100 TB scan).
+      Two count-free paths:
+
+      - ``train_rows`` (default ``64 · n_cells``): deterministic top-k by
+        a salted xxhash64 of the id — exactly ``min(total, train_rows)``
+        rows from one partial-top-k pass, identical across runs/engines.
+      - ``train_fraction``: a salted-hash cutoff (the scale path when the
+        caller wants sample size to track corpus size); no floor is
+        applied, so tiny corpora should use ``train_rows`` instead.
+
+      The train sample is cached for the Lloyd iterations and unpersisted
+      before returning.
     * **Fused assign + partial-sum kernel.** Each iteration is ONE Arrow
       pass: the kernel matmul-assigns its batch to cells and accumulates
       per-cell (count, Σvec) locally, emitting one partial row per
@@ -429,42 +441,37 @@ def kmeans_centroids(
     base = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
-    train = base
-    if train_fraction < 1.0:
-        floor_rows = (
-            min_train_rows if min_train_rows is not None else 64 * n_cells
+    salted = F.xxhash64(F.col("vid").cast("string"), F.lit("km-train"))
+    if train_fraction is not None:
+        cut = int(train_fraction * 1_000_000)
+        train = base.where(F.pmod(salted, F.lit(1_000_000)) < cut)
+    else:
+        target = train_rows if train_rows is not None else 64 * n_cells
+        train = base.orderBy(salted).limit(target)
+    train = train.cache()
+    try:
+        init_rows = (
+            train.orderBy(F.xxhash64(F.col("vid").cast("string")))
+            .limit(n_cells)
+            .collect()
         )
-        total = base.count()
-        frac = min(1.0, max(train_fraction, floor_rows / max(total, 1)))
-        if frac < 1.0:
-            cut = int(frac * 1_000_000)
-            train = base.where(
-                F.pmod(
-                    F.xxhash64(F.col("vid").cast("string"), F.lit("km-train")),
-                    F.lit(1_000_000),
-                )
-                < cut
-            )
-    init_rows = (
-        train.orderBy(F.xxhash64(F.col("vid").cast("string")))
-        .limit(n_cells)
-        .collect()
-    )
-    cents = np.asarray([r["vec"] for r in init_rows], dtype=np.float64)
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        cents = np.asarray([r["vec"] for r in init_rows], dtype=np.float64)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    for _ in range(n_iters):
-        sums = np.zeros_like(cents)
-        counts = np.zeros(len(cents), dtype=np.int64)
-        for row in _cell_partial_sums(train, cents).collect():
-            sums[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
-            counts[row["cell"]] += row["n"]
-        for cell in np.nonzero(counts)[0]:
-            v = sums[cell]
-            n = np.linalg.norm(v)
-            if n > 1e-12:
-                cents[cell] = v / n
-        # empty cells keep their previous centroid (stable, deterministic)
+        for _ in range(n_iters):
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            for row in _cell_partial_sums(train, cents).collect():
+                sums[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+                counts[row["cell"]] += row["n"]
+            for cell in np.nonzero(counts)[0]:
+                v = sums[cell]
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[cell] = v / n
+            # empty cells keep their previous centroid (stable, deterministic)
+    finally:
+        train.unpersist()
     return cents
 
 

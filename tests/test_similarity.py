@@ -47,7 +47,7 @@ def test_lsh_recall_vs_bruteforce(emb):
     k = 10
     queries = emb.where("vec_id < 10")
     exact = similarity.knn_cosine(emb, queries, k=k).collect()
-    approx = similarity.knn_cosine_lsh(emb, queries, k=k, n_planes=8).collect()
+    approx = similarity.knn_cosine_lsh(emb, queries, k=k, n_planes=8, dim=64).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -100,7 +100,7 @@ def test_cosine_pairs_lsh_recall(emb):
     }
     approx = {
         (r["vec_a"], r["vec_b"])
-        for r in similarity.cosine_pairs_lsh(emb, threshold=0.4).collect()
+        for r in similarity.cosine_pairs_lsh(emb, threshold=0.4, dim=64).collect()
     }
     assert approx <= exact  # candidates are scored exactly: no false accepts
     if exact:
@@ -132,3 +132,43 @@ def test_cosine_pairs_ivf_recall(emb):
     assert approx <= exact  # exact scoring on candidates: no false accepts
     if exact:
         assert len(approx & exact) / len(exact) >= 0.5, (len(approx), len(exact))
+
+
+def test_building_similarity_plans_triggers_zero_jobs(spark, emb):
+    # Composing the LSH / brute-force operators must stay lazy: no eager
+    # driver action (count/first) mid-build. Jobs run under a dedicated
+    # job group would show up in the status tracker; assert none do.
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-probe", "building similarity plans must run no jobs")
+    try:
+        queries = emb.where("vec_id < 3")
+        similarity.knn_cosine(emb, queries, k=5)
+        similarity.knn_cosine_lsh(emb, queries, k=5, n_planes=8, dim=64)
+        similarity.cosine_pairs_lsh(emb, threshold=0.4, dim=64)
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"plan composition ran Spark jobs: {jobs}"
+
+
+def test_dim_is_required_not_probed(emb):
+    # A silent first()-probe for the vector width would be a hidden eager
+    # job; the library refuses instead.
+    with pytest.raises(ValueError, match="dim is required"):
+        similarity.knn_cosine_lsh(emb, emb.where("vec_id < 3"), k=5)
+
+
+def test_kmeans_trains_without_corpus_count(spark, emb):
+    # Sizing the training sample must not scan the corpus for an exact
+    # count() — the sample is a deterministic top-k by salted hash (or a
+    # caller-supplied fraction cutoff). The job total for a 2-iter run is
+    # bounded: init top-k (1) + 2 Lloyd passes; a count() regression adds
+    # a full extra scan job. Assert the budget stays lean.
+    sc = spark.sparkContext
+    sc.setJobGroup("km-jobs", "kmeans job budget")
+    try:
+        similarity.kmeans_centroids(emb, n_cells=8, n_iters=2, dim=64)
+        jobs = sc.statusTracker().getJobIdsForGroup("km-jobs")
+    finally:
+        sc.setJobGroup("", "")
+    assert len(jobs) <= 3, f"kmeans ran {len(jobs)} jobs — count() crept back in?"
