@@ -125,19 +125,34 @@ class ParquetSink(Sink):
         ``parquet_compat.read_parquet`` partial) so the sink stays
         session-free.
         """
+        import shutil
+
         target = self.path / series
+        tmp = target.with_name(target.name + "__compact_tmp")
+        old = target.with_name(target.name + "__compact_old")
+        # recover from a prior crashed run: a leftover __compact_old means
+        # the swap completed but cleanup didn't (drop it); a leftover
+        # __compact_tmp is an unfinished rewrite (drop and redo).
+        if old.exists():
+            if not target.exists():
+                old.rename(target)  # crashed between swap steps: restore
+            else:
+                shutil.rmtree(old)
+        if tmp.exists():
+            shutil.rmtree(tmp)
         files = [p for p in target.rglob("*.parquet") if p.is_file()]
         total = sum(p.stat().st_size for p in files)
         n_out = max(1, -(-total // target_file_bytes))
         df = df_reader(str(target))
-        tmp = target.with_name(target.name + "__compact_tmp")
         writer = df.coalesce(int(n_out)).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(str(tmp))
-        # swap: atomic-enough on one FS; on object stores use a manifest
-        import shutil
-
-        shutil.rmtree(target)
+        # swap via rename-aside: the series is only ever missing between
+        # two renames (never between a delete and a rename), and a crash
+        # at any point is recoverable from the markers above. On object
+        # stores use a manifest instead.
+        target.rename(old)
         tmp.rename(target)
+        shutil.rmtree(old)
         return len([p for p in target.rglob("*.parquet") if p.is_file()])

@@ -17,7 +17,9 @@ Python Data Source API (Spark 4):
   schemaless rows flow through the same way — a truthy `time` is the only
   structural requirement, applied later by TransformSpec).
 * **Schema** comes from ``schema(...)`` on the reader or is inferred from
-  the first document of the first file (driver-side, one line read).
+  a sample of leading documents (first ``_SCHEMA_SAMPLE_LINES`` non-blank
+  lines of the first file — union of keys; conflicting types widen to
+  string, the schemaless-safe choice).
 
 Usage::
 
@@ -45,6 +47,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
@@ -52,6 +55,11 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+#: Leading non-blank lines of the first spool file examined by schema
+#: inference. Sparse/optional fields are routine in mongoexport dumps —
+#: one document is not a schema.
+_SCHEMA_SAMPLE_LINES = 100
 
 
 def _decode_extended(v):
@@ -74,19 +82,28 @@ def _decode_extended(v):
     return v
 
 
-def _infer_field(name: str, v) -> StructField:
+def _infer_type(v) -> DataType:
     v = _decode_extended(v)
     if isinstance(v, bool):
-        t = StringType()  # keep rare booleans as strings (schemaless source)
-    elif isinstance(v, int):
-        t = LongType()
-    elif isinstance(v, float):
-        t = DoubleType()
-    elif isinstance(v, datetime):
-        t = TimestampType()
-    else:
-        t = StringType()
-    return StructField(name, t, nullable=True)
+        return StringType()  # keep rare booleans as strings (schemaless source)
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, datetime):
+        return TimestampType()
+    return StringType()
+
+
+def _coerce(v, dtype: DataType):
+    """The ONE value-shaping rule, shared by row building AND pushed-filter
+    evaluation. Divergence here is silent row loss: Spark does not
+    re-apply filters a source accepted in pushFilters, so the filter must
+    see exactly the value the row would carry."""
+    v = _decode_extended(v)
+    if v is not None and isinstance(dtype, StringType) and not isinstance(v, str):
+        v = json.dumps(v)
+    return v
 
 
 class MongoSpoolDataSource(DataSource):
@@ -108,11 +125,52 @@ class MongoSpoolDataSource(DataSource):
         return files
 
     def schema(self) -> StructType:
+        """Infer from a sample: union of keys over the first
+        ``_SCHEMA_SAMPLE_LINES`` non-blank documents of the first file;
+        the first non-null occurrence types a field, a later conflicting
+        type widens it to string. `.schema(...)` on the reader overrides
+        inference entirely (the right call for production dumps)."""
         first = self._files()[0]
+        names: list[str] = []  # insertion order = column order
+        types: dict[str, DataType | None] = {}
+        n_docs = 0
         with open(first, "r", encoding="utf-8") as fh:
-            line = fh.readline()
-        doc = json.loads(line)
-        return StructType([_infer_field(k, v) for k, v in doc.items()])
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    raise ValueError(
+                        f"spool file {first} line {n_docs + 1} is not valid "
+                        f"JSON: {exc}"
+                    ) from exc
+                n_docs += 1
+                for k, v in doc.items():
+                    if k not in types:
+                        names.append(k)
+                        types[k] = None
+                    t = None if v is None else _infer_type(v)
+                    if t is None:
+                        continue
+                    if types[k] is None:
+                        types[k] = t
+                    elif type(types[k]) is not type(t):
+                        types[k] = StringType()  # mixed types: widen
+                if n_docs >= _SCHEMA_SAMPLE_LINES:
+                    break
+        if n_docs == 0:
+            raise ValueError(
+                f"cannot infer schema: spool file {first} has no documents "
+                "(pass an explicit .schema(...) or remove the empty file)"
+            )
+        return StructType(
+            [
+                StructField(k, types[k] or StringType(), nullable=True)
+                for k in names
+            ]
+        )
 
     def reader(self, schema: StructType) -> "MongoSpoolReader":
         return MongoSpoolReader(self._files(), schema)
@@ -131,35 +189,71 @@ _PUSHABLE = {
     LessThanOrEqual: lambda v, x: v <= x,
 }
 
+#: Python types a filter constant may have per declared column type for
+#: the comparison to be well-defined against a _coerce()d value. A filter
+#: whose constant doesn't fit is NOT pushed (yielded back to Spark) —
+#: never evaluated approximately.
+_COMPARABLE = {
+    StringType: (str,),
+    LongType: (int, float),
+    DoubleType: (int, float),
+    TimestampType: (datetime,),
+}
+
 
 class MongoSpoolReader(DataSourceReader):
     def __init__(self, files: list[str], schema: StructType) -> None:
         self.files = files
         self.schema = schema
         self.fields = [(f.name, f.dataType) for f in schema.fields]
+        self._dtypes = {f.name: f.dataType for f in schema.fields}
         self._pushed: list = []
 
     def pushFilters(self, filters: list[Filter]):
         """Accept flat comparison filters — rows failing them never leave
         the source (the custom-source half of predicate pushdown). Spark
-        re-applies anything we yield back as unsupported."""
+        re-applies anything we yield back as unsupported.
+
+        A filter is pushed ONLY when we can evaluate it exactly as Spark
+        would see the built row: known column, known dtype, and a filter
+        constant whose type is comparable with that dtype. Anything else
+        goes back to Spark — approximate evaluation here silently loses
+        rows, because Spark trusts accepted filters and never re-checks
+        them (spark.sql.python.filterPushdown)."""
         for f in filters:
             kind = type(f)
-            if kind in _PUSHABLE and len(f.attribute) == 1:
-                self._pushed.append((f.attribute[0], _PUSHABLE[kind], f.value))
-            else:
+            if kind not in _PUSHABLE or len(f.attribute) != 1:
                 yield f
+                continue
+            name = f.attribute[0]
+            dtype = self._dtypes.get(name)
+            ok_types = _COMPARABLE.get(type(dtype))
+            if (
+                ok_types is None
+                or not isinstance(f.value, ok_types)
+                or isinstance(f.value, bool)
+            ):
+                yield f
+                continue
+            self._pushed.append((name, dtype, _PUSHABLE[kind], f.value))
 
     def _keep(self, doc: dict) -> bool:
-        for name, op, want in self._pushed:
-            v = _decode_extended(doc.get(name))
+        for name, dtype, op, want in self._pushed:
+            # coerce with the SAME rule row building uses, so mixed-type
+            # schemaless values (e.g. int 5 in a string column -> "5")
+            # compare against what Spark will actually see
+            v = _coerce(doc.get(name), dtype)
             if v is None:
-                return False
+                return False  # NULL never satisfies a comparison
             try:
                 if not op(v, want):
                     return False
             except TypeError:
-                return False
+                # value is incomparable even after coercion (malformed doc
+                # for a non-string column). Keep the row: Spark surfaces
+                # the row-conversion error instead of us silently eating
+                # the document.
+                return True
         return True
 
     def partitions(self):
@@ -171,30 +265,66 @@ class MongoSpoolReader(DataSourceReader):
         yield from _read_file(partition.value, self.fields, self._keep)
 
 
+def _rows_from_lines(lines: Iterator[str], fields, keep=None) -> Iterator[tuple]:
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        doc = json.loads(line)
+        if keep is not None and not keep(doc):
+            continue
+        yield tuple(_coerce(doc.get(name), dtype) for name, dtype in fields)
+
+
 def _read_file(path: str, fields, keep=None) -> Iterator[tuple]:
     with open(path, "r", encoding="utf-8") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            doc = json.loads(line)
-            if keep is not None and not keep(doc):
-                continue
-            row = []
-            for name, dtype in fields:
-                v = _decode_extended(doc.get(name))
-                if v is not None and isinstance(dtype, StringType):
-                    v = v if isinstance(v, str) else json.dumps(v)
-                row.append(v)
-            yield tuple(row)
+        yield from _rows_from_lines(fh, fields, keep)
+
+
+def _complete_prefix_len(path: str) -> int:
+    """Byte length of the newline-terminated prefix of ``path`` right now.
+    A producer may be mid-append; bytes after the last newline are a
+    partial document and belong to a later batch."""
+    p = pathlib.Path(path)
+    size = p.stat().st_size
+    if size == 0:
+        return 0
+    with open(path, "rb") as fh:
+        # scan back from the end for the last newline (tail is small)
+        back = min(size, 1 << 16)
+        while True:
+            fh.seek(size - back)
+            tail = fh.read(back)
+            nl = tail.rfind(b"\n")
+            if nl >= 0:
+                return size - back + nl + 1
+            if back == size:
+                return 0  # no newline at all: nothing complete yet
+            back = min(size, back * 2)
+
+
+def _read_byte_range(path: str, start: int, end: int, fields) -> list[tuple]:
+    if end <= start:
+        return []
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        blob = fh.read(end - start)
+    lines = blob.decode("utf-8").splitlines()
+    return list(_rows_from_lines(iter(lines), fields))
 
 
 class MongoSpoolStreamReader(SimpleDataSourceStreamReader):
-    """Streaming tail of a spool directory: the offset is the sorted list
-    of files already delivered; each micro-batch reads exactly the files
-    that appeared since (mongoexport writes a file then moves on, so
-    file-granularity delivery is append-only and replayable — the offset
-    log replays the same file set after a crash)."""
+    """Streaming tail of a spool directory. The offset maps each file to
+    the number of bytes already delivered (newline-aligned), so
+
+    * a file listed while still being appended to keeps delivering: later
+      batches pick up bytes past the recorded size;
+    * crash replay (``readBetweenOffsets``) re-reads exactly the byte
+      ranges of the original batch — not whatever the files contain now —
+      which is what makes the offsets genuinely replayable;
+    * a partially-written last line is never delivered: delivery stops at
+      the last newline seen at listing time.
+    """
 
     def __init__(self, path: str, schema: StructType) -> None:
         self.path = pathlib.Path(path)
@@ -208,24 +338,41 @@ class MongoSpoolStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"sizes": {}}
+
+    @staticmethod
+    def _sizes(offset: dict) -> dict[str, int]:
+        if "sizes" in offset:
+            return dict(offset["sizes"])
+        # legacy file-set offsets (pre-(file,size)): treat listed files as
+        # fully delivered at their current complete length
+        return {
+            f: _complete_prefix_len(f)
+            for f in offset.get("seen", [])
+            if pathlib.Path(f).exists()
+        }
 
     def read(self, start: dict):
-        seen = set(start.get("seen", []))
-        new = [f for f in self._all_files() if f not in seen]
-        rows = []
-        for f in new:
-            rows.extend(_read_file(f, self.fields))
-        end = {"seen": sorted(seen | set(new))}
-        return (iter(rows), end)
+        done = self._sizes(start)
+        rows: list[tuple] = []
+        end_sizes = dict(done)
+        for f in self._all_files():
+            upto = _complete_prefix_len(f)
+            already = done.get(f, 0)
+            if upto > already:
+                rows.extend(_read_byte_range(f, already, upto, self.fields))
+                end_sizes[f] = upto
+        return (iter(rows), {"sizes": end_sizes})
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # replay: exactly the files in end but not in start
-        files = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
-        rows = []
-        for f in files:
-            rows.extend(_read_file(f, self.fields))
+        # replay: exactly the byte ranges the original batch covered
+        a, b = self._sizes(start), self._sizes(end)
+        rows: list[tuple] = []
+        for f in sorted(b):
+            lo, hi = a.get(f, 0), b[f]
+            if hi > lo:
+                rows.extend(_read_byte_range(f, lo, hi, self.fields))
         return iter(rows)
 
     def commit(self, end: dict) -> None:
-        pass  # file set is the offset; nothing to clean up
+        pass  # byte-range offsets are self-contained; nothing to clean up

@@ -169,3 +169,35 @@ def test_retention_sweep_drops_only_expired_partitions(engine, sf_dir, tmp_path)
     assert back_days == days[2:]
     expect = e.where(F.col("day") >= cutoff).count()
     assert back.count() == expect
+
+
+def test_compact_recovers_from_crashed_prior_run(engine, sf_dir, tmp_path):
+    # A crash can leave __compact_tmp (rewrite unfinished) or __compact_old
+    # (swap done, cleanup not) — and in the worst interleaving the series
+    # dir missing with only __compact_old present. compact() must recover
+    # all three without losing rows.
+    import shutil
+
+    spark = engine.spark
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    sink = ParquetSink(str(tmp_path / "crash"))
+    sink.write(e, "events")
+    target = tmp_path / "crash" / "events"
+    n = spark.read.parquet(str(target)).count()
+
+    # stale tmp from an unfinished rewrite
+    tmp = target.with_name("events__compact_tmp")
+    tmp.mkdir()
+    (tmp / "junk.parquet").write_bytes(b"not parquet")
+    sink.compact(lambda p: spark.read.parquet(p), "events")
+    assert not tmp.exists()
+    assert spark.read.parquet(str(target)).count() == n
+
+    # crash between the two swap renames: only __compact_old exists
+    old = target.with_name("events__compact_old")
+    target.rename(old)
+    sink.compact(lambda p: spark.read.parquet(p), "events")
+    assert not old.exists()
+    assert spark.read.parquet(str(target)).count() == n

@@ -226,3 +226,126 @@ def test_mongospool_stream_reader_tails_new_files(spark, tmp_path):
         assert (got["n"], got["d"], got["s"]) == (80, 80, sum(range(80)))
     finally:
         q.stop()
+
+
+def test_mongospool_pushdown_mixed_type_values(spark, tmp_path):
+    # Schemaless collections routinely mix types per key. The pushed
+    # filter must compare against the COERCED value (what Spark sees in
+    # the built row), not the raw decoded JSON value — Spark never
+    # re-applies filters the source accepted, so a divergence silently
+    # loses rows.
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"k": "x"}) + "\n")   # schema infers k: string
+        fh.write(json.dumps({"k": 5}) + "\n")     # int in a string column
+        fh.write(json.dumps({"k": None}) + "\n")
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(d)).load()
+    # unfiltered read stringifies the 5
+    assert sorted(r["k"] for r in df.collect() if r["k"] is not None) == ["5", "x"]
+    # the filter must see "5" too
+    assert [r["k"] for r in df.where("k = '5'").collect()] == ["5"]
+    assert [r["k"] for r in df.where("k >= 'x'").collect()] == ["x"]
+
+
+def test_mongospool_pushdown_rejects_incomparable_constants(tmp_path):
+    # A filter whose constant can't compare against the column dtype is
+    # yielded back to Spark, never evaluated approximately.
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import (
+        MongoSpoolReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    f = tmp_path / "x.jsonl"
+    f.write_text(json.dumps({"k": 1}) + "\n")
+    schema = StructType([StructField("k", LongType())])
+    r = MongoSpoolReader([str(f)], schema)
+    returned = list(r.pushFilters([EqualTo(("k",), "not-a-number"),
+                                   EqualTo(("missing",), 1),
+                                   EqualTo(("k",), 1)]))
+    # string-vs-long and unknown-column filters bounce; the int one sticks
+    assert len(returned) == 2
+    assert len(r._pushed) == 1
+
+
+def test_mongospool_schema_sampled_beyond_first_line(spark, tmp_path):
+    # Sparse fields appearing only in later documents must still get
+    # columns (round-3 inferred from line 1 only).
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    d = tmp_path / "sparse"
+    d.mkdir()
+    with open(d / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"a": 1}) + "\n")
+        fh.write("\n")  # blank lines are skipped, not fatal
+        fh.write(json.dumps({"a": 2, "b": "later", "c": 1.5}) + "\n")
+        fh.write(json.dumps({"a": "mixed"}) + "\n")  # widens a to string
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(d)).load()
+    assert [f.name for f in df.schema.fields] == ["a", "b", "c"]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"a": "string", "b": "string", "c": "double"}
+    rows = df.collect()
+    assert len(rows) == 3
+
+
+def test_mongospool_schema_empty_file_clear_error(tmp_path):
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n\n")
+    src = MongoSpoolDataSource(options={"path": str(d)})
+    try:
+        src.schema()
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "cannot infer schema" in str(exc)
+
+
+def test_mongospool_stream_offsets_track_file_growth(tmp_path):
+    # A file listed while still being appended to must keep delivering its
+    # later lines, and replay must reproduce the original batch's byte
+    # ranges — not the file's current content.
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import (
+        MongoSpoolStreamReader,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = tmp_path / "grow"
+    d.mkdir()
+    f = d / "a.jsonl"
+    schema = StructType([StructField("k", LongType())])
+    rdr = MongoSpoolStreamReader(str(d), schema)
+
+    with open(f, "w") as fh:
+        fh.write(json.dumps({"k": 1}) + "\n")
+        fh.write(json.dumps({"k": 2}) + "\n")
+        fh.write('{"k": 3')  # partial line: producer mid-append
+    o0 = rdr.initialOffset()
+    rows1, o1 = rdr.read(o0)
+    assert [r[0] for r in rows1] == [1, 2]  # partial tail withheld
+
+    with open(f, "a") as fh:
+        fh.write("}\n")
+        fh.write(json.dumps({"k": 4}) + "\n")
+    rows2, o2 = rdr.read(o1)
+    assert [r[0] for r in rows2] == [3, 4]  # appended lines delivered
+
+    # crash replay of batch 1 returns batch 1, even though the file grew
+    replay = list(rdr.readBetweenOffsets(o0, o1))
+    assert [r[0] for r in replay] == [1, 2]
+    replay2 = list(rdr.readBetweenOffsets(o1, o2))
+    assert [r[0] for r in replay2] == [3, 4]
