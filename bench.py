@@ -40,6 +40,17 @@ HEADLINE = (
     "doc_fingerprint",
 )
 
+#: Extended set (round 4+): the heaviest round-3 additions, benchmarked
+#: separately so the headline series stays comparable across rounds.
+EXTENDED = (
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "dedup_filtered_corpus",
+    "split_contamination_audit",
+    "batch_session_windows",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -58,24 +69,33 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    times: dict[str, float] = {}
-    mins: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = reg[name].fn
-        runs = []
-        # median of 3: local[32] wall-clock jitters ±30% under OS noise;
-        # the median is robust to a single noisy run in either direction,
-        # so round-over-round comparisons track real plan changes. The min
-        # (steady-state floor) is reported alongside.
-        for _ in range(3):
-            t0 = time.monotonic()
-            df = fn(spark, SF_DIR)
-            # Full materialization without driver transfer for big results.
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.monotonic() - t0)
-        times[name] = round(sorted(runs)[1], 3)
-        mins[name] = round(min(runs), 3)
-        print(f"# {name}: median {times[name]}s min {mins[name]}s", file=sys.stderr)
+
+    def run_set(names):
+        times: dict[str, float] = {}
+        mins: dict[str, float] = {}
+        for name in names:
+            fn = reg[name].fn
+            runs = []
+            # median of 3: local[32] wall-clock jitters ±30% under OS
+            # noise; the median is robust to a single noisy run in either
+            # direction, so round-over-round comparisons track real plan
+            # changes. The min (steady-state floor) is reported alongside.
+            for _ in range(3):
+                t0 = time.monotonic()
+                df = fn(spark, SF_DIR)
+                # Full materialization, no driver transfer for big results.
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.monotonic() - t0)
+            times[name] = round(sorted(runs)[1], 3)
+            mins[name] = round(min(runs), 3)
+            print(
+                f"# {name}: median {times[name]}s min {mins[name]}s",
+                file=sys.stderr,
+            )
+        return times, mins
+
+    times, mins = run_set(HEADLINE)
+    ext_times, ext_mins = run_set(EXTENDED)
 
     total = round(sum(times.values()), 3)
     print(
@@ -87,6 +107,9 @@ def main() -> None:
                 "queries": times,
                 "queries_min": mins,
                 "min_total": round(sum(mins.values()), 3),
+                "extended": ext_times,
+                "extended_min": ext_mins,
+                "extended_total": round(sum(ext_times.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -172,3 +172,42 @@ def test_kmeans_trains_without_corpus_count(spark, emb):
     finally:
         sc.setJobGroup("", "")
     assert len(jobs) <= 3, f"kmeans ran {len(jobs)} jobs — count() crept back in?"
+
+
+def test_lsh_and_ivf_recall_at_bench_scale(spark):
+    # The registered ANN parameters must hold recall >= 0.7 at the scale
+    # the driver actually benches (sf0.1, 5000 vectors), not just on the
+    # 500-vector test fixture — parameter choices that overfit tiny data
+    # (bucket counts, probe widths) fail here. ~15s; runs in the normal
+    # suite (budgeted by the streaming suite precedent).
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixtures not present")
+    emb = load(spark, sf01, "embeddings")
+    k = 10
+    queries = emb.where("vec_id < 10")
+    exact = similarity.knn_cosine(emb, queries, k=k).collect()
+
+    # same parameters as the registered queries (plans/llm_ops.py)
+    lsh = similarity.knn_cosine_lsh(
+        emb, queries, k=k, n_planes=8, seed=42, dim=64
+    ).collect()
+    ivf = similarity.knn_cosine_ivf(
+        emb, queries, k=k, n_cells=16, n_probe=8, dim=64
+    ).collect()
+
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for name, approx in (("lsh", lsh), ("ivf", ivf)):
+        approx_sets: dict[int, set] = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / k
+            for q in exact_sets
+        ]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.7, f"{name} recall {mean:.2f} at sf0.1"
