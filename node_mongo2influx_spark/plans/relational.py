@@ -1777,3 +1777,337 @@ def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_value_with_props"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the remaining TPC-H shapes (no partsupp table in the fixtures —
+# the supply relation is derived from lineitem, which preserves each
+# query's operator shape: correlated min join-back (q2), share-of-total
+# HAVING (q11), nested semi-join chain over aggregates (q20))
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               round(ps.cost, 4) AS cost
+        FROM supply ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        JOIN part p     ON p.p_partkey = ps.l_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size = 10 AND p.p_type = 'STANDARD'
+          AND ps.cost = (
+              SELECT min(ps2.cost) FROM supply ps2
+              JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+              JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+              JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+              WHERE r2.r_name = 'EUROPE' AND ps2.l_partkey = ps.l_partkey
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    description="Minimum-cost supplier (TPC-H Q2 shape; the supply "
+    "relation is min unit price per (part, supplier) derived from "
+    "lineitem). The correlated min DECORRELATES into one per-part "
+    "aggregate joined back — one extra shuffle keyed on partkey instead "
+    "of a per-row subquery. region/nation broadcast; supplier/part joins "
+    "unhinted (AQE); min() is order-independent so the double equality "
+    "is engine-safe (no summation involved). Top-100 via "
+    "TakeOrderedAndProject.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    euro_supply = (
+        supply.join(s, supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = euro_supply.groupBy("l_partkey").agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        euro_supply.join(min_cost, "l_partkey")
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(
+            p.where((F.col("p_size") == 10) & (F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == p.p_partkey,
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("cost", 4).alias("cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+        WITH v AS (
+            SELECT l.l_partkey AS p_partkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS value_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY 1
+        )
+        SELECT p_partkey,
+               CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+        FROM v
+        WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT)
+                                    FROM v)
+    """,
+    description="Important stock (TPC-H Q11 shape): per-part supplied "
+    "value from one nation's suppliers, kept when above 0.1% of the "
+    "nation's total — a grouped aggregate HAVING against a scalar "
+    "subquery over itself. The threshold compares EXACT integer cents "
+    "(value_cents*1000 > total_cents): a double sum would order-depend "
+    "at the boundary across engines. The scalar total joins back as a "
+    "1-row broadcast; nation broadcast, supplier join unhinted.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    v = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "p_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("stock_value"),
+        )
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    oracle="""
+        WITH q AS (
+            SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l.l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+              )
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT l_partkey, sum(qty) AS total_qty FROM q GROUP BY 1
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+        FROM q
+        JOIN tot ON q.l_partkey = tot.l_partkey
+        JOIN supplier s ON q.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE q.qty * 10 > tot.total_qty * 3
+    """,
+    description="Dominant promo-part suppliers (TPC-H Q20 shape): "
+    "suppliers holding >30% of a 'small%' part's 1997 volume — a "
+    "name-filtered semi-join into a per-(part,supplier) aggregate, "
+    "compared against the per-part total (aggregate-of-aggregate joined "
+    "back on partkey, same partitioning reused), then DISTINCT supplier "
+    "identity. Quantities are integer-valued doubles, so their sums are "
+    "exact and the share comparison is engine-safe without rounding. "
+    "The part-name filter pushes into the lineitem semi-join probe.",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    promo = p.where(F.col("p_name").like("small%")).select("p_partkey")
+    q = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(promo, l.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = q.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    return (
+        q.join(tot, "l_partkey")
+        .where(F.col("qty") * 10 > F.col("total_qty") * 3)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@query(
+    "window_cume_ntile",
+    oracle="""
+        SELECT event_id, event_type,
+               round(cume_dist() OVER w, 6)    AS cume,
+               ntile(10) OVER w                AS decile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    description="Distribution window functions (cume_dist / ntile / "
+    "percent_rank) in one window pass. The ORDER BY is a total order "
+    "(value, event_id) so ntile bucket boundaries are deterministic "
+    "across engines. One shuffle on event_type; the three functions "
+    "share a single Window node.",
+)
+def window_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "events_user_funnel",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CASE
+                 WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click THEN 'purchased'
+                 WHEN t_view IS NOT NULL AND t_click > t_view THEN 'clicked'
+                 WHEN t_view IS NOT NULL THEN 'viewed'
+                 ELSE 'none'
+               END AS stage,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM stages GROUP BY 1
+    """,
+    description="Ordered funnel (view -> click -> purchase): one grouped "
+    "pass builds per-user first-touch timestamps as conditional mins (no "
+    "self-joins, no window — the n-stage funnel is n conditional "
+    "aggregates in ONE shuffle on user_id), then stage classification is "
+    "a CASE over timestamp ordering. NULL comparisons fall through the "
+    "CASE identically in both engines. At 100 TB this is the canonical "
+    "funnel plan: no per-stage scan, no event-to-event join.",
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            "purchased",
+        )
+        .when(
+            F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+            "clicked",
+        )
+        .when(F.col("t_view").isNotNull(), "viewed")
+        .otherwise("none")
+    )
+    return stages.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
+    "orders_fill_rate_asof",
+    oracle="""
+        WITH per_order AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   date_diff('day', o.o_orderdate, min(l.l_shipdate))
+                       AS days_to_first,
+                   sum(CASE WHEN l.l_shipdate <= o.o_orderdate
+                                 + INTERVAL 30 DAY THEN 1 ELSE 0 END)
+                       AS filled30,
+                   count(*) AS n_lines
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(days_to_first), 4) AS avg_days_to_first_ship,
+               round(CAST(sum(filled30) AS DOUBLE)
+                     / CAST(sum(n_lines) AS DOUBLE), 6) AS fill_rate_30d
+        FROM per_order GROUP BY 1
+    """,
+    description="Order fill analysis: per order, the as-of gap to its "
+    "FIRST shipment (min l_shipdate vs o_orderdate) and the fraction of "
+    "lines shipped within 30 days, rolled up per priority. The fill rate "
+    "is a ratio of exact integer sums (sum(filled)/sum(lines)), not an "
+    "avg of per-order doubles — avg-of-ratios is order-dependent across "
+    "engines AND statistically wrong (it over-weights small orders). "
+    "One fact-fact shuffle on orderkey, then a tiny rollup.",
+)
+def orders_fill_rate_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("filled30"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumn(
+            "days_to_first", F.datediff("first_ship", "o_orderdate")
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_round(F.avg("days_to_first"), 4).alias("avg_days_to_first_ship"),
+        F.round(
+            F.sum("filled30").cast("double") / F.sum("n_lines").cast("double"),
+            6,
+        ).alias("fill_rate_30d"),
+    )
