@@ -57,7 +57,7 @@ _RECHECK_FIRST = (
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_promo_part_suppliers",
-    "bpe_token_count",
+    "bpe_merge_pair_stats",
     "url_domain_stats",
     "dedup_url_canonical",
     "embedding_norm_qa",

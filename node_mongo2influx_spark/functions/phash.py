@@ -52,3 +52,66 @@ def cutoff32(fraction: float) -> int:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return int(fraction * HASH_SPACE)
+
+
+# ---------------------------------------------------------------------------
+# Portable word-combine minhash (oracle tier of the MinHash pipeline).
+# Signature hash of a k-word shingle = FNV-1a of each word, folded with
+# multiply-by-prime — every intermediate < 2^56, exact in both engines'
+# 64-bit integer arithmetic. The production tier (operators/dedup.py)
+# keeps the Arrow xxhash kernel; this tier exists so band agreement is
+# bit-for-bit DuckDB-checkable.
+# ---------------------------------------------------------------------------
+
+def word_hashes_spark_sql(words_expr: str) -> str:
+    """Spark-SQL: FNV-1a of each word of an array<string> — computed ONCE
+    per document; every seed's minhash then derives from this array (the
+    chars are the expensive part, the seed only perturbs the fold)."""
+    return (
+        f"transform({words_expr}, wd -> "
+        f"aggregate(transform(sequence(1, length(wd)), "
+        f"p -> cast(ascii(substring(wd, p, 1)) as bigint)), "
+        f"cast({FNV_BASIS} as bigint), "
+        f"(a, x) -> ((a ^ x) * {FNV_PRIME}) & 4294967295))"
+    )
+
+
+def word_hashes_duckdb_sql(words_expr: str) -> str:
+    """DuckDB twin of :func:`word_hashes_spark_sql`."""
+    return (
+        f"list_transform({words_expr}, wd -> "
+        f"list_reduce(list_prepend(CAST({FNV_BASIS} AS BIGINT), "
+        f"list_transform(generate_series(1, length(wd)), "
+        f"p -> CAST(ord(substr(wd, p, 1)) AS BIGINT))), "
+        f"(a, x) -> (xor(a, x) * {FNV_PRIME}) & 4294967295))"
+    )
+
+
+def _shingle_fold(items: list, seed: int) -> str:
+    """Seeded multiply-prime fold over k word hashes; every intermediate
+    < 2^56, masked back to 32 bits each step — exact in both engines."""
+    acc = f"CAST({(FNV_BASIS + seed) & 0xFFFFFFFF} AS BIGINT)"
+    for it in items:
+        acc = f"((({acc}) * {FNV_PRIME} + {it}) & 4294967295)"
+    return acc
+
+
+def minhash_words_spark_sql(wh_expr: str, seed: int, k: int = 3) -> str:
+    """Spark-SQL: min over k-word shingles of the seeded shingle hash,
+    given ``wh_expr`` — the per-word hash array from
+    :func:`word_hashes_spark_sql` (0-based bracket indexing)."""
+    fold = _shingle_fold([f"{wh_expr}[i + {j}]" for j in range(k)], seed)
+    return (
+        f"array_min(transform(sequence(0, size({wh_expr}) - {k}), "
+        f"i -> {fold}))"
+    )
+
+
+def minhash_words_duckdb_sql(wh_expr: str, seed: int, k: int = 3) -> str:
+    """DuckDB twin of :func:`minhash_words_spark_sql` (1-based lists, so
+    the shingle window shifts by one)."""
+    fold = _shingle_fold([f"{wh_expr}[i + {j}]" for j in range(k)], seed)
+    return (
+        f"list_min(list_transform(generate_series(1, len({wh_expr}) - {k - 1}), "
+        f"i -> {fold}))"
+    )

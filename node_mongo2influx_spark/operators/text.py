@@ -240,3 +240,40 @@ def fingerprint(
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("shard_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the dedup key for web-crawl corpora. Pure
+# regexp_replace chain (RE2-compatible patterns, so the same rules run in
+# DuckDB for the oracle): scheme dropped, host lowercased, leading www.
+# stripped, query string / fragment dropped, trailing slash trimmed.
+# ---------------------------------------------------------------------------
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for exact dedup. Column-only — runs inside
+    whole-stage codegen, the right shape for a per-row map at 100 TB."""
+    u = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")  # scheme
+    u = F.regexp_replace(u, r"[?#].*$", "")                         # query/frag
+    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(u, r"^[^/]*(/.*)?$", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(host, path)
+
+
+def canonical_url_duckdb_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (same regexes, same order)."""
+    u = f"regexp_replace({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    u = f"regexp_replace({u}, '[?#].*$', '')"
+    host = f"regexp_replace(lower(regexp_extract({u}, '^([^/]*)', 1)), '^www\\.', '')"
+    path = f"regexp_replace(regexp_extract({u}, '^[^/]*(/.*)?$', 1), '/+$', '')"
+    return f"({host} || {path})"
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-ish domain: last two labels of the canonical host.
+    (A real pipeline uses the public-suffix list; two labels is the
+    deterministic, dependency-free stand-in and is exact for .com-style
+    hosts, which the synthesized fixture URLs are.)"""
+    host = F.regexp_extract(canonical_url(url), r"^([^/]*)", 1)
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)

@@ -1215,3 +1215,541 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(
         toks, ctx_len=2048, n_buckets=16, size_ordered=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: portable-minhash band agreement, self-auditing ANN recall,
+# quality matrix, BPE merge statistics, URL canonicalization, embedding QA
+# ---------------------------------------------------------------------------
+from node_mongo2influx_spark.functions import phash as _phash
+
+
+def _minhash_band_oracle() -> str:
+    words = "string_split(lower(text), ' ')"
+    sigs = ",\n                   ".join(
+        f"{_phash.minhash_words_duckdb_sql('wh', seed)} AS h{seed}"
+        for seed in range(4)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, {sigs}
+            FROM (SELECT doc_id,
+                         {_phash.word_hashes_duckdb_sql(words)} AS wh
+                  FROM documents) d
+            WHERE len(wh) >= 3
+        )
+        SELECT 0 AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT 1 AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "minhash_band_agreement",
+    oracle=_minhash_band_oracle(),
+    description="Bit-for-bit oracle tier of MinHash LSH: 4 portable "
+    "FNV-fold minhashes over 3-word shingles (functions/phash.py "
+    "generates BOTH engines' SQL from one template, so they cannot "
+    "drift), banded 2x2, candidate pairs = band equi-join. The "
+    "production tier (dedup_minhash_lsh) keeps the faster xxhash Arrow "
+    "kernel and is recall-gated; THIS query proves the banding algebra "
+    "itself against DuckDB exactly. Same plan shape: signature map pass, "
+    "then equi-joins on band keys — never an all-pairs comparison.",
+)
+def minhash_band_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # Hash each word ONCE on the scalar (codegen) path via explode, then
+    # reassemble the per-doc hash array ordered by position. Computing the
+    # word-hash array inline would be recomputed per shingle: Catalyst
+    # inlines projections into higher-order-function lambdas, and HOFs run
+    # interpreted — measured 2-8x slower. The groupBy shuffle carries one
+    # 8-byte hash per token (the tf-idf shuffle class, fine at scale).
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "wd"),
+    ).select(
+        "doc_id", "pos", F.expr(_phash.fnv1a32_spark_sql("wd")).alias("wh1")
+    )
+    sig = (
+        words.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "wh1"))),
+                lambda s: s["wh1"],
+            ).alias("wh")
+        )
+        .where(F.expr("size(wh) >= 3"))
+    )
+    sig = sig.select(
+        "doc_id",
+        *[
+            F.expr(_phash.minhash_words_spark_sql("wh", seed)).alias(f"h{seed}")
+            for seed in range(4)
+        ],
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    band0 = (
+        a.join(
+            b,
+            (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.lit(0).alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    band1 = (
+        a.join(
+            b,
+            (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.h3") == F.col("b.h3"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.lit(1).alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    return band0.unionAll(band1)
+
+
+@query(
+    "ann_recall_probe",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cell, emb FROM e WHERE vec_id < 16),
+        assigned AS (
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.emb, c.emb)
+                                    / sqrt(list_dot_product(c.emb, c.emb)) DESC,
+                                    c.cell
+                       ) AS rn
+                FROM e v CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.emb, v.emb)
+                                    / (sqrt(list_dot_product(q.emb, q.emb))
+                                       * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM e q JOIN e v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 10
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.emb, v.emb)
+                                    / (sqrt(list_dot_product(q.emb, q.emb))
+                                       * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM assigned q
+                JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 10
+        )
+        SELECT e.query_id,
+               round(CAST(count(a.neighbor_id) AS DOUBLE) / 10.0, 2) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    description="Self-auditing ANN recall with a FULL oracle: a "
+    "deterministic single-cell IVF (centroids = the first 16 vectors, "
+    "argmax-cosine assignment with index tie-break) whose top-10 is "
+    "compared against the exact top-10 INSIDE the query, yielding "
+    "per-query recall@10. Both engines compute identical IEEE doubles, "
+    "so the ranking — and therefore the recall — matches bit-for-bit. "
+    "This is the harness shape for monitoring recall of the production "
+    "LSH/IVF tiers on a live corpus (swap the candidate CTE).",
+)
+def ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = similarity._dot
+    cents = emb.where("vec_id < 16").select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("cemb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        (dot(F.col("emb"), F.col("cemb"))
+         / F.sqrt(dot(F.col("cemb"), F.col("cemb")))).desc(),
+        "cell",
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select("vec_id", "emb", "cell")
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        cos = dot(F.col("qemb"), F.col("vemb")) / (
+            F.sqrt(dot(F.col("qemb"), F.col("qemb")))
+            * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            cos.desc(), "neighbor_id"
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 10")
+            .select("query_id", "neighbor_id")
+        )
+
+    q_exact = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("vemb")
+    )
+    exact = topk(
+        F.broadcast(q_exact).join(
+            corpus, F.col("neighbor_id") != F.col("query_id")
+        )
+    )
+    q_approx = assigned.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        "cell",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("vemb"),
+        F.col("cell").alias("vcell"),
+    )
+    approx = topk(
+        F.broadcast(q_approx).join(
+            cand,
+            (F.col("vcell") == F.col("cell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+    )
+    approx_r = approx.select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    return (
+        exact.join(
+            approx_r,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("a_neighbor").cast("double") / 10.0, 2).alias(
+                "recall"
+            )
+        )
+    )
+
+
+@query(
+    "quality_lang_matrix",
+    oracle="""
+        SELECT lang,
+               CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+                    WHEN len(string_split(text, ' ')) < 100 THEN 'medium'
+                    ELSE 'long' END AS size_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               round(CAST(sum(length(text)
+                              - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+                          AS DOUBLE)
+                     / CAST(sum(length(text)) AS DOUBLE), 6) AS non_alpha_rate,
+               round(CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ('the','a','of','to','and','in','is','it'))))
+                          AS DOUBLE)
+                     / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+                   AS stopword_rate
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    description="Corpus quality matrix per (language, size bucket): doc "
+    "and token counts plus corpus-level non-alpha and stopword rates. "
+    "The rates are RATIOS OF EXACT INTEGER SUMS (chars, marker hits), "
+    "not averages of per-doc doubles — avg-of-ratios order-depends "
+    "across engines and over-weights short documents. Stopword set "
+    "shared with operators/text.py's quality features. One map pass + "
+    "one small shuffle.",
+)
+def quality_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_chars = F.length("text")
+    n_non_alpha = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")
+    )
+    n_stop = text._marker_count("text", text.QUALITY_STOPWORDS)
+    bucket = (
+        F.when(n_tokens < 50, "short")
+        .when(n_tokens < 100, "medium")
+        .otherwise("long")
+    )
+    return (
+        docs.groupBy(F.col("lang"), bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+            F.round(
+                F.sum(n_non_alpha).cast("double")
+                / F.sum(n_chars).cast("double"),
+                6,
+            ).alias("non_alpha_rate"),
+            F.round(
+                F.sum(n_stop).cast("double")
+                / F.sum(n_tokens).cast("double"),
+                6,
+            ).alias("stopword_rate"),
+        )
+    )
+
+
+@query(
+    "bpe_merge_pair_stats",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, length(w) - 1),
+                       i -> substr(w, i, 2))) AS pair
+            FROM words WHERE length(w) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 40
+    """,
+    description="BPE vocabulary training, step 1: corpus-wide adjacent "
+    "character-pair frequencies within words — the statistic every merge "
+    "round of byte-pair encoding maximizes. Two explodes (words, then "
+    "in-word pairs) feeding one count shuffle keyed on the pair; top-40 "
+    "via TakeOrderedAndProject with a total order (count desc, pair). "
+    "At 100 TB the pair space is <= 256^2 after the shuffle — the heavy "
+    "side stays map-local partial counts.",
+)
+def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    pairs = (
+        docs.select(w)
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, 2),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(40)
+    )
+
+
+#: Synthesized messy URL for a document — the fixture has no URL column,
+#: so both engines derive one deterministically from (source, doc_id):
+#: scheme / www. / host case / trailing slash / query-string variants all
+#: keyed off doc_id so the canonicalizer has real work to do, and the
+#: path collides on doc_id % 97 so canonical dedup finds real duplicates.
+_URL_SPARK = (
+    "concat("
+    "  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,"
+    "  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,"
+    "  CASE WHEN doc_id % 7 = 0 THEN upper(concat(source, '.com'))"
+    "       ELSE concat(source, '.com') END,"
+    "  '/p/', cast(doc_id % 97 AS string),"
+    "  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+    "  CASE WHEN doc_id % 5 = 0 THEN '?utm=x&ref=feed' ELSE '' END"
+    ")"
+)
+_URL_DUCK = (
+    "("
+    "  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||"
+    "  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||"
+    "  CASE WHEN doc_id % 7 = 0 THEN upper(source || '.com')"
+    "       ELSE source || '.com' END ||"
+    "  '/p/' || CAST(doc_id % 97 AS VARCHAR) ||"
+    "  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||"
+    "  CASE WHEN doc_id % 5 = 0 THEN '?utm=x&ref=feed' ELSE '' END"
+    ")"
+)
+
+
+def _url_stats_oracle() -> str:
+    canon = text.canonical_url_duckdb_sql("url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, n_chars, {_URL_DUCK} AS url FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_chars, {canon} AS curl,
+                   regexp_extract(regexp_extract({canon}, '^([^/]*)', 1),
+                                  '([^.]+\\.[^.]+)$', 1) AS domain
+            FROM u
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM c GROUP BY domain
+    """
+
+
+@query(
+    "url_domain_stats",
+    oracle=_url_stats_oracle(),
+    description="Per-domain corpus stats through the URL canonicalizer "
+    "(operators/text.py:canonical_url — scheme/case/www/query/slash "
+    "normalization as a pure regexp chain, same patterns run in DuckDB): "
+    "docs, distinct canonical URLs, total chars per registrable domain. "
+    "The per-row canonicalization is whole-stage-codegen map work; the "
+    "only shuffle is the final small rollup keyed on domain.",
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SPARK)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            text.canonical_url(F.col("url")).alias("curl"),
+            text.url_domain(F.col("url")).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("curl").alias("n_canonical"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _url_dedup_oracle() -> str:
+    canon = text.canonical_url_duckdb_sql("url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {_URL_DUCK} AS url FROM documents
+        ),
+        c AS (SELECT doc_id, {canon} AS canonical_url FROM u)
+        SELECT min(doc_id) AS doc_id, canonical_url,
+               CAST(count(*) AS BIGINT) AS n_dupes
+        FROM c GROUP BY canonical_url
+    """
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=_url_dedup_oracle(),
+    description="URL-level dedup, the cheapest dedup tier of a crawl "
+    "pipeline (before any content hashing): canonicalize, keep min "
+    "doc_id per canonical URL, report the duplicate multiplicity. "
+    "Exactly the exact-dedup plan shape — one shuffle keyed on the "
+    "canonical URL — with the canonicalizer fused into the map side.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SPARK)
+    )
+    return (
+        docs.select(
+            "doc_id", text.canonical_url(F.col("url")).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("doc_id", "canonical_url", "n_dupes")
+    )
+
+
+@query(
+    "embedding_norm_qa",
+    oracle="""
+        WITH n AS (
+            SELECT label,
+                   CAST(round(sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x)),
+                       (a, b) -> a + b)) * 100000) AS BIGINT) AS norm_micro
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(min(norm_micro) AS DOUBLE) / 100000.0, 5) AS min_norm,
+               round(CAST(max(norm_micro) AS DOUBLE) / 100000.0, 5) AS max_norm,
+               round(CAST(sum(norm_micro) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 100000.0, 5) AS avg_norm,
+               CAST(sum(CASE WHEN abs(norm_micro - 100000) > 10000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
+        FROM n GROUP BY label
+    """,
+    description="Embedding QA per label: L2-norm min/max/avg and the "
+    "count of far-from-unit vectors (the standard pre-index sanity "
+    "check). Per-vector norms are LEFT FOLDS in both engines (aggregate "
+    "vs list_reduce — identical IEEE operation sequence, so identical "
+    "doubles), then quantized to integer micro-units so every aggregate "
+    "is exact integer arithmetic; only the final display division is "
+    "floating. One map pass + one tiny shuffle on label.",
+)
+def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    norm_micro = F.round(F.sqrt(sumsq) * 100000).cast("long")
+    n = emb.select("label", norm_micro.alias("norm_micro"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("norm_micro").cast("double") / 100000.0, 5).alias(
+            "min_norm"
+        ),
+        F.round(F.max("norm_micro").cast("double") / 100000.0, 5).alias(
+            "max_norm"
+        ),
+        F.round(
+            F.sum("norm_micro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100000.0,
+            5,
+        ).alias("avg_norm"),
+        F.sum(
+            F.when(F.abs(F.col("norm_micro") - 100000) > 10000, 1).otherwise(0)
+        ).alias("n_nonunit"),
+    )
