@@ -50,6 +50,13 @@ _RECHECK_FIRST = (
     # bucket-key change in r3; rows-only but re-witness anyway
     "dedup_minhash_lsh",
     # new in round 4
+    "doc_chunk_overlap",
+    "training_order_shuffle",
+    "corpus_segment_dedup",
+    "dedup_incremental_delta",
+    "cooccurrence_topk",
+    "doc_char_entropy",
+    "pii_redaction_stats",
     "multimodal_image_dims",
     "minhash_band_agreement",
     "ann_recall_probe",

@@ -508,3 +508,114 @@ def simhash(
         for i in range(n_bands)
     }
     return out.withColumns(bands)
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-corpus segment-level dedup (the CCNet/C4 boilerplate-removal
+    shape): chop every document into non-overlapping ``seg_words``-word
+    segments, count how many DISTINCT documents each exact segment occurs
+    in corpus-wide, drop segments that appear in more than ``max_docs``
+    documents (boilerplate — headers, footers, license blocks), and
+    reassemble each document from its surviving segments in order.
+
+    Scale shape: the only data-sized shuffles are (a) the segment
+    frequency groupBy and (b) the join back — both keyed on the segment.
+    At 100 TB key the two on ``xxhash64(seg)`` instead of the raw 10-word
+    text (8-byte exchange keys; 64-bit collisions are negligible) — the
+    oracle tier here joins on the raw segment so DuckDB can replay it
+    exactly. Reassembly is a per-document groupBy (collect surviving
+    (seg_no, seg), sort in-array, join) — state is one document's worth,
+    never a corpus-sized window.
+
+    Returns (id, n_segs, n_kept, clean_md5) — md5('') for documents that
+    were pure boilerplate.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_segs_c = F.ceil(F.size(ws).cast("double") / seg_words).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs_c - 1),
+        lambda i: F.struct(
+            i.alias("seg_no"),
+            F.array_join(
+                F.slice(ws, i * seg_words + 1, seg_words), " "
+            ).alias("seg"),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col), F.explode(segs).alias("s"))
+        .select(id_col, F.col("s.seg_no").alias("seg_no"), F.col("s.seg").alias("seg"))
+    )
+    counts = ex.groupBy("seg").agg(
+        F.count_distinct(F.col(id_col)).alias("nd")
+    )
+    kept = ex.join(counts.where(F.col("nd") <= max_docs), "seg")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                    lambda x: x.seg,
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    tot = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    return tot.join(agg, id_col, "left").select(
+        id_col,
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+def incremental_exact(
+    df: DataFrame,
+    is_delta: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: Column | None = None,
+) -> DataFrame:
+    """Incremental-ingest exact dedup: classify each NEW (delta) document
+    against the already-ingested base corpus — the shape every periodic
+    crawl refresh runs, where re-deduplicating 100 TB of history per
+    batch is off the table.
+
+    A delta document is ``dup_base`` if its content hash already exists
+    in the base, else ``dup_delta`` if another delta document with the
+    same hash has a smaller id (first occurrence wins inside the batch),
+    else ``new``. Cost is O(|delta| + |base fingerprints|): the base side
+    is reduced to DISTINCT 16-byte hashes before the join, the join and
+    the within-batch window both key on the hash, and nothing rescans
+    base text. The base-fingerprint table is what you'd persist between
+    ingests (bucketed by fp) so each increment joins co-located.
+
+    ``fingerprint`` overrides the dedup key (default: md5 of the full
+    text). Real pipelines usually hash a CANONICAL form — lowercased,
+    whitespace-collapsed, or just the normalized head of the document —
+    so trivially-perturbed copies still collide; pass that expression
+    here and the classification logic is unchanged.
+    """
+    from pyspark.sql import Window
+
+    fp = fingerprint if fingerprint is not None else F.md5(F.col(text_col))
+    base_fps = (
+        df.where(~is_delta).select(fp.alias("fp")).distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    delta = df.where(is_delta).select(F.col(id_col), fp.alias("fp"))
+    min_id = F.min(id_col).over(Window.partitionBy("fp"))
+    out = delta.withColumn("min_id", min_id).join(base_fps, "fp", "left")
+    status = (
+        F.when(F.col("in_base").isNotNull(), F.lit("dup_base"))
+        .when(F.col("min_id") != F.col(id_col), F.lit("dup_delta"))
+        .otherwise(F.lit("new"))
+    )
+    return out.select(F.col(id_col), status.alias("status"))

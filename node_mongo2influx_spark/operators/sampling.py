@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.functions.phash import (
+    HASH_SPACE,
     cutoff32,
     fnv1a32_spark_sql,
 )
@@ -161,3 +162,108 @@ def split_oracle_case_duckdb(
         acc += frac
         whens.append(f"WHEN {h} < {cutoff32(min(acc, 1.0))} THEN '{name}'")
     return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into fixed-size context windows with overlap.
+
+    The training-data chunking op: a document becomes ``ceil(n/stride)``
+    chunks of up to ``ctx`` words, each chunk starting ``stride`` words
+    after the previous (``ctx - stride`` words of overlap carry context
+    across chunk boundaries — the standard sliding-window layout for
+    models with a bounded context length). The reference's per-row
+    transform surface (index.js:234) has no analogue; this is pure
+    §2.12 extension.
+
+    Everything is per-row Column work — split, sequence of starts,
+    slice per start — so the operator runs inside whole-stage codegen
+    with ZERO shuffles and scales embarrassingly: 100 TB of documents
+    chunk at scan speed. The chunk text itself is emitted as an md5
+    fingerprint (chunk_md5) so the output stays narrow; swap the md5
+    for array_join(...) when the downstream wants the words.
+    """
+    if not 1 <= stride <= ctx:
+        raise ValueError(f"need 1 <= stride <= ctx, got stride={stride} ctx={ctx}")
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_no"),
+            F.slice(ws, s, ctx).alias("chunk_words"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return ex.select(
+        id_col,
+        F.col("c.chunk_no").cast("int").alias("chunk_no"),
+        F.size("c.chunk_words").alias("n_words"),
+        F.md5(F.array_join("c.chunk_words", " ")).alias("chunk_md5"),
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order permutation — WITHOUT a global
+    sort.
+
+    Training wants examples in a reproducible pseudo-random order. The
+    naive ``orderBy(hash)`` plans a range-partitioned global sort; fine,
+    but the position assignment (row_number over the whole corpus) would
+    need a single-partition window — the classic driver-shaped bottleneck.
+    Instead:
+
+    1. key  = portable 32-bit hash of (id, salt)  — the shuffle order;
+    2. bucket = key div (2^32 / n_buckets)  — a RANGE prefix of the key,
+       so (bucket, key, id) ordering == (key, id) ordering;
+    3. local rank per bucket (n_buckets-way parallel window);
+    4. bucket offsets = running sum over the n_buckets-row count table
+       (tiny — broadcast back);
+    5. pos = offset + local_rank - 1.
+
+    Every shuffle is n_buckets-way parallel; nothing single-partition
+    touches data-sized input. n_buckets must be a power of two (exact
+    integer bucket width). Grow it with the corpus; the permutation is
+    unchanged (bucket is derived from the key, not from n_buckets-
+    dependent arithmetic ... the WIDTH depends on n_buckets, but order
+    is by (key, id) regardless, so pos is n_buckets-invariant).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    width = HASH_SPACE // n_buckets
+    out = df.select(F.col(id_col), split_hash(id_col, salt).alias("h"))
+    out = out.withColumn("bucket", F.expr(f"h div {width}"))
+    local = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("h", id_col)
+    )
+    counts = out.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "off")
+    return (
+        out.withColumn("local", local)
+        .join(offs, "bucket")
+        .select(
+            id_col, (F.col("off") + F.col("local") - 1).alias("pos")
+        )
+    )

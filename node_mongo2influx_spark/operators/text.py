@@ -277,3 +277,135 @@ def url_domain(url: Column) -> Column:
     hosts, which the synthesized fixture URLs are.)"""
     host = F.regexp_extract(canonical_url(url), r"^([^/]*)", 1)
     return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide word co-occurrence counts (skip-gram window): every
+    unordered word pair within ``max_dist`` positions, counted across the
+    corpus, top-``k``. The classic co-occurrence-matrix build behind
+    GloVe-style embeddings and collocation mining.
+
+    Pair generation is a per-row JVM expression — a nested transform over
+    (distance, position) flattened into one array — so the only shuffle
+    is the pair-count aggregation (map-side combined) plus Spark's
+    TakeOrderedAndProject for the top-k: no self-joins, no window over
+    the corpus. Pairs are canonicalized (least, greatest) so 'a b' and
+    'b a' count together.
+    """
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(ws)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_dist)),
+            lambda d: F.transform(
+                F.when(n > d, F.sequence(F.lit(1), (n - d).cast("int")))
+                .otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    F.least(
+                        F.element_at(ws, i), F.element_at(ws, i + d)
+                    ).alias("w1"),
+                    F.greatest(
+                        F.element_at(ws, i), F.element_at(ws, i + d)
+                    ).alias("w2"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    cheap gibberish/compression-quality signal (very low entropy =
+    repeated filler, very high = random bytes or encoded junk).
+
+    ZERO-shuffle formulation (same pattern as the repetition-ratio
+    fold): sort the characters in-row, fold over runs accumulating
+    Σ count·log2(count), finish with log2(n) − Σ/n. Nothing explodes,
+    nothing aggregates across rows — the whole operator is one
+    whole-stage-codegen map over the corpus. Empty documents are
+    excluded (entropy undefined).
+    """
+    cs = F.array_sort(F.split(F.col(text_col), ""))
+    n = F.size(cs)
+    fold = F.aggregate(
+        cs,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, c: F.struct(
+            c.alias("prev"),
+            F.when(c == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                c == acc.prev, acc.s
+            ).otherwise(
+                acc.s
+                + F.when(
+                    acc.run > 0,
+                    acc.run.cast("double") * F.log2(acc.run.cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+        lambda acc: acc.s
+        + F.when(
+            acc.run > 0,
+            acc.run.cast("double") * F.log2(acc.run.cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return df.where(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.round(
+            F.log2(n.cast("double")) - fold / n.cast("double"), 6
+        ).alias("char_entropy"),
+    )
+
+
+#: PII patterns: (tag, regex, replacement). Regexes are written in the
+#: common subset of Java regex (Spark) and RE2 (DuckDB) — character
+#: classes, +/{n} quantifiers, no backrefs/lookarounds — so both engines
+#: match identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9]+@[a-z]+\.[a-z]+", "<EMAIL>"),
+    ("phone", r"\+1-555-[0-9]{4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Detect-and-redact PII spans: per-pattern match counts plus the
+    redacted text's fingerprint. Pure Column regex work (regexp_count /
+    regexp_replace — JVM codegen, corpus-parallel, no Python); patterns
+    apply in order, each over the previous pattern's output.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{tag}")
+        for tag, rx, _ in patterns
+    ]
+    red = F.col(text_col)
+    for _, rx, repl in patterns:
+        red = F.regexp_replace(red, rx, repl)
+    return df.select(
+        F.col(id_col), *counts, F.md5(red).alias("redacted_md5")
+    )

@@ -1753,3 +1753,297 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("norm_micro") - 100000) > 10000, 1).otherwise(0)
         ).alias("n_nonunit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking & training order (round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_chunk_overlap",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        s AS (
+            SELECT doc_id, words,
+                   unnest(range(1, len(words) + 1, 48)) AS st
+            FROM d
+        )
+        SELECT doc_id,
+               CAST((st - 1) // 48 AS INT) AS chunk_no,
+               CAST(len(list_slice(words, CAST(st AS INT),
+                                   CAST(st + 63 AS INT))) AS INT) AS n_words,
+               md5(array_to_string(list_slice(words, CAST(st AS INT),
+                                              CAST(st + 63 AS INT)), ' '))
+                   AS chunk_md5
+        FROM s
+    """,
+    description="Context-window chunking with overlap: each document "
+    "becomes sliding windows of 64 words at stride 48 (16 words of "
+    "overlap carry context across boundaries — the standard layout for "
+    "bounded-context training). Pure per-row Column work (split / "
+    "sequence-of-starts / slice): ZERO shuffles, chunks at scan speed at "
+    "any corpus size. Chunk text leaves as an md5 fingerprint so the "
+    "output stays narrow.",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.chunk_windows(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        ctx=64,
+        stride=48,
+    )
+
+
+def _shuffle_oracle() -> str:
+    from node_mongo2influx_spark.functions.phash import fnv1a32_duckdb_sql
+
+    h = fnv1a32_duckdb_sql("concat(CAST(doc_id AS VARCHAR), ':shuffle-v1')")
+    return f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {h}, doc_id) - 1 AS BIGINT)
+                   AS pos
+        FROM documents
+    """
+
+
+@query(
+    "training_order_shuffle",
+    oracle=_shuffle_oracle(),
+    description="Deterministic global training-order permutation WITHOUT "
+    "a global sort: portable 32-bit hash is the order key, a range-prefix "
+    "bucket (key div 2^32/64) keeps (bucket, key) ordering == key "
+    "ordering, rank is a per-bucket window (64-way parallel), and global "
+    "positions come from adding bucket offsets computed on the 64-row "
+    "count table (AQE broadcasts it back). No single-partition exchange "
+    "ever touches data-sized input — the oracle's row_number() OVER "
+    "(ORDER BY hash) IS that bottleneck and exists only on the DuckDB "
+    "side as the semantic spec.",
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.shuffle_order(
+        load(spark, sf_dir, "documents"), id_col="doc_id", salt="shuffle-v1"
+    )
+
+
+@query(
+    "corpus_segment_dedup",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, words,
+                   unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT)))
+                       AS seg_no
+            FROM d
+        ),
+        s AS (
+            SELECT doc_id, CAST(seg_no AS INT) AS seg_no,
+                   array_to_string(list_slice(words,
+                       CAST(seg_no * 10 + 1 AS INT),
+                       CAST(seg_no * 10 + 10 AS INT)), ' ') AS seg
+            FROM s0
+        ),
+        c AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg),
+        k AS (SELECT s.* FROM s JOIN c USING (seg) WHERE c.nd <= 1),
+        a AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(seg, ' ' ORDER BY seg_no)) AS clean_md5
+            FROM k GROUP BY doc_id
+        ),
+        t AS (SELECT doc_id, count(*) AS n_segs FROM s GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segs,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM t LEFT JOIN a USING (doc_id)
+    """,
+    description="Segment-level cross-corpus dedup (CCNet/C4 boilerplate "
+    "removal): 10-word segments, drop any segment occurring in more than "
+    "one distinct document corpus-wide, reassemble survivors in order "
+    "(md5 fingerprint of the cleaned text). Shuffles key on the segment "
+    "(at 100 TB: on xxhash64(seg) — 8-byte exchange keys; the oracle "
+    "tier keys on raw text so DuckDB replays it exactly); reassembly "
+    "state is one document, never a global window.",
+)
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.segment_dedup(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        seg_words=10,
+        max_docs=1,
+    )
+
+
+@query(
+    "dedup_incremental_delta",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 10), ' '))
+                       AS fp,
+                   doc_id % 4 = 3 AS is_delta
+            FROM documents
+        ),
+        base AS (SELECT DISTINCT fp FROM fp WHERE NOT is_delta),
+        delta AS (SELECT doc_id, fp FROM fp WHERE is_delta),
+        m AS (
+            SELECT doc_id, fp,
+                   min(doc_id) OVER (PARTITION BY fp) AS min_id
+            FROM delta
+        )
+        SELECT m.doc_id,
+               CASE WHEN base.fp IS NOT NULL THEN 'dup_base'
+                    WHEN m.min_id <> m.doc_id THEN 'dup_delta'
+                    ELSE 'new' END AS status
+        FROM m LEFT JOIN base ON m.fp = base.fp
+    """,
+    description="Incremental-ingest dedup: classify a new crawl batch "
+    "(delta = doc_id%4==3 stands in for the arriving increment) against "
+    "the already-ingested base — dup_base (fingerprint exists in "
+    "history), dup_delta (first occurrence wins within the batch), or "
+    "new. The dedup key is a CANONICAL fingerprint (md5 of the first 10 "
+    "words — the normalized-head hash real crawlers use so trivially "
+    "perturbed copies still collide; the fixture has no byte-exact dups "
+    "but 24 shared heads). O(|delta| + |base fingerprints|): base text "
+    "is never rescanned, the join moves DISTINCT 16-byte hashes, and "
+    "persisting that fingerprint table bucketed by fp makes every "
+    "future increment join co-located.",
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    head_fp = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    )
+    return dedup.incremental_exact(
+        load(spark, sf_dir, "documents"),
+        is_delta=F.pmod(F.col("doc_id"), F.lit(4)) == 3,
+        text_col="text",
+        id_col="doc_id",
+        fingerprint=head_fp,
+    )
+
+
+@query(
+    "cooccurrence_topk",
+    oracle="""
+        WITH d AS (
+            SELECT string_split(lower(text), ' ') AS w FROM documents
+        ),
+        i1 AS (
+            SELECT w, unnest(range(1, len(w))) AS i
+            FROM d WHERE len(w) >= 2
+        ),
+        i2 AS (
+            SELECT w, unnest(range(1, len(w) - 1)) AS i
+            FROM d WHERE len(w) >= 3
+        ),
+        p AS (
+            SELECT least(w[CAST(i AS INT)], w[CAST(i + 1 AS INT)]) AS w1,
+                   greatest(w[CAST(i AS INT)], w[CAST(i + 1 AS INT)]) AS w2
+            FROM i1
+            UNION ALL
+            SELECT least(w[CAST(i AS INT)], w[CAST(i + 2 AS INT)]),
+                   greatest(w[CAST(i AS INT)], w[CAST(i + 2 AS INT)])
+            FROM i2
+        )
+        SELECT w1, w2, count(*) AS n
+        FROM p GROUP BY w1, w2
+        ORDER BY n DESC, w1, w2 LIMIT 50
+    """,
+    description="Word co-occurrence top-50 (skip-gram window ±2): the "
+    "co-occurrence-matrix build behind GloVe-style embeddings and "
+    "collocation mining. Pair generation is one nested JVM transform "
+    "flattened per row (no self-join, no corpus window); the only "
+    "shuffle is the map-side-combined pair count; the top-k is "
+    "TakeOrderedAndProject. Pairs canonicalized (least, greatest).",
+)
+def cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.cooccurrence_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", max_dist=2, k=50
+    )
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents WHERE length(text) > 0
+        ),
+        cnt AS (
+            SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch,
+                   count(*) AS c
+            FROM pos GROUP BY doc_id, ch
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+                   sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id, round(log2(n) - s / n, 6) AS char_entropy
+        FROM tot
+    """,
+    description="Character-level Shannon entropy per document (bits/char) "
+    "— the cheap gibberish/filler signal. Spark side is a ZERO-SHUFFLE "
+    "per-row fold over the sorted characters (same pattern as the "
+    "repetition fold — no explode, no per-char groupBy, whole-stage "
+    "codegen end to end); the oracle is the classic explode + histogram "
+    "formulation, proving the fold computes the same quantity.",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.char_entropy(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call +1-555-'
+                        || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR),
+                                4, '0') AS text2
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2,
+                   '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text2,
+                   '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+               md5(regexp_replace(regexp_replace(text2,
+                   '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        FROM t
+    """,
+    description="PII detect-and-redact: per-pattern match counts (email, "
+    "phone) plus the redacted text's md5. The fixture corpus contains no "
+    "PII, so the query first decorates each document with a DETERMINISTIC "
+    "synthetic contact line derived from doc_id (same construction both "
+    "engines) — the redaction machinery (regexp_count / chained "
+    "regexp_replace, patterns written in the Java-regex ∩ RE2 subset) is "
+    "the deliverable. All JVM codegen; DuckDB needs the explicit 'g' "
+    "flag Spark applies implicitly.",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(
+            F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10000)).cast(
+                "string"
+            ),
+            4,
+            "0",
+        ),
+    )
+    return text.redact_pii(
+        docs.withColumn("text2", decorated), text_col="text2", id_col="doc_id"
+    )

@@ -96,3 +96,66 @@ def test_simhash_properties(docs):
     # band columns decompose the hash
     recomposed = sum(out[1][f"band{i}"] << (16 * i) for i in range(4))
     assert recomposed == out[1]["simhash"] & ((1 << 64) - 1)
+
+
+def test_segment_dedup_reassembly(spark):
+    import hashlib
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # shared 10-word segment
+    ua = " ".join(f"a{i}" for i in range(10))
+    ub = " ".join(f"c{i}" for i in range(7))  # short tail segment
+    df = spark.createDataFrame(
+        [(1, f"{boiler} {ua}"), (2, f"{boiler} {ub}")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedup(df, seg_words=10, max_docs=1).collect()
+    }
+    # both docs: 2 segments, boilerplate dropped, unique tail kept
+    for d, tail in ((1, ua), (2, ub)):
+        assert rows[d]["n_segs"] == 2
+        assert rows[d]["n_kept"] == 1
+        assert rows[d]["clean_md5"] == hashlib.md5(tail.encode()).hexdigest()
+
+
+def test_segment_dedup_all_boilerplate_doc(spark):
+    import hashlib
+
+    seg = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, seg), (2, seg)], "doc_id long, text string"
+    )
+    rows = dedup.segment_dedup(df, seg_words=10, max_docs=1).collect()
+    assert {r["n_kept"] for r in rows} == {0}
+    assert {r["clean_md5"] for r in rows} == {
+        hashlib.md5(b"").hexdigest()
+    }
+
+
+def test_incremental_exact_statuses(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "base text one"),
+            (2, "base text two"),
+            (10, "base text one"),   # delta, dup of base
+            (11, "fresh text"),      # delta, first occurrence
+            (12, "fresh text"),      # delta, dup within batch
+            (13, "unique text"),     # delta, new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_exact(
+            df, is_delta=F.col("doc_id") >= 10
+        ).collect()
+    }
+    assert out == {
+        10: "dup_base",
+        11: "new",
+        12: "dup_delta",
+        13: "new",
+    }

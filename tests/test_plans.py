@@ -284,3 +284,30 @@ def test_asof_join_no_cartesian(spark, sf_dir, reg):
     plan = _plan(reg["asof_join_last_order"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_zero_shuffle(spark, sf_dir, reg):
+    # Chunking is per-row work: split/sequence/slice + one Generate for
+    # the explode — any Exchange would mean it can't run at scan speed.
+    plan = _plan(reg["doc_chunk_overlap"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_char_entropy_is_zero_shuffle_no_explode(spark, sf_dir, reg):
+    # The entropy fold is the histogram-free formulation: no Exchange AND
+    # no Generate (the oracle's explode+groupBy shape would shuffle every
+    # character in the corpus).
+    plan = _plan(reg["doc_char_entropy"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_shuffle_order_no_global_sort(spark, sf_dir, reg):
+    # The global-permutation op must not sort the corpus into one
+    # partition: the data-sized window partitions by bucket (hash
+    # exchange), and the only SinglePartition exchange feeds the
+    # 64-row bucket-offset table.
+    plan = _plan(reg["training_order_shuffle"].fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(bucket" in plan, plan

@@ -90,3 +90,43 @@ def test_salts_are_independent(spark, sf_dir):
         / sampled.count()
     )
     assert abs(frac - 0.90) < 0.06
+
+
+def test_chunk_windows_layout(spark):
+    # 100 words, ctx=64, stride=48 -> starts at words 1, 49, 97:
+    # chunk 0 full (64), chunk 1 spans 49..100 (52), chunk 2 spans 97..100 (4)
+    words = [f"w{i}" for i in range(1, 101)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = {
+        r["chunk_no"]: r
+        for r in sampling.chunk_windows(df, ctx=64, stride=48).collect()
+    }
+    assert sorted(rows) == [0, 1, 2]
+    assert [rows[i]["n_words"] for i in (0, 1, 2)] == [64, 52, 4]
+    import hashlib
+
+    exp = hashlib.md5(" ".join(words[48 : 48 + 64]).encode()).hexdigest()
+    assert rows[1]["chunk_md5"] == exp
+    # overlap: chunk k starts stride words in, so ctx-stride words repeat
+    assert 64 - 48 == 16  # documented overlap
+
+
+def test_shuffle_order_is_permutation_and_bucket_invariant(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    out = sampling.shuffle_order(docs, n_buckets=64)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("pos").alias("d"),
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+    ).first()
+    assert (agg["n"], agg["d"], agg["mn"], agg["mx"]) == (n, n, 0, n - 1)
+    # the permutation is a pure function of (id, salt): n_buckets is a
+    # parallelism knob, not a semantic one
+    a = {r["doc_id"]: r["pos"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["pos"]
+        for r in sampling.shuffle_order(docs, n_buckets=16).collect()
+    }
+    assert a == b

@@ -54,3 +54,44 @@ def test_fingerprint_normalizes_whitespace(spark):
     assert rows[1] != rows[3]
     out = text.fingerprint(df).first()
     assert out["shard_bucket"] == out["fingerprint"][:4]
+
+
+def test_cooccurrence_pairs_window(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    rows = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in text.cooccurrence_pairs(df, max_dist=2).collect()
+    }
+    # d=1: (a,b), (a,b); d=2: (a,a)
+    assert rows == {("a", "b"): 2, ("a", "a"): 1}
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "aab")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["char_entropy"]
+        for r in text.char_entropy(df).collect()
+    }
+    import math
+
+    assert rows[1] == 0.0
+    assert rows[2] == 1.0
+    assert rows[3] == 2.0
+    exp = round(-(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3), 6)
+    assert abs(rows[4] - exp) < 1e-9
+
+
+def test_redact_pii_counts_and_output(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@host.org and sue@corp.net or +1-555-1234 now")],
+        "doc_id long, text string",
+    )
+    r = text.redact_pii(df).first()
+    assert (r["n_email"], r["n_phone"]) == (2, 1)
+    exp = "mail <EMAIL> and <EMAIL> or <PHONE> now"
+    assert r["redacted_md5"] == hashlib.md5(exp.encode()).hexdigest()
