@@ -57,6 +57,8 @@ _RECHECK_FIRST = (
     "cooccurrence_topk",
     "doc_char_entropy",
     "pii_redaction_stats",
+    "knn_cosine_pq",
+    "multimodal_mime_sniff",
     "multimodal_image_dims",
     "minhash_band_agreement",
     "ann_recall_probe",

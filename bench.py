@@ -51,6 +51,17 @@ EXTENDED = (
     "batch_session_windows",
 )
 
+#: Round-4 additions, again a separate section so the earlier series stay
+#: comparable: the heaviest new training-pipeline ops.
+EXTENDED_R4 = (
+    "corpus_segment_dedup",
+    "cooccurrence_topk",
+    "doc_chunk_overlap",
+    "training_order_shuffle",
+    "doc_char_entropy",
+    "knn_cosine_pq",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -96,6 +107,7 @@ def main() -> None:
 
     times, mins = run_set(HEADLINE)
     ext_times, ext_mins = run_set(EXTENDED)
+    r4_times, r4_mins = run_set(EXTENDED_R4)
 
     total = round(sum(times.values()), 3)
     print(
@@ -110,6 +122,9 @@ def main() -> None:
                 "extended": ext_times,
                 "extended_min": ext_mins,
                 "extended_total": round(sum(ext_times.values()), 3),
+                "extended_r4": r4_times,
+                "extended_r4_min": r4_mins,
+                "extended_r4_total": round(sum(r4_times.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

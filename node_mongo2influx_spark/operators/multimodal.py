@@ -235,3 +235,50 @@ def image_dims(
         width.alias("width"),
         height.alias("height"),
     )
+
+
+#: Magic-byte prefixes (hex, uppercase) in sniff priority order.
+MAGIC_MIMES: tuple[tuple[str, str], ...] = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383761", "image/gif"),  # GIF87a
+    ("474946383961", "image/gif"),  # GIF89a
+    ("25504446", "application/pdf"),  # %PDF
+)
+
+
+def sniff_mime(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect a payload's container type from its magic bytes — the
+    routing step for mixed binary columns (a 100 TB multimodal crawl is
+    never uniformly typed; declared mime headers lie, magic bytes don't).
+
+    Pure Column byte compares over BinaryType (prefix hex against known
+    magics — no codec, no Python): the whole classification runs inside
+    whole-stage codegen at scan speed, and only the first 16 bytes of
+    each payload are ever examined. RIFF containers are sniffed one
+    level deeper (bytes 9-12: WAVE -> audio/x-wav, else the generic
+    RIFF mime). Unknown prefixes -> application/octet-stream.
+    """
+    hx = F.hex(F.substring(F.col(payload_col), 1, 16))
+
+    def starts(magic: str):
+        return F.substring(hx, 1, len(magic)) == magic
+
+    riff = starts("52494646")
+    wave = F.substring(hx, 17, 8) == "57415645"
+    expr = None
+    for magic, mime in MAGIC_MIMES:
+        cond = starts(magic)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    expr = (
+        expr.when(riff & wave, "audio/x-wav")
+        .when(riff, "application/x-riff")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        F.col(id_col),
+        expr.alias("sniffed_mime"),
+        F.length(payload_col).cast("long").alias("n_bytes"),
+    )

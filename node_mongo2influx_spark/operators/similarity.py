@@ -662,3 +662,235 @@ def cosine_pairs_ivf(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return _score_pairs(cand, df, id_col, vec_col, threshold, round_to)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + asymmetric-distance search.
+# The storage-side scale path for 100 TB embedding corpora: a dim-wide
+# float vector (dim·4 bytes) becomes m sub-space code ids (m bytes at
+# n_codes<=256) plus one exact norm — 32× smaller at dim=64/m=8, so the
+# candidate scan reads codes, not vectors, and the exact vectors are only
+# fetched for the shortlist rerank.
+# ---------------------------------------------------------------------------
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 4,
+    dim: int = 64,
+    train_rows: int | None = None,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks — shape (m, n_codes, dim//m).
+
+    Same scale posture as :func:`kmeans_centroids`: a deterministic
+    salted-hash top-k sample (no corpus count), and each Lloyd iteration
+    is ONE fused Arrow kernel that assigns every subvector of its batch
+    to its nearest sub-centroid (L2, via the matmul identity
+    argmin‖x−c‖² = argmax(x·c − ‖c‖²/2)) and emits per-(subspace, cell)
+    (count, Σsubvec) partials. Driver state is the m·n_codes·(dim/m)
+    codebook tensor — model-sized, corpus-independent.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    salted = F.xxhash64(F.col("vid").cast("string"), F.lit("pq-train"))
+    target = train_rows if train_rows is not None else 64 * n_codes
+    train = base.orderBy(salted).limit(target).cache()
+    try:
+        init_rows = (
+            train.orderBy(F.xxhash64(F.col("vid").cast("string")))
+            .limit(n_codes)
+            .collect()
+        )
+        init = np.asarray([r["vec"] for r in init_rows], dtype=np.float64)
+        # (m, n_codes, dsub): subspace j starts from the init rows' j-th slice
+        books = np.stack(
+            [init[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+        )
+
+        for _ in range(n_iters):
+            sums = np.zeros_like(books)
+            counts = np.zeros((m, len(books[0])), dtype=np.int64)
+            for row in _pq_partial_sums(train, books).collect():
+                sums[row["sub"], row["cell"]] += np.asarray(
+                    row["s"], dtype=np.float64
+                )
+                counts[row["sub"], row["cell"]] += row["n"]
+            for j in range(m):
+                nz = np.nonzero(counts[j])[0]
+                books[j, nz] = sums[j, nz] / counts[j, nz, None]
+                # empty cells keep their previous centroid (deterministic)
+    finally:
+        train.unpersist()
+    return books
+
+
+def _pq_partial_sums(base: DataFrame, books: np.ndarray) -> DataFrame:
+    """One PQ-Lloyd pass over all m subspaces in a single Arrow kernel:
+    per partition, per subspace, per non-empty cell → (sub, cell, n, Σ)."""
+    bk = books  # (m, k, dsub) closure capture, ships with the task
+
+    def kernel(batches):
+        import pandas as pd
+
+        m, k, dsub = bk.shape
+        acc = np.zeros((m, k, dsub), dtype=np.float64)
+        cnt = np.zeros((m, k), dtype=np.int64)
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            for j in range(m):
+                x = mat[:, j * dsub : (j + 1) * dsub]
+                cell = (x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)).argmax(1)
+                np.add.at(cnt[j], cell, 1)
+                np.add.at(acc[j], cell, x)
+        subs, cells = np.nonzero(cnt)
+        yield pd.DataFrame(
+            {
+                "sub": subs.astype(np.int32),
+                "cell": cells.astype(np.int32),
+                "n": cnt[subs, cells],
+                "s": [acc[s, c].tolist() for s, c in zip(subs, cells)],
+            }
+        )
+
+    return base.mapInPandas(kernel, schema="sub int, cell int, n long, s array<double>")
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes, nrm): each vector compressed to its m nearest-sub-
+    centroid ids plus its EXACT L2 norm (kept so ADC can approximate
+    cosine, not just dot). One matmul per subspace per Arrow batch."""
+    bk = books
+
+    def kernel(batches):
+        import pandas as pd
+
+        m, k, dsub = bk.shape
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (
+                    x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)
+                ).argmax(1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "codes": [c.tolist() for c in codes],
+                    "nrm": np.linalg.norm(mat, axis=1),
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    return base.mapInPandas(kernel, schema="vid long, codes array<int>, nrm double")
+
+
+def knn_cosine_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN top-k via PQ asymmetric-distance search + exact rerank.
+
+    Stage 1 (ADC): each query precomputes an m×n_codes lookup table of
+    query-subvector · sub-centroid dot products (driver state:
+    O(queries · dim) — model-class, like the IVF centroids). The corpus
+    scan then reads ONLY the 32×-compressed code rows: approx dot =
+    Σ_j LUT[j, code_j], approx cosine = that / (‖x‖·‖q‖) with the exact
+    stored norm. Each partition emits only its local shortlist per query.
+
+    Stage 2 (rerank): the global shortlist (default 4k ids per query)
+    joins back to the corpus for EXACT cosine scoring + final top-k —
+    identical output contract to :func:`knn_cosine`. At 100 TB the full
+    vectors are touched for shortlist·queries rows only; everything
+    data-sized reads codes.
+    """
+    from pyspark.sql import Window
+
+    short = shortlist if shortlist is not None else 4 * k
+    books = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, dim=dim
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .collect()
+    )
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    dsub = dim // m
+    # (n_queries, m, n_codes) ADC lookup tables
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )
+    topn = short
+
+    def adc_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cds = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            if not len(cds):
+                continue
+            nrm = np.maximum(pdf["nrm"].to_numpy(), 1e-12)
+            vids = pdf["vid"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(qids)):
+                # gather: Σ_j LUT[qi, j, code_j] per corpus row
+                approx = luts[qi][np.arange(m)[None, :], cds].sum(1)
+                score = approx / (nrm * qnorm[qi])
+                keep = score.argsort()[::-1][:topn]
+                out_q.append(np.full(len(keep), qids[qi]))
+                out_v.append(vids[keep])
+                out_s.append(score[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_v),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    local = codes.mapInPandas(
+        adc_kernel, schema="query_id long, neighbor_id long, adc double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= short)
+        .select("query_id", "neighbor_id")
+    )
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to
+    )

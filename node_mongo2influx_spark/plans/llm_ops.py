@@ -2047,3 +2047,78 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact_pii(
         docs.withColumn("text2", decorated), text_col="text2", id_col="doc_id"
     )
+
+
+@query(
+    "knn_cosine_pq",
+    oracle=None,  # approximate (trained codebooks); recall gate in tests
+    description="ANN top-k via product quantization + asymmetric-distance "
+    "search: vectors live as 16 sub-space code ids + an exact norm (16× "
+    "smaller than the float vector — the storage-side scale path, "
+    "complementing IVF's candidate-pruning path), the corpus scan reads "
+    "ONLY codes and scores them against per-query lookup tables "
+    "(Σ_j LUT[j, code_j]), each partition emits a local shortlist, and "
+    "the exact vectors are touched solely for the shortlist rerank. "
+    "Codebooks train like the IVF quantizer: deterministic hash-sample, "
+    "one fused Arrow Lloyd kernel for all sub-spaces, model-sized driver "
+    "state. Recall ≥0.7 vs brute force gated in tests/test_similarity.py "
+    "(0.92 observed at the registered parameters).",
+)
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine_pq(
+        emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
+        k=10, m=16, n_codes=16, dim=64, shortlist=80,
+    )
+
+
+@query(
+    "multimodal_mime_sniff",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 6
+                   WHEN 0 THEN 'image/png'
+                   WHEN 1 THEN 'image/jpeg'
+                   WHEN 2 THEN 'image/gif'
+                   WHEN 3 THEN 'audio/x-wav'
+                   WHEN 4 THEN 'application/pdf'
+                   ELSE 'application/octet-stream'
+               END AS sniffed_mime,
+               CAST(CASE doc_id % 6
+                   WHEN 0 THEN 12 WHEN 1 THEN 8 WHEN 2 THEN 10
+                   WHEN 3 THEN 16 WHEN 4 THEN 12 ELSE 8
+               END AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    description="Magic-byte MIME sniffing over opaque binary payloads — "
+    "the routing step for mixed multimodal columns (declared mimes lie; "
+    "magic bytes don't). Pure Column byte compares on the first 16 bytes "
+    "(hex-prefix equality, RIFF sniffed one level deeper for WAVE): runs "
+    "in whole-stage codegen at scan speed, payload bytes never leave the "
+    "JVM. The fixture has no binary column, so the query synthesizes one "
+    "REAL container header per row (doc_id%6 cycles PNG/JPEG/GIF/WAV/PDF/"
+    "garbage, each with a doc_id-dependent tail) and sniffs it back; the "
+    "oracle states the expected type arithmetically, so a sniffing or "
+    "construction bug mismatches. Hand-built spec headers are unit-tested "
+    "in tests/test_multimodal.py.",
+)
+def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    tail = F.lpad(F.hex(did % F.lit(4294967296)), 8, "0")  # 4-byte tail
+    kinds = [
+        F.concat(F.lit("89504E470D0A1A0A"), tail),                # PNG, 12 B
+        F.concat(F.lit("FFD8FFE0"), tail),                        # JPEG, 8 B
+        F.concat(F.lit("474946383961"), tail),                    # GIF, 10 B
+        F.concat(F.lit("52494646"), tail, F.lit("57415645"), tail),  # WAV, 16 B
+        F.concat(F.lit("255044462D312E34"), tail),                # PDF, 12 B
+        F.concat(F.lit("DEADBEEF"), tail),                        # junk, 8 B
+    ]
+    sel = F.when(did % 6 == 0, kinds[0])
+    for i in range(1, len(kinds) - 1):
+        sel = sel.when(did % 6 == i, kinds[i])
+    sel = sel.otherwise(kinds[-1])
+    payload = F.unhex(sel)
+    return multimodal.sniff_mime(
+        docs.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )

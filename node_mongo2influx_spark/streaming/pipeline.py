@@ -249,3 +249,77 @@ def windowed_rollup_stream(
             "total",
         )
     )
+
+
+def incremental_dedup_stream(
+    source: DataFrame,
+    out_dir: str,
+    fp_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Continuous corpus ingestion with cross-batch exact dedup against a
+    DURABLE fingerprint store — the streaming face of
+    ``operators.dedup.incremental_exact``.
+
+    Per micro-batch: fingerprint the arriving documents (md5 of text),
+    keep the first occurrence within the batch (min id per fp), anti-join
+    against the persisted fingerprint table, then
+
+    1. append survivors to ``out_dir`` partitioned by ``ingest_batch``
+       under DYNAMIC partition overwrite — a replayed micro-batch (crash
+       before checkpoint commit) rewrites its own partition instead of
+       duplicating it;
+    2. append survivors' fingerprints to ``fp_dir`` — duplicate fp rows
+       from a replay are harmless (anti-join semantics are set-based), so
+       this side needs no transactionality.
+
+    Together the two writes are replay-idempotent without a transaction
+    coordinator. State is the fingerprint table itself — 16 bytes per
+    unique document, partition-pruned/bucketable, shared with the batch
+    path — not in-memory streaming state, so it survives restarts and is
+    queryable. At 100 TB scale, compact ``fp_dir`` periodically
+    (sinks/parquet.py compaction) and bucket it by fp so each batch's
+    anti-join is co-located.
+    """
+    spark = source.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        b = batch_df.withColumn("fp", F.md5(F.col(text_col)))
+        b = (
+            b.withColumn(
+                "min_id", F.min(id_col).over(Window.partitionBy("fp"))
+            )
+            .where(F.col("min_id") == F.col(id_col))
+            .drop("min_id")
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            seen = spark.read.parquet(fp_dir).select("fp")
+            b = b.join(seen, "fp", "left_anti")
+        except AnalysisException:  # first batch: no fingerprint store yet
+            pass
+        b = b.withColumn("ingest_batch", F.lit(batch_id)).cache()
+        try:
+            (
+                b.drop("fp")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(out_dir)
+            )
+            b.select("fp").write.mode("append").parquet(fp_dir)
+        finally:
+            b.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -124,3 +124,33 @@ def test_image_dims_stays_jvm_side(spark):
     plan = multimodal.image_dims(df)._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_sniff_mime_magic_bytes(spark):
+    from node_mongo2influx_spark.operators import multimodal
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A" + "00" * 8)),  # PNG
+        (2, bytes.fromhex("FFD8FFE000104A46")),             # JPEG
+        (3, b"GIF89a" + b"\x01\x02"),                        # GIF
+        (4, b"RIFF\x10\x00\x00\x00WAVEfmt "),                # RIFF+WAVE
+        (5, b"RIFF\x10\x00\x00\x00AVI LIST"),                # RIFF, not WAVE
+        (6, b"%PDF-1.7 stuff"),                              # PDF
+        (7, b"\xde\xad\xbe\xef garbage"),                    # unknown
+        (8, b"\x89P"),                                       # short prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["sniffed_mime"]
+        for r in multimodal.sniff_mime(df).collect()
+    }
+    assert got == {
+        1: "image/png",
+        2: "image/jpeg",
+        3: "image/gif",
+        4: "audio/x-wav",
+        5: "application/x-riff",
+        6: "application/pdf",
+        7: "application/octet-stream",
+        8: "application/octet-stream",
+    }

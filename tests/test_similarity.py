@@ -211,3 +211,48 @@ def test_lsh_and_ivf_recall_at_bench_scale(spark):
         ]
         mean = sum(recalls) / len(recalls)
         assert mean >= 0.7, f"{name} recall {mean:.2f} at sf0.1"
+
+
+def test_pq_codebooks_deterministic_and_shaped(emb):
+    b1 = similarity.pq_codebooks(emb, m=16, n_codes=16, dim=64)
+    b2 = similarity.pq_codebooks(emb, m=16, n_codes=16, dim=64)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (16, 16, 4)
+
+
+def test_pq_encode_codes_and_reconstruction(emb):
+    books = similarity.pq_codebooks(emb, m=16, n_codes=16, dim=64)
+    rows = similarity.pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 16 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # reconstruction from codes must beat the trivial "global mean"
+    # quantizer by a wide margin
+    pdf = emb.toPandas()
+    mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    by_id = {int(i): v for i, v in zip(pdf["vec_id"], mat)}
+    err = 0.0
+    for r in rows:
+        rec = np.concatenate([books[j, c] for j, c in enumerate(r["codes"])])
+        err += float(((by_id[r["vid"]] - rec) ** 2).sum())
+    mean_err = float(((mat - mat.mean(0)) ** 2).sum())
+    assert err < 0.5 * mean_err, (err, mean_err)
+
+
+def test_pq_recall_vs_bruteforce(emb):
+    k = 10
+    queries = emb.where("vec_id < 10")
+    exact = similarity.knn_cosine(emb, queries, k=k).collect()
+    approx = similarity.knn_cosine_pq(
+        emb, queries, k=k, m=16, n_codes=16, dim=64, shortlist=8 * k
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # ADC shortlist (8k of the corpus) + exact rerank: 0.9+ observed;
+    # gate at 0.7 so parameter regressions fail loudly without flaking
+    assert sum(recalls) / len(recalls) >= 0.7, recalls

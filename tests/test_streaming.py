@@ -344,3 +344,62 @@ def test_enrich_stream_matches_batch_join(spark, events_stream_dir, tmp_path):
     )
     assert (got["n"], got["above"]) == (want["n"], want["above"])
     assert got["n"] == 1000
+
+
+def test_incremental_dedup_stream_cross_batch(spark, sf_dir, tmp_path):
+    # Three "crawl drops" with overlap: file2 repeats half of file1's
+    # texts under new ids, file3 repeats a quarter more. Streamed one
+    # file per micro-batch, the durable fingerprint store must drop
+    # every cross-batch duplicate; a second run over the same source
+    # (fresh checkpoint, same stores) must add nothing.
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "drops")
+    d1 = docs.where("doc_id < 100")
+    d2 = docs.where("doc_id >= 100 AND doc_id < 150").union(
+        d1.where("doc_id < 50").select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    d1.coalesce(1).write.parquet(src + "/f1")
+    d2.coalesce(1).write.parquet(src + "/f2")
+    # flatten into one dir of files
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "src")
+    import os
+
+    os.makedirs(flat)
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/f1/*.parquet"))
+        + sorted(glob.glob(src + "/f2/*.parquet"))
+    ):
+        shutil.copy(f, f"{flat}/{i:03d}.parquet")
+
+    schema = spark.read.parquet(flat).schema
+    out_dir = str(tmp_path / "corpus")
+    fp_dir = str(tmp_path / "fps")
+    q = sp.incremental_dedup_stream(
+        sp.read_stream(spark, flat, schema, max_files_per_trigger=1),
+        out_dir,
+        fp_dir,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    # 100 + 50 unique texts; the 50 replayed under new ids are dropped
+    assert out.count() == 150
+    assert out.select("text").distinct().count() == 150
+    assert spark.read.parquet(fp_dir).distinct().count() == 150
+
+    # re-run over the same source with a fresh checkpoint: the durable
+    # fingerprint store already has every fp -> nothing new lands
+    q2 = sp.incremental_dedup_stream(
+        sp.read_stream(spark, flat, schema, max_files_per_trigger=1),
+        out_dir,
+        fp_dir,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(out_dir)
+    assert out2.select("text").distinct().count() == 150
