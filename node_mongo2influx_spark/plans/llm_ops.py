@@ -942,17 +942,13 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws = F.split("text", " ")
-    # sequence(1, n-1) would run DESCENDING for one-word docs (Spark fills
-    # start>stop backwards) — guard those to an empty list like DuckDB's
-    # range(1, 1).
-    idx = F.when(
-        F.size(ws) > 1, F.sequence(F.lit(1), F.size(ws) - 1)
-    ).otherwise(F.array().cast("array<int>"))
+    # zip-of-shifted-slices bigrams: codegen walks the two arrays in
+    # lockstep (per-index element_at measured 8x slower at sf0.1); a
+    # one-word doc yields empty slices -> empty zip, no guard needed.
+    ln = F.greatest(F.size(ws) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(ws, 1, ln), F.slice(ws, 2, ln))
     bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-        ),
+        z, lambda s: F.concat_ws(" ", s["0"], s["1"])
     )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
@@ -1151,24 +1147,13 @@ def _split_contamination_oracle() -> str:
 )
 def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = sampling.assign_split(load(spark, sf_dir, "documents"))
-    ws = F.split("text", " ")
-    grams = F.when(
-        F.size(ws) >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(ws, i),
-                    F.element_at(ws, i + 1),
-                    F.element_at(ws, i + 2),
-                    F.element_at(ws, i + 3),
-                    F.element_at(ws, i + 4),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", "split", F.explode(grams).alias("sh"))
+    # zip-of-shifted-slices 5-grams (see dedup.shingles_from_words for the
+    # formulation rationale: ~8x faster than per-index element_at)
+    staged = docs.select(
+        "doc_id", "split", F.split("text", " ").alias("__words")
+    )
+    grams = dedup.shingles_from_words("__words", n=5)
+    sh = staged.select("doc_id", "split", F.explode(grams).alias("sh"))
     train = sh.where(F.col("split") == "train").select("sh").distinct()
     held_out = sh.where(F.col("split") != "train")
     return (
