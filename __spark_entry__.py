@@ -57,6 +57,7 @@ _RECHECK_FIRST = (
     "cooccurrence_topk",
     "doc_char_entropy",
     "pii_redaction_stats",
+    "doc_perplexity_bigram",
     "knn_cosine_pq",
     "multimodal_mime_sniff",
     "multimodal_image_dims",

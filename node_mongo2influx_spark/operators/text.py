@@ -413,3 +413,59 @@ def redact_pii(
     return df.select(
         F.col(id_col), *counts, F.md5(red).alias("redacted_md5")
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram language-model score against the corpus's own
+    statistics — the CCNet/KenLM-style perplexity quality filter (very
+    high perplexity = gibberish/OCR junk, very low = boilerplate), with
+    the external LM replaced by the corpus's self-trained add-one bigram
+    model so the whole thing is closed-form and oracle-checkable.
+
+    P(w_i | w_{i-1}) = (C(w_{i-1} w_i) + 1) / (C(w_{i-1}) + V), bits/word
+    = -avg log2 P over the document's bigrams, perplexity = 2^bits.
+
+    Scale shape: two corpus-wide count aggregations (bigrams, unigrams —
+    both map-side combined), V as a 1-row global aggregate broadcast to
+    the scoring join, then each document's bigrams join their counts and
+    reduce per doc. All joins key on the n-gram text; at 100 TB key them
+    on xxhash64 (8-byte exchange) exactly as the contamination audit
+    does. Documents with fewer than 2 words have no bigrams and drop out
+    (a one-word doc has no LM evidence either way).
+    """
+    staged = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__w")
+    )
+    ln = F.greatest(F.size("__w") - 1, F.lit(0))
+    z = F.arrays_zip(F.slice("__w", 1, ln), F.slice("__w", 2, ln))
+    bg = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                z, lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2"))
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bcount = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    ucount = (
+        staged.select(F.explode("__w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    vocab = ucount.agg(F.count(F.lit(1)).alias("v"))
+    t = F.log2(
+        (F.col("bc") + 1).cast("double")
+        / (F.col("uc") + F.col("v")).cast("double")
+    )
+    terms = (
+        bg.join(bcount, ["w1", "w2"])
+        .join(ucount, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg(t), 4).alias("bits_per_word"),
+        F.round(F.pow(F.lit(2.0), -F.avg(t)), 2).alias("perplexity"),
+    )

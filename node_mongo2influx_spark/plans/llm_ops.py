@@ -2107,3 +2107,50 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sniff_mime(
         docs.select("doc_id", payload.alias("payload")), id_col="doc_id"
     )
+
+
+@query(
+    "doc_perplexity_bigram",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM d WHERE len(w) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, w[CAST(i AS INT)] AS w1,
+                   w[CAST(i + 1 AS INT)] AS w2
+            FROM pos
+        ),
+        B AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2),
+        uni AS (SELECT unnest(w) AS w1 FROM d),
+        U AS (SELECT w1, count(*) AS uc FROM uni GROUP BY w1),
+        V AS (SELECT count(*) AS v FROM U),
+        terms AS (
+            SELECT bg.doc_id,
+                   log2(CAST(B.bc + 1 AS DOUBLE)
+                        / CAST(U.uc + V.v AS DOUBLE)) AS t
+            FROM bg JOIN B USING (w1, w2) JOIN U USING (w1) CROSS JOIN V
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(-avg(t), 4) AS bits_per_word,
+               round(pow(2.0, -avg(t)), 2) AS perplexity
+        FROM terms GROUP BY doc_id
+    """,
+    description="Per-document bigram LM perplexity against the corpus's "
+    "own add-one bigram model — the CCNet/KenLM quality-filter shape made "
+    "closed-form (and so fully oracle-checkable): high perplexity = "
+    "gibberish, low = boilerplate. Two map-side-combined corpus count "
+    "aggregations + a 1-row vocabulary aggregate broadcast to the scoring "
+    "join (bounded — the hint gate's global-aggregate rule); per-doc "
+    "reduction over joined counts. N-gram join keys become xxhash64 at "
+    "100 TB as in the contamination audit.",
+)
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_lm_scores(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )

@@ -94,3 +94,37 @@ def test_unbucketed_join_does_exchange(spark, sf_dir):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_fingerprint_store_one_sided_exchange(spark, sf_dir):
+    # The incremental-dedup fingerprint store (operators/dedup.py
+    # incremental_exact, streaming/pipeline.py incremental_dedup_stream)
+    # persisted BUCKETED by fp: each arriving delta batch anti-joins the
+    # store with an Exchange on the (small) delta side ONLY — the
+    # 100 TB-history side is never reshuffled per increment.
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(F.md5("text").alias("fp")).distinct()
+    (
+        fps.write.mode("overwrite")
+        .bucketBy(8, "fp")
+        .sortBy("fp")
+        .saveAsTable("b_fps")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        delta = docs.where("doc_id % 7 = 0").select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+        survivors = delta.join(spark.table("b_fps"), "fp", "left_anti")
+        plan = _plan(survivors)
+        # formatted mode prints each node twice (tree line + detail
+        # header) — count the numbered detail headers.
+        import re
+
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, "store side reshuffled:\n" + plan
+        assert survivors.count() == 0  # every delta fp is in the store
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_fps")

@@ -88,6 +88,7 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q22_dormant_high_balance", "q17_small_quantity_revenue",
         "q8_market_share", "q21_waiting_supplier",
         "tfidf_top_terms", "label_centroid_cosine",
+        "doc_perplexity_bigram",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):

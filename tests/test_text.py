@@ -95,3 +95,23 @@ def test_redact_pii_counts_and_output(spark):
     assert (r["n_email"], r["n_phone"]) == (2, 1)
     exp = "mail <EMAIL> and <EMAIL> or <PHONE> now"
     assert r["redacted_md5"] == hashlib.md5(exp.encode()).hexdigest()
+
+
+def test_bigram_lm_scores_known_corpus(spark):
+    # corpus: "a b" x2 and "a c". unigrams: a=3, b=2? no: docs are
+    # "a b", "a b", "a c" -> unigrams a:3 b:2 c:1, V=3.
+    # bigram counts: (a,b):2, (a,c):1.
+    # P(b|a) = (2+1)/(3+3) = 0.5 ; P(c|a) = (1+1)/(3+3) = 1/3.
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.bigram_lm_scores(df).collect()}
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["bits_per_word"] == round(-math.log2(0.5), 4) == 1.0
+    assert rows[3]["bits_per_word"] == round(-math.log2(1 / 3), 4)
+    assert rows[3]["perplexity"] == 3.0
+    # one-word docs have no bigrams and drop out
+    df2 = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert text.bigram_lm_scores(df2).count() == 0

@@ -93,6 +93,12 @@ def main() -> None:
             n_buckets=16,
         ),
         "text_quality": lambda k: text.quality(uniquified_docs(k)),
+        "segment_dedup": lambda k: dedup.segment_dedup(uniquified_docs(k)),
+        "cooccurrence": lambda k: text.cooccurrence_pairs(
+            uniquified_docs(k), max_dist=2, k=50
+        ),
+        "chunk_windows": lambda k: sampling.chunk_windows(uniquified_docs(k)),
+        "shuffle_order": lambda k: sampling.shuffle_order(uniquified_docs(k)),
     }
 
     # warm up session + python workers
