@@ -74,6 +74,7 @@ _RECHECK_FIRST = (
     "window_cume_ntile",
     "events_user_funnel",
     "orders_fill_rate_asof",
+    "ohlc_vwap_hourly",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

@@ -397,11 +397,14 @@ def redact_pii(
     text_col: str = "text",
     id_col: str = "doc_id",
     patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Detect-and-redact PII spans: per-pattern match counts plus the
-    redacted text's fingerprint. Pure Column regex work (regexp_count /
-    regexp_replace — JVM codegen, corpus-parallel, no Python); patterns
-    apply in order, each over the previous pattern's output.
+    redacted text's fingerprint (``keep_text=True`` adds the redacted
+    text itself for pipelines that write it onward). Pure Column regex
+    work (regexp_count / regexp_replace — JVM codegen, corpus-parallel,
+    no Python); patterns apply in order, each over the previous
+    pattern's output.
     """
     counts = [
         F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{tag}")
@@ -410,9 +413,10 @@ def redact_pii(
     red = F.col(text_col)
     for _, rx, repl in patterns:
         red = F.regexp_replace(red, rx, repl)
-    return df.select(
-        F.col(id_col), *counts, F.md5(red).alias("redacted_md5")
-    )
+    cols = [F.col(id_col), *counts, F.md5(red).alias("redacted_md5")]
+    if keep_text:
+        cols.append(red.alias("redacted_text"))
+    return df.select(*cols)
 
 
 def bigram_lm_scores(

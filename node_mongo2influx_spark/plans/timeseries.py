@@ -290,3 +290,53 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
         )
     )
+
+
+@query(
+    "ohlc_vwap_hourly",
+    oracle="""
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               (min(struct_pack(ts := ts, eid := event_id, v := value))).v
+                   AS open,
+               max(value) AS high,
+               min(value) AS low,
+               (max(struct_pack(ts := ts, eid := event_id, v := value))).v
+                   AS close,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS volume,
+               round(sum(value * CAST(json_extract(props, '$.k') AS BIGINT))
+                     / nullif(sum(CAST(json_extract(props, '$.k')
+                                       AS BIGINT)), 0), 4)
+                   AS vwap
+        FROM events GROUP BY 1, 2
+    """,
+    description="OHLC + VWAP bars per (series, hour) — the financial/"
+    "metrics downsampling shape the reference's InfluxDB users run "
+    "downstream. Open/close are DETERMINISTIC first/last: min/max over a "
+    "(ts, event_id, value) struct compared lexicographically in both "
+    "engines — a bare first()/arg_min(ts) is nondeterministic under "
+    "duplicate timestamps, which real event feeds always have. Volume "
+    "weight comes from the props JSON. One map-side-combined shuffle on "
+    "(series, hour); every aggregate is a pure Column expression.",
+)
+def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    key = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v"))
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.min(key).getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key).getField("v").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("volume"),
+        # try_divide: an hour whose entire volume is 0 has no VWAP (NULL)
+        # — matches the oracle's nullif and survives ANSI mode.
+        F.round(
+            F.try_divide(F.sum(F.col("value") * F.col("k")), F.sum("k")), 4
+        ).alias("vwap"),
+    )

@@ -25,3 +25,31 @@ def test_clean_corpus_example(spark, sf_dir, tmp_path, capsys):
     assert {"doc_id", "bucket", "bin", "n_tokens", "start_offset", "split"} <= set(
         packed.columns
     )
+
+
+def test_prepare_training_data_example(spark, sf_dir, tmp_path, capsys):
+    import prepare_training_data
+
+    old = sys.argv
+    sys.argv = ["prepare_training_data.py", sf_dir, str(tmp_path / "out2")]
+    try:
+        prepare_training_data.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "raw=500" in out
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    n = got.count()
+    assert n > 0
+    # shuffle positions are a contiguous 0..n-1 permutation over chunks
+    from pyspark.sql import functions as F
+
+    agg = got.agg(
+        F.count_distinct("pos").alias("d"),
+        F.min("pos").alias("mn"),
+        F.max("pos").alias("mx"),
+    ).first()
+    assert (agg["d"], agg["mn"], agg["mx"]) == (n, 0, n - 1)
+    assert {"chunk_id", "doc_id", "pos", "bucket", "bin", "split"} <= set(
+        got.columns
+    )

@@ -89,6 +89,9 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q8_market_share", "q21_waiting_supplier",
         "tfidf_top_terms", "label_centroid_cosine",
         "doc_perplexity_bigram",
+        "q2_min_cost_supplier", "q11_important_stock",
+        "q20_promo_part_suppliers", "orders_fill_rate_asof",
+        "events_user_funnel", "ohlc_vwap_hourly",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
@@ -312,3 +315,62 @@ def test_shuffle_order_no_global_sort(spark, sf_dir, reg):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "hashpartitioning(bucket" in plan, plan
+
+
+#: Queries whose fn() runs Spark jobs during composition (iterative
+#: components / eager model training) — linting them re-trains models for
+#: no plan information; their plan discipline has dedicated tests above.
+_LINT_SKIP = {
+    "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
+    "knn_cosine_ivf", "knn_cosine_pq", "embedding_neardup_ivf",
+}
+
+#: Queries where a BroadcastNestedLoopJoin is the INTENDED plan, each with
+#: the boundedness/intent argument. Two classes: (a) a 1-row global
+#: aggregate or model-sized table cross-joined back (the loop side is O(1)
+#: rows); (b) the documented EXACT all-pairs oracle tiers, whose quadratic
+#: cost is the point (their scale twins are the LSH/IVF/PQ queries).
+_SCALAR_CROSSJOIN_OK = {
+    "tfidf_top_terms",        # n_docs scalar
+    "doc_perplexity_bigram",  # vocabulary-size scalar
+    "q15_top_supplier",       # global max revenue scalar
+    "q22_dormant_high_balance",  # global avg balance scalar
+    "q11_important_stock",    # nation-total scalar
+    "label_centroid_cosine",  # k-row centroid table
+    "ann_recall_probe",       # 16-row fixed centroid table
+    "q14_promo_revenue_pct",  # scalar ratio
+    "q8_market_share",        # scalar shares
+    "knn_cosine_bruteforce",  # exact tier: broadcast query side (≤5 rows)
+    "embedding_neardup_pairs",  # exact all-pairs oracle tier (documented)
+}
+
+#: Queries whose Python-eval node is the deliverable itself.
+_PYTHON_EVAL_OK = {
+    "udtf_explode_props",  # the UDTF surface demo — UDTFs ARE Python
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir, reg):
+    # Every registered query's physical plan, linted for the anti-patterns
+    # that kill 100 TB runs regardless of which operator they hide in:
+    # cartesian products, row-at-a-time Python eval, and unexplained
+    # nested-loop joins. New queries get linted automatically on
+    # registration — no need to remember to add a per-query gate.
+    bad = {}
+    for name, qd in reg.items():
+        if name in _LINT_SKIP:
+            continue
+        plan = _plan(qd.fn(spark, sf_dir))
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BatchEvalPython" in plan and name not in _PYTHON_EVAL_OK:
+            problems.append("row-at-a-time Python UDF")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _SCALAR_CROSSJOIN_OK
+        ):
+            problems.append("unexplained BroadcastNestedLoopJoin")
+        if problems:
+            bad[name] = problems
+    assert not bad, f"plan lint failures: {bad}"

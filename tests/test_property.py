@@ -125,3 +125,61 @@ def test_repetition_fold_matches_counter(spark, docs):
     for i, words in enumerate(docs):
         c = Counter(words)
         assert got[i] == (max(c.values()), len(words)), (i, words)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    ctx=st.integers(min_value=2, max_value=12),
+)
+def test_chunk_windows_covers_every_word(spark, docs, ctx):
+    # invariants for ANY document set and any (ctx, stride=ctx//2+1):
+    # chunk count = ceil(n / stride); sizes = ctx except a short tail;
+    # reconstructing from stride-prefixes of each chunk yields the doc.
+    import math
+
+    from node_mongo2influx_spark.operators import sampling
+
+    stride = ctx // 2 + 1
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.chunk_windows(df, ctx=ctx, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, words in enumerate(docs):
+        n = len(words)
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_no"])
+        assert len(chunks) == math.ceil(n / stride)
+        for j, c in enumerate(chunks):
+            start = j * stride
+            assert c["n_words"] == min(ctx, n - start)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+)
+def test_shuffle_order_is_always_a_permutation(spark, ids):
+    from node_mongo2influx_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = sampling.shuffle_order(df, n_buckets=8).collect()
+    positions = sorted(r["pos"] for r in out)
+    assert positions == list(range(len(ids)))
