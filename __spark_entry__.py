@@ -75,6 +75,9 @@ _RECHECK_FIRST = (
     "events_user_funnel",
     "orders_fill_rate_asof",
     "ohlc_vwap_hourly",
+    "recursive_event_chains",
+    "lateral_top_orders",
+    "variant_json_typed",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

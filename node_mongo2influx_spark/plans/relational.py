@@ -2111,3 +2111,66 @@ def orders_fill_rate_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_rate_30d"),
     )
+
+
+@query(
+    "lateral_top_orders",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+    """,
+    description="Correlated LATERAL subquery (per-customer top-2 orders "
+    "by price) — the SQL-standard spelling of grouped top-k. Spark "
+    "DECORRELATES the lateral-with-LIMIT into a window rank over one "
+    "join (no per-row re-execution of the subquery — the naive "
+    "nested-loop interpretation would re-scan orders per customer); the "
+    "IDENTICAL SQL text runs on DuckDB as the oracle. Complements "
+    "window_topn_per_user, which states the same computation directly "
+    "in the DataFrame API.",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__lat_ord")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_cust c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM __lat_ord o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+    """)
+
+
+@query(
+    "variant_json_typed",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(props, '$.missing') AS missing_path,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+        FROM events
+    """,
+    description="Semi-structured access through Spark 4's VARIANT type: "
+    "parse_json once, typed variant_get extraction (a missing path is "
+    "NULL, not an error), arithmetic on the extracted value. VARIANT "
+    "stores shredded binary JSON — repeated path access skips re-parsing "
+    "the string, the columnar-JSON answer to the reference's schemaless "
+    "Mongo documents (SURVEY §1.3). Oracle: DuckDB's JSON extraction "
+    "computes the same values from the raw string.",
+)
+def variant_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_path"),
+        F.pmod(k, F.lit(10)).cast("bigint").alias("k_mod"),
+    )

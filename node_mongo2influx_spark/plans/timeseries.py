@@ -340,3 +340,55 @@ def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.sum(F.col("value") * F.col("k")), F.sum("k")), 4
         ).alias("vwap"),
     )
+
+
+_CHAIN_SQL = """
+WITH RECURSIVE chain(user_id, root, event_id, len) AS (
+    SELECT user_id, event_id, event_id, 1
+    FROM (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM {table}
+    ) WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTES
+    UNION ALL
+    SELECT s.user_id, c.root, s.event_id, c.len + 1
+    FROM chain c
+    JOIN (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_id
+        FROM {table}
+    ) s ON s.user_id = c.user_id AND s.prev_id = c.event_id
+         AND s.ts - s.prev_ts <= INTERVAL 30 MINUTES
+)
+SELECT user_id,
+       CAST(count(DISTINCT root) AS BIGINT) AS n_chains,
+       CAST(max(len) AS BIGINT) AS max_chain_len,
+       CAST(count(*) AS BIGINT) AS n_chain_rows
+FROM chain GROUP BY user_id
+"""
+
+
+@query(
+    "recursive_event_chains",
+    oracle=_CHAIN_SQL.format(table="events"),
+    description="Recursive CTE (Spark 4's WITH RECURSIVE) walking "
+    "per-user event chains: an event links to its user's immediately "
+    "previous event when the gap is ≤30 min; chains are counted and "
+    "measured from their roots. The link relation is the lag() "
+    "predecessor, so the graph is a union of simple paths — acyclic, "
+    "in-degree ≤1 — which is exactly the shape UNION ALL recursion "
+    "terminates on (Spark rejects deduplicating UNION recursion; cyclic "
+    "graphs go through the iterative pointer-jumping operator in "
+    "operators/dedup.py instead). One window pass builds the edges; "
+    "each recursion level is a hash join on (user, predecessor). The "
+    "IDENTICAL SQL text runs on DuckDB as the oracle.",
+)
+def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView(
+        "__chain_events"
+    )
+    return spark.sql(_CHAIN_SQL.format(table="__chain_events"))

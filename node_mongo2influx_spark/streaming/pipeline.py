@@ -323,3 +323,50 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_stream(
+    source: DataFrame,
+    time_col: str = "time",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: the batch `ohlc_vwap_hourly` aggregate under a
+    watermarked tumbling window. Open/close use the same lexicographic
+    (time, id, value) struct min/max as the batch query — min/max are
+    watermark-compatible streaming aggregates (unlike first()/last(),
+    which are order-dependent and nondeterministic under micro-batch
+    arrival order), so the streamed bars are BYTE-IDENTICAL to the batch
+    ones once their windows close. State per open window is O(1).
+    """
+    key = F.struct(
+        F.col(time_col),
+        F.col(id_col).alias("eid"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        source.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window_duration).alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.min(key).getField("v").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(key).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

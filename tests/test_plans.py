@@ -374,3 +374,17 @@ def test_registry_wide_plan_lint(spark, sf_dir, reg):
         if problems:
             bad[name] = problems
     assert not bad, f"plan lint failures: {bad}"
+
+
+def test_lateral_decorrelates_to_window(spark, sf_dir, reg):
+    # The correlated LATERAL-with-LIMIT must plan as ONE join feeding a
+    # window rank — not a nested-loop that re-executes the subquery per
+    # outer row (and not a cartesian). Catalyst's decorrelation is what
+    # makes the SQL-standard spelling usable at 100 TB.
+    plan = _plan(reg["lateral_top_orders"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, plan  # customer once, orders once

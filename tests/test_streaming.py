@@ -403,3 +403,53 @@ def test_incremental_dedup_stream_cross_batch(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     out2 = spark.read.parquet(out_dir)
     assert out2.select("text").distinct().count() == 150
+
+
+def test_ohlc_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    # The streamed OHLC bars must equal the batch aggregate row-for-row:
+    # open/close come from lexicographic struct min/max, which is arrival-
+    # order-independent (first()/last() would not be).
+    schema = spark.read.parquet(events_stream_dir).schema
+    src = sp.read_stream(
+        spark, events_stream_dir, schema, max_files_per_trigger=1
+    ).withColumnRenamed("ts", "time")
+    q = (
+        sp.ohlc_stream(src)
+        .writeStream.format("memory")
+        .queryName("ohlc_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc_stream_test").collect()
+    }
+    batch = spark.read.parquet(events_stream_dir).withColumnRenamed(
+        "ts", "time"
+    )
+    kb = F.struct(
+        F.col("time"), F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    exp = {
+        (r["hour"], r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in batch.groupBy(
+            F.date_trunc("hour", "time").alias("hour"), "event_type"
+        )
+        .agg(
+            F.min(kb).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(kb).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 100
