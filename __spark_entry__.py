@@ -59,6 +59,7 @@ _RECHECK_FIRST = (
     "pii_redaction_stats",
     "doc_perplexity_bigram",
     "knn_cosine_pq",
+    "knn_cosine_ivfpq",
     "multimodal_mime_sniff",
     "multimodal_image_dims",
     "minhash_band_agreement",
@@ -75,6 +76,7 @@ _RECHECK_FIRST = (
     "events_user_funnel",
     "orders_fill_rate_asof",
     "ohlc_vwap_hourly",
+    "locf_forward_fill",
     "recursive_event_chains",
     "lateral_top_orders",
     "variant_json_typed",

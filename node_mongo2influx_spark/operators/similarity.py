@@ -894,3 +894,270 @@ def knn_cosine_pq(
     return _score_candidates_topk(
         cand, corpus, queries, id_col, vec_col, k, round_to
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids_unit: np.ndarray,
+    anchors: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cell, codes, nrm): one fused Arrow pass that coarse-assigns
+    each vector to its IVF cell AND product-quantizes the RESIDUAL
+    (x − anchor[cell]) — the classic IVFPQ layout: the coarse quantizer
+    captures the bulk of the vector, the PQ codes only have to describe
+    the (much smaller) residual, so the same code budget reconstructs
+    more accurately than PQ over raw vectors.
+
+    Assignment uses the UNIT centroids (cosine argmax, matching the IVF
+    tier); the residual anchor is the cell's MEAN vector — subtracting
+    the unit centroid would INCREASE residual variance whenever members
+    sit far from it (E‖x−c‖² = E‖x‖² + 1 − 2E[x·c], which exceeds E‖x‖²
+    once E[x·c] < ½), while the mean minimizes it by definition."""
+    cents, anc, bk = centroids_unit, anchors, books
+
+    def kernel(batches):
+        import pandas as pd
+
+        m, kk, dsub = bk.shape
+        for pdf in batches:
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cell = ((mat / norms) @ cents.T).argmax(axis=1)
+            resid = mat - anc[cell]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                x = resid[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (
+                    x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)
+                ).argmax(1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cell": cell.astype(np.int32),
+                    "codes": [c.tolist() for c in codes],
+                    "nrm": norms.ravel(),
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    return base.mapInPandas(
+        kernel, schema="vid long, cell int, codes array<int>, nrm double"
+    )
+
+
+def _pq_codebooks_residual(
+    df: DataFrame,
+    centroids_unit: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    n_codes: int,
+    dim: int,
+    n_iters: int = 4,
+    train_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(books, anchors): PQ codebooks trained on IVF RESIDUALS of a
+    deterministic hash sample — the residual twin of :func:`pq_codebooks`
+    (same sampling, same fused-Lloyd shape). Anchors are the per-cell
+    MEAN vectors of the sample (assignment stays cosine-argmax against
+    the unit centroids): the mean minimizes residual variance, where the
+    unit centroid can inflate it (see :func:`ivfpq_encode`). Empty cells
+    fall back to their unit centroid."""
+    dsub = dim // m
+    cents = centroids_unit
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    salted = F.xxhash64(F.col("vid").cast("string"), F.lit("ivfpq-train"))
+    target = train_rows if train_rows is not None else 64 * n_codes
+    train = base.orderBy(salted).limit(target).cache()
+    try:
+        # anchors: per-cell (count, Σvec) partials over the sample — one
+        # Arrow pass, same kernel the IVF trainer uses
+        sums_a = np.zeros_like(cents)
+        counts_a = np.zeros(len(cents), dtype=np.int64)
+        for row in _cell_partial_sums(train, cents).collect():
+            sums_a[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+            counts_a[row["cell"]] += row["n"]
+        anchors = cents.copy()
+        nz_a = np.nonzero(counts_a)[0]
+        anchors[nz_a] = sums_a[nz_a] / counts_a[nz_a, None]
+
+        rows = (
+            train.orderBy(F.xxhash64(F.col("vid").cast("string")))
+            .limit(n_codes)
+            .collect()
+        )
+        init = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+        cell0 = ((init / nrm) @ cents.T).argmax(axis=1)
+        resid0 = init - anchors[cell0]
+        books = np.stack(
+            [resid0[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+        )
+
+        def residualize(mat):
+            norms = np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            return mat - anchors[((mat / norms) @ cents.T).argmax(axis=1)]
+
+        for _ in range(n_iters):
+            bk = books
+
+            def kernel(batches):
+                import pandas as pd
+
+                mm, kk, dd = bk.shape
+                acc = np.zeros((mm, kk, dd), dtype=np.float64)
+                cnt = np.zeros((mm, kk), dtype=np.int64)
+                for pdf in batches:
+                    mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+                    if not len(mat):
+                        continue
+                    resid = residualize(mat)
+                    for j in range(mm):
+                        x = resid[:, j * dd : (j + 1) * dd]
+                        cl = (x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)).argmax(1)
+                        np.add.at(cnt[j], cl, 1)
+                        np.add.at(acc[j], cl, x)
+                subs, cells = np.nonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "sub": subs.astype(np.int32),
+                        "cell": cells.astype(np.int32),
+                        "n": cnt[subs, cells],
+                        "s": [acc[s, c].tolist() for s, c in zip(subs, cells)],
+                    }
+                )
+
+            sums = np.zeros_like(books)
+            counts = np.zeros((m, n_codes), dtype=np.int64)
+            for row in train.mapInPandas(
+                kernel, schema="sub int, cell int, n long, s array<double>"
+            ).collect():
+                sums[row["sub"], row["cell"]] += np.asarray(
+                    row["s"], dtype=np.float64
+                )
+                counts[row["sub"], row["cell"]] += row["n"]
+            for j in range(m):
+                nz = np.nonzero(counts[j])[0]
+                books[j, nz] = sums[j, nz] / counts[j, nz, None]
+    finally:
+        train.unpersist()
+    return books, anchors
+
+
+def knn_cosine_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN top-k via composed IVF + PQ — the FAISS-style IVFPQ index
+    re-expressed on Spark, combining BOTH scale levers:
+
+    * **IVF prunes candidates**: each query scores only the rows of its
+      n_probe nearest cells (cell membership from the spherical-k-means
+      coarse quantizer);
+    * **PQ shrinks storage**: those rows are read as residual codes +
+      norm (16× smaller than the vectors), scored asymmetrically as
+      dot(q, centroid[cell]) + Σ_j LUT[j, code_j] where the LUT holds
+      query-subvector · residual-sub-centroid dots;
+    * exact rerank touches full vectors for the shortlist only.
+
+    Driver state: centroids (n_cells×dim) + codebooks (m×n_codes×dim/m)
+    + per-query LUTs — all model-sized, corpus-independent.
+    """
+    from pyspark.sql import Window
+
+    short = shortlist if shortlist is not None else 4 * k
+    cents = kmeans_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+    )
+    books, anchors = _pq_codebooks_residual(
+        corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
+    )
+    codes = ivfpq_encode(
+        corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    dsub = dim // m
+    qcos = (qmat / qnorm[:, None]) @ cents.T          # (q, n_cells)
+    probed = np.argsort(-qcos, axis=1)[:, :n_probe]    # (q, n_probe)
+    qcent = qmat @ anchors.T                           # dot(q, anchor)
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )                                                  # (q, m, n_codes)
+    topn = short
+
+    def adc_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cds = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+            if not len(cds):
+                continue
+            cell = pdf["cell"].to_numpy()
+            nrm = np.maximum(pdf["nrm"].to_numpy(), 1e-12)
+            vids = pdf["vid"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(cell, probed[qi])
+                if not mask.any():
+                    continue
+                sub = cds[mask]
+                approx = (
+                    qcent[qi, cell[mask]]
+                    + luts[qi][np.arange(sub.shape[1])[None, :], sub].sum(1)
+                )
+                score = approx / (nrm[mask] * qnorm[qi])
+                keep = score.argsort()[::-1][:topn]
+                out_q.append(np.full(len(keep), qids[qi]))
+                out_v.append(vids[mask][keep])
+                out_s.append(score[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_v),
+                        "adc": np.concatenate(out_s),
+                    }
+                )
+
+    local = codes.mapInPandas(
+        adc_kernel, schema="query_id long, neighbor_id long, adc double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= short)
+        .select("query_id", "neighbor_id")
+    )
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to
+    )

@@ -392,3 +392,85 @@ def recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__chain_events"
     )
     return spark.sql(_CHAIN_SQL.format(table="__chain_events"))
+
+
+@query(
+    "locf_forward_fill",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS t0,
+                   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS t1
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type,
+                   unnest(generate_series(b.t0, b.t1, INTERVAL '1 hour'))
+                       AS hour
+            FROM bounds b,
+                 (SELECT DISTINCT event_type FROM events) t
+        ),
+        actual AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        ),
+        sparse AS (
+            SELECT g.event_type, g.hour,
+                   coalesce(a.n, 0) AS n, a.total
+            FROM grid g LEFT JOIN actual a USING (event_type, hour)
+        )
+        SELECT event_type, hour, n,
+               last_value(total IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS total_locf,
+               CAST(total IS NULL AS BOOLEAN) AS carried
+        FROM sparse
+    """,
+    description="Forward fill / LOCF (last observation carried forward): "
+    "dense hourly grid per series, silent hours inherit the most recent "
+    "observed value via last_value(... IGNORE NULLS) over an unbounded-"
+    "preceding frame — the standard sensor-gap treatment where zero-fill "
+    "(gapfill_minutely) would be wrong (a thermometer that went quiet "
+    "didn't read zero). Hours before the first observation stay NULL in "
+    "both engines. One window shuffle on the series key; the grid "
+    "generates distributed.",
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    actual = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    sparse = grid.join(actual, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        "total",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_type",
+        "hour",
+        "n",
+        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+        F.col("total").isNull().alias("carried"),
+    )

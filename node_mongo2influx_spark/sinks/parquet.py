@@ -156,3 +156,76 @@ class ParquetSink(Sink):
         tmp.rename(target)
         shutil.rmtree(old)
         return len([p for p in target.rglob("*.parquet") if p.is_file()])
+
+
+def z_order_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer Columns —
+    pure Column bit arithmetic (5 shift/mask steps per dimension, the
+    classic bit-spreading magic numbers), no UDF.
+
+    Each input must fit in ``bits`` (caller normalizes: rank, bucket, or
+    offset-from-min). Interleaving makes ONE sort key whose ordering is
+    local in BOTH dimensions, so a range-clustered write on it yields
+    files whose footer min/max are narrow on BOTH columns — point/range
+    lookups on EITHER dimension prune files, where a single-key sort
+    only prunes its leading column.
+    """
+    from pyspark.sql import functions as F
+
+    if bits > 16:
+        raise ValueError("z_order_key interleaves at most 16 bits per dim")
+    masks = (0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)
+    shifts = (8, 4, 2, 1)
+
+    def spread(x):
+        x = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for s, mk in zip(shifts, masks):
+            x = (x.bitwiseOR(F.shiftleft(x, s))).bitwiseAND(F.lit(mk))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def z_order_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Multi-dimensional clustered layout: range-partition + sort on the
+    Morton key of (col_a, col_b). The lakehouse Z-ORDER feature as stock
+    Spark — see :func:`z_order_key` for why it prunes on both dimensions
+    where :func:`range_sorted_write` prunes on one.
+
+    Both columns are min-max normalized to the shared ``bits`` budget
+    before interleaving — REQUIRED, not cosmetic: with raw values a
+    higher-cardinality dimension owns all the significant interleaved
+    bits and the curve degenerates to a single-key sort on it (observed:
+    user_id 0-14 against hour 0-8760 left user_id unclustered). The
+    min/max pass is one tiny aggregate at write time.
+    """
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    top = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        if hi == lo:
+            return F.lit(0)
+        return F.floor(
+            (F.col(c) - F.lit(lo)) * F.lit(float(top)) / F.lit(float(hi - lo))
+        )
+
+    z = z_order_key(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -201,3 +201,66 @@ def test_compact_recovers_from_crashed_prior_run(engine, sf_dir, tmp_path):
     sink.compact(lambda p: spark.read.parquet(p), "events")
     assert not old.exists()
     assert spark.read.parquet(str(target)).count() == n
+
+
+def test_z_order_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    # Morton-clustered files must be narrow in BOTH dimensions; a
+    # single-key range sort is narrow only in its leading column while
+    # every file spans ~the full range of the other.
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from node_mongo2influx_spark.plans.tables import load
+    from node_mongo2influx_spark.sinks.parquet import (
+        range_sorted_write,
+        z_order_write,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ((F.unix_seconds("ts") - 1704067200) / 3600).cast("long").alias(
+            "hour_idx"
+        ),
+    )
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            lo = {n: None for n in names}
+            hi = {n: None for n in names}
+            for g in range(md.num_row_groups):
+                for i, n in enumerate(names):
+                    st = md.row_group(g).column(i).statistics
+                    lo[n] = st.min if lo[n] is None else min(lo[n], st.min)
+                    hi[n] = st.max if hi[n] is None else max(hi[n], st.max)
+            out.append((lo, hi))
+        return out
+
+    def avg_norm_span(path, col, total):
+        ss = [(hi[col] - lo[col]) / total for lo, hi in spans(path)]
+        return sum(ss) / len(ss)
+
+    tot_user = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    tot_hour = ev.agg(F.max("hour_idx") - F.min("hour_idx")).first()[0]
+
+    z_dir = str(tmp_path / "zorder")
+    u_dir = str(tmp_path / "usersort")
+    z_order_write(ev, z_dir, "user_id", "hour_idx", n_files=8)
+    range_sorted_write(ev, u_dir, cols=("user_id",), n_files=8)
+
+    # single-key layout: every file spans ~the whole hour domain — a
+    # time-range lookup opens all 8 files
+    assert avg_norm_span(u_dir, "hour_idx", tot_hour) > 0.9
+    # z-order: BOTH dimensions materially narrower ON AVERAGE (individual
+    # files can straddle a curve bit-flip since repartitionByRange cuts at
+    # data quantiles, not bit boundaries — measured ~0.38 hour / ~0.58
+    # user vs 0.98 / 0.06 for the single-key layout)
+    assert avg_norm_span(z_dir, "hour_idx", tot_hour) <= 0.55
+    assert avg_norm_span(z_dir, "user_id", tot_user) <= 0.75
+    # and nothing was lost in the rewrite
+    assert spark.read.parquet(z_dir).count() == ev.count()

@@ -322,7 +322,8 @@ def test_shuffle_order_no_global_sort(spark, sf_dir, reg):
 #: no plan information; their plan discipline has dedicated tests above.
 _LINT_SKIP = {
     "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
-    "knn_cosine_ivf", "knn_cosine_pq", "embedding_neardup_ivf",
+    "knn_cosine_ivf", "knn_cosine_pq", "knn_cosine_ivfpq",
+    "embedding_neardup_ivf",
 }
 
 #: Queries where a BroadcastNestedLoopJoin is the INTENDED plan, each with
@@ -342,6 +343,7 @@ _SCALAR_CROSSJOIN_OK = {
     "q8_market_share",        # scalar shares
     "knn_cosine_bruteforce",  # exact tier: broadcast query side (≤5 rows)
     "embedding_neardup_pairs",  # exact all-pairs oracle tier (documented)
+    "locf_forward_fill",      # 1-row bounds aggregate × distinct types
 }
 
 #: Queries whose Python-eval node is the deliverable itself.

@@ -256,3 +256,51 @@ def test_pq_recall_vs_bruteforce(emb):
     # ADC shortlist (8k of the corpus) + exact rerank: 0.9+ observed;
     # gate at 0.7 so parameter regressions fail loudly without flaking
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_recall_vs_bruteforce(emb):
+    k = 10
+    queries = emb.where("vec_id < 10")
+    exact = similarity.knn_cosine(emb, queries, k=k).collect()
+    approx = similarity.knn_cosine_ivfpq(
+        emb, queries, k=k, n_cells=16, n_probe=8, m=16, n_codes=16,
+        dim=64, shortlist=8 * k,
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # IVF pruning (8 of 16 cells) stacked on PQ residual codes: 0.83
+    # observed; gate at 0.7 so either tier regressing fails loudly
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_residual_reconstruction_beats_raw_pq(emb):
+    # residual encoding is the point of IVFPQ: with the same code budget,
+    # centroid + decoded residual must reconstruct strictly better than
+    # raw-vector PQ decoding
+    cents = similarity.kmeans_centroids(emb, n_cells=16, dim=64)
+    books_r, anchors = similarity._pq_codebooks_residual(
+        emb, cents, "vec_id", "embedding", m=16, n_codes=16, dim=64
+    )
+    books_raw = similarity.pq_codebooks(emb, m=16, n_codes=16, dim=64)
+    enc_r = similarity.ivfpq_encode(emb, cents, anchors, books_r).collect()
+    enc_raw = similarity.pq_encode(emb, books_raw).collect()
+    pdf = emb.toPandas()
+    vecs = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(pdf["vec_id"], pdf["embedding"].tolist())}
+    err_r = sum(
+        float(((vecs[r["vid"]] - (anchors[r["cell"]] + np.concatenate(
+            [books_r[j, c] for j, c in enumerate(r["codes"])]))) ** 2).sum())
+        for r in enc_r
+    )
+    err_raw = sum(
+        float(((vecs[r["vid"]] - np.concatenate(
+            [books_raw[j, c] for j, c in enumerate(r["codes"])])) ** 2).sum())
+        for r in enc_raw
+    )
+    assert err_r < err_raw, (err_r, err_raw)
