@@ -80,6 +80,11 @@ _RECHECK_FIRST = (
     "recursive_event_chains",
     "lateral_top_orders",
     "variant_json_typed",
+    # new in round 4, second half
+    "domain_mixture_weights",
+    "quota_sample_per_source",
+    "length_bucket_padding_stats",
+    "word_subsample_weights",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

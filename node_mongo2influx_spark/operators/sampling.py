@@ -267,3 +267,125 @@ def shuffle_order(
             id_col, (F.col("off") + F.col("local") - 1).alias("pos")
         )
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per domain (training mixtures).
+
+    A raw-proportional blend lets the biggest crawl swamp every small
+    high-quality domain; the standard fix is to sample domain i with
+    probability c_i^alpha / sum_j c_j^alpha for alpha < 1, which flattens
+    the distribution (alpha=1 is natural, alpha=0 uniform). Returns per
+    domain: its natural share, its alpha-scaled mixture share, and the
+    resulting boost factor (mixture/natural — how many effective epochs
+    of that domain one pass of the blend consumes).
+
+    Two shuffles total, both tiny: the per-domain aggregate (map-side
+    partial over the corpus — the only data-sized input) and a 1-row
+    global reduce of the n_domains-row table, joined back via broadcast.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("w_total"),
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("w_total").cast("double"), F.lit(alpha))).alias("wsum"),
+        F.sum("w_total").alias("tsum"),
+    )
+    scaled = F.pow(F.col("w_total").cast("double"), F.lit(alpha))
+    natural = F.col("w_total").cast("double") / F.col("tsum")
+    mixture = scaled / F.col("wsum")
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "w_total",
+        _r6(natural).alias("p_natural"),
+        _r6(mixture).alias("p_mixture"),
+        _r6(mixture / natural).alias("boost"),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 15,
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``cap`` rows per group,
+    chosen by deterministic hash rank (not arrival order, not df.sample).
+
+    The curation op for capping over-represented domains: every engine
+    replays the same choice (portable FNV rank), appending new documents
+    can displace old ones only by hash order (stable under re-runs of the
+    same corpus), and the per-group window is as parallel as the group
+    count. One shuffle (the window partition by group).
+    """
+    from pyspark.sql import Window
+
+    h = split_hash(id_col, salt)
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .withColumn("sample_rank", rn)
+        .where(F.col("sample_rank") <= cap)
+    )
+
+
+def length_bucket_padding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket: int = 64,
+) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching.
+
+    Batching variable-length documents pads every sequence to its batch's
+    longest member; bucketing by length bounds that waste. Buckets here
+    are multiples of ``bucket`` tokens (a doc of n tokens pads to
+    ceil(n/bucket)*bucket). Returns, per bucket: document count, real
+    token sum, the padded token sum, the padding fraction — and the
+    fraction the same documents would waste if padded to the corpus-wide
+    max bucket instead (the single-bucket strawman), which is what
+    justifies bucketing in the first place.
+
+    One data-sized aggregate (map-side partial), then a 1-row global max
+    broadcast back over the tiny bucket table.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    cap = (F.floor((n_tokens - 1) / bucket) + 1) * bucket
+    per = (
+        df.where(n_tokens > 0)
+        .select(cap.alias("bucket_cap"), n_tokens.alias("toks"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("token_sum"),
+        )
+    )
+    gmax = per.agg(F.max("bucket_cap").alias("max_cap"))
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    padded = F.col("n_docs") * F.col("bucket_cap")
+    padded_g = F.col("n_docs") * F.col("max_cap")
+    return per.crossJoin(F.broadcast(gmax)).select(
+        "bucket_cap",
+        "n_docs",
+        "token_sum",
+        padded.alias("padded_sum"),
+        _r6(F.lit(1.0) - F.col("token_sum") / padded).alias("pad_frac"),
+        _r6(F.lit(1.0) - F.col("token_sum") / padded_g).alias("pad_frac_global"),
+    )

@@ -473,3 +473,49 @@ def bigram_lm_scores(
         F.round(-F.avg(t), 4).alias("bits_per_word"),
         F.round(F.pow(F.lit(2.0), -F.avg(t)), 2).alias("perplexity"),
     )
+
+
+def word_subsample_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    t: float = 1e-3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Frequency-based word subsampling weights (word2vec-style).
+
+    High-frequency words carry little training signal per occurrence;
+    the classic remedy keeps an occurrence of word w with probability
+    p_keep = min(1, (sqrt(f/t) + 1) * t/f) where f is the word's corpus
+    frequency and ``t`` the subsample threshold — rare words are always
+    kept, the head is downsampled toward sqrt.
+
+    Returns the ``top_n`` most frequent words with their count, corpus
+    frequency, and keep probability. One data-sized explode+aggregate
+    (map-side partial combine keeps the shuffle at vocabulary width),
+    a 1-row total broadcast back, and a top-k (TakeOrderedAndProject —
+    never a global sort).
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    freq = F.col("cnt").cast("double") / F.col("total")
+    keep = F.least(
+        F.lit(1.0), (F.sqrt(freq / t) + F.lit(1.0)) * (F.lit(t) / freq)
+    )
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "cnt",
+            _r6(freq).alias("freq"),
+            _r6(keep).alias("p_keep"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(top_n)
+    )

@@ -2176,3 +2176,136 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
         k=10, n_cells=16, n_probe=8, m=16, n_codes=16, dim=64, shortlist=80,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (second half): mixture weighting, quota sampling, batching stats
+# ---------------------------------------------------------------------------
+_R6 = "floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+@query(
+    "domain_mixture_weights",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS w_total
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(power(CAST(w_total AS DOUBLE), 0.7)) AS wsum,
+                   CAST(sum(w_total) AS DOUBLE) AS tsum
+            FROM per
+        )
+        SELECT source, n_docs, w_total,
+               {_R6.format(expr="CAST(w_total AS DOUBLE) / tsum")} AS p_natural,
+               {_R6.format(expr="power(CAST(w_total AS DOUBLE), 0.7) / wsum")} AS p_mixture,
+               {_R6.format(expr="(power(CAST(w_total AS DOUBLE), 0.7) / wsum)"
+                                " / (CAST(w_total AS DOUBLE) / tsum)")} AS boost
+        FROM per, tot
+    """,
+    description="Temperature-scaled domain mixture weights (alpha=0.7): "
+    "p_i = c_i^a / sum c_j^a flattens the source distribution for "
+    "training blends; boost = mixture/natural share. One map-side-"
+    "combined aggregate over the corpus + a broadcast 1-row reduce.",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.domain_mixture_weights(
+        load(spark, sf_dir, "documents"), group_col="source",
+        weight_col="n_chars", alpha=0.7,
+    )
+
+
+def _quota_oracle() -> str:
+    from node_mongo2influx_spark.functions.phash import fnv1a32_duckdb_sql
+
+    h = fnv1a32_duckdb_sql("concat(CAST(doc_id AS VARCHAR), ':quota-v1')")
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {h}, doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        SELECT doc_id, source, sample_rank
+        FROM ranked WHERE sample_rank <= 15
+    """
+
+
+@query(
+    "quota_sample_per_source",
+    oracle=_quota_oracle(),
+    description="Per-domain quota sampling: cap each source at 15 docs "
+    "chosen by portable-FNV hash rank — deterministic, engine-replayable, "
+    "stable under re-runs; one window shuffle partitioned by source.",
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.quota_sample(
+        load(spark, sf_dir, "documents"), group_col="source",
+        id_col="doc_id", cap=15, salt="quota-v1",
+    )
+
+
+@query(
+    "length_bucket_padding_stats",
+    oracle=f"""
+        WITH docs AS (
+            SELECT (floor((len(string_split(text, ' ')) - 1) / 64) + 1) * 64
+                       AS bucket_cap,
+                   len(string_split(text, ' ')) AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        ),
+        per AS (
+            SELECT bucket_cap, count(*) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS token_sum
+            FROM docs GROUP BY bucket_cap
+        ),
+        g AS (SELECT max(bucket_cap) AS max_cap FROM per)
+        SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, n_docs, token_sum,
+               CAST(n_docs * bucket_cap AS BIGINT) AS padded_sum,
+               {_R6.format(expr="1.0 - CAST(token_sum AS DOUBLE) / (n_docs * bucket_cap)")} AS pad_frac,
+               {_R6.format(expr="1.0 - CAST(token_sum AS DOUBLE) / (n_docs * max_cap)")} AS pad_frac_global
+        FROM per, g
+    """,
+    description="Length-bucketed batching padding-waste accounting: docs "
+    "pad to the next 64-token bucket cap; per-bucket waste vs the pad-to-"
+    "global-max strawman. Map-side-combined aggregate + 1-row max "
+    "broadcast.",
+)
+def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.length_bucket_padding(
+        load(spark, sf_dir, "documents"), text_col="text",
+        id_col="doc_id", bucket=64,
+    )
+
+
+@query(
+    "word_subsample_weights",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ),
+        counts AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+        SELECT word, cnt,
+               {_R6.format(expr="CAST(cnt AS DOUBLE) / total")} AS freq,
+               {_R6.format(expr="least(1.0, (sqrt((CAST(cnt AS DOUBLE) / total) / 0.001) + 1.0)"
+                                " * (0.001 / (CAST(cnt AS DOUBLE) / total)))")} AS p_keep
+        FROM counts, tot
+        ORDER BY cnt DESC, word
+        LIMIT 50
+    """,
+    description="word2vec-style frequency subsampling weights: "
+    "p_keep = min(1, (sqrt(f/t)+1)*t/f), t=1e-3 — downsample the head, "
+    "keep the tail. Explode + vocab-width aggregate + top-k "
+    "(TakeOrderedAndProject).",
+)
+def word_subsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.word_subsample_weights(
+        load(spark, sf_dir, "documents"), text_col="text", t=1e-3, top_n=50,
+    )

@@ -344,6 +344,9 @@ _SCALAR_CROSSJOIN_OK = {
     "knn_cosine_bruteforce",  # exact tier: broadcast query side (≤5 rows)
     "embedding_neardup_pairs",  # exact all-pairs oracle tier (documented)
     "locf_forward_fill",      # 1-row bounds aggregate × distinct types
+    "domain_mixture_weights",  # 1-row alpha-sum scalar × n_domains rows
+    "length_bucket_padding_stats",  # 1-row global-max × n_buckets rows
+    "word_subsample_weights",  # 1-row corpus-total × vocab rows
 }
 
 #: Queries whose Python-eval node is the deliverable itself.

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.operators import sampling
@@ -130,3 +131,69 @@ def test_shuffle_order_is_permutation_and_bucket_invariant(spark, sf_dir):
         for r in sampling.shuffle_order(docs, n_buckets=16).collect()
     }
     assert a == b
+
+
+def test_quota_sample_caps_and_is_deterministic(spark, sf_dir, request):
+    from node_mongo2influx_spark.plans import load_registry
+
+    reg = load_registry()
+    a = reg["quota_sample_per_source"].fn(spark, sf_dir).collect()
+    b = reg["quota_sample_per_source"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    for src, ranks in per.items():
+        assert max(ranks) <= 15, src
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_domain_mixture_weights_flatten(spark, sf_dir):
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["domain_mixture_weights"].fn(spark, sf_dir).collect()
+    p_nat = sum(r["p_natural"] for r in rows)
+    p_mix = sum(r["p_mixture"] for r in rows)
+    assert abs(p_nat - 1.0) < 1e-4 and abs(p_mix - 1.0) < 1e-4
+    # alpha < 1 flattens: the biggest domain is downweighted, the
+    # smallest upweighted.
+    big = max(rows, key=lambda r: r["w_total"])
+    small = min(rows, key=lambda r: r["w_total"])
+    assert big["boost"] <= 1.0 + 1e-9
+    assert small["boost"] >= 1.0 - 1e-9
+
+
+def test_length_bucket_padding_matches_python(spark, sf_dir):
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["length_bucket_padding_stats"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    buckets = {}
+    for d in docs:
+        n = len(d["text"].split(" "))
+        cap = ((n - 1) // 64 + 1) * 64
+        c, s = buckets.get(cap, (0, 0))
+        buckets[cap] = (c + 1, s + n)
+    assert {r["bucket_cap"]: (r["n_docs"], r["token_sum"]) for r in rows} == buckets
+    for r in rows:
+        assert 0 <= r["pad_frac"] <= r["pad_frac_global"] < 1
+
+
+def test_word_subsample_weights_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["word_subsample_weights"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    c = Counter(w for d in docs for w in d["text"].lower().split(" "))
+    total = sum(c.values())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [(r["word"], r["cnt"]) for r in rows] == top
+    import math
+
+    for r in rows:
+        f = r["cnt"] / total
+        keep = min(1.0, (math.sqrt(f / 1e-3) + 1) * (1e-3 / f))
+        assert r["p_keep"] == pytest.approx(keep, abs=1e-6)
+        assert r["freq"] == pytest.approx(f, abs=1e-6)
