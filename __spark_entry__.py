@@ -85,6 +85,7 @@ _RECHECK_FIRST = (
     "quota_sample_per_source",
     "length_bucket_padding_stats",
     "word_subsample_weights",
+    "bm25_keyword_topk",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

@@ -519,3 +519,76 @@ def word_subsample_weights(
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(top_n)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-N documents for a fixed term set.
+
+    The lexical-search counterpart to the ANN operators: score(d) =
+    sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) (the non-negative Lucene
+    variant).
+
+    Scale shape: for a FIXED query, no inverted index and no vocabulary
+    shuffle is needed — one map-side-combined pass reduces the corpus to
+    a SINGLE stats row (N, avgdl, one df counter per term), broadcast
+    back over a second scan that scores and top-Ks
+    (TakeOrderedAndProject). Per-term tf is a filter-count over the
+    already-split word array, all inside whole-stage codegen.
+    """
+    for t in terms:
+        if "'" in t:
+            raise ValueError("terms must not contain quotes")
+    words = F.split(F.lower(F.col(text_col)), " ")
+
+    def _tf(term: str) -> Column:
+        # A closure factory: an inline two-arg lambda would be taken for
+        # PySpark's (element, index) higher-order signature.
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    docs = df.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        score = score + idf * (tf * (k1 + 1.0)) / norm
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("dl"),
+            _r6(score).alias("bm25"),
+        )
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_n)
+    )

@@ -2309,3 +2309,64 @@ def word_subsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_subsample_weights(
         load(spark, sf_dir, "documents"), text_col="text", t=1e-3, top_n=50,
     )
+
+
+_BM25_TERMS = ("join", "window", "hash")
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k1=1.2, b=0.75, top_n=20) -> str:
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(string_split(lower(text), ' '), w -> w = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS dl,
+                   {tf_cols}
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                   {df_cols}
+            FROM docs
+        ),
+        scored AS (
+            SELECT doc_id, dl,
+                   {_R6.format(expr=score)} AS bm25
+            FROM docs, stats
+        )
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl, bm25
+        FROM scored WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {top_n}
+    """
+
+
+@query(
+    "bm25_keyword_topk",
+    oracle=_bm25_oracle(),
+    description="Okapi BM25 lexical retrieval (Lucene idf variant) for a "
+    "fixed 3-term query — the keyword-search counterpart to the ANN tier. "
+    "For a fixed query no inverted index is needed: one map-side-combined "
+    "pass reduces the corpus to a 1-row stats record (N, avgdl, per-term "
+    "df) broadcast over a scoring scan + TakeOrderedAndProject; per-term "
+    "tf is a codegen filter-count, no explode, no vocabulary shuffle.",
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        load(spark, sf_dir, "documents"), terms=_BM25_TERMS,
+        text_col="text", id_col="doc_id", k1=1.2, b=0.75, top_n=20,
+    )

@@ -347,6 +347,7 @@ _SCALAR_CROSSJOIN_OK = {
     "domain_mixture_weights",  # 1-row alpha-sum scalar × n_domains rows
     "length_bucket_padding_stats",  # 1-row global-max × n_buckets rows
     "word_subsample_weights",  # 1-row corpus-total × vocab rows
+    "bm25_keyword_topk",      # 1-row (N, avgdl, per-term df) stats record
 }
 
 #: Queries whose Python-eval node is the deliverable itself.

@@ -115,3 +115,37 @@ def test_bigram_lm_scores_known_corpus(spark):
     # one-word docs have no bigrams and drop out
     df2 = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert text.bigram_lm_scores(df2).count() == 0
+
+
+def test_bm25_matches_python(spark, sf_dir):
+    import math
+
+    from node_mongo2influx_spark.plans import load_registry
+    from node_mongo2influx_spark.plans.llm_ops import _BM25_TERMS
+
+    rows = load_registry()["bm25_keyword_topk"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    k1, b = 1.2, 0.75
+    toks = {d["doc_id"]: d["text"].lower().split(" ") for d in docs}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {
+        t: sum(1 for w in toks.values() if t in w) for t in _BM25_TERMS
+    }
+    scores = {}
+    for did, w in toks.items():
+        s = 0.0
+        for t in _BM25_TERMS:
+            tf = w.count(t)
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        scores[did] = s
+    expect = sorted(
+        ((round(math.floor(s * 1e6 + 0.5) / 1e6, 10), did) for did, s in scores.items() if s > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [(r["bm25"], r["doc_id"]) for r in rows]
+    assert [(s, d) for s, d in got] == [(s, d) for s, d in expect]
+    assert all(r["dl"] == len(toks[r["doc_id"]]) for r in rows)
