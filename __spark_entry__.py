@@ -86,6 +86,7 @@ _RECHECK_FIRST = (
     "length_bucket_padding_stats",
     "word_subsample_weights",
     "bm25_keyword_topk",
+    "cdc_chunking",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

@@ -627,3 +627,101 @@ def incremental_exact(
         .otherwise(F.lit("new"))
     )
     return out.select(F.col(id_col), status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round 4)
+# ---------------------------------------------------------------------------
+def _cdc_hash_nested(parts: list[str]) -> str:
+    """Nested FNV-1a fold over a fixed window of char codes — the SAME
+    string structure is emitted for Spark and DuckDB (only the xor
+    spelling differs), so both engines run identical integer arithmetic.
+    """
+    acc = "2166136261"
+    for p in parts:
+        acc = f"((XOR({acc}, {p}) * 16777619) & 4294967295)"
+    return acc
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each document where a rolling hash
+    of the last ``window`` characters hits ``h % divisor == 0``.
+
+    The storage-dedup primitive (FastCDC/rsync family): because chunk
+    boundaries depend only on LOCAL content, an insertion early in a
+    document shifts at most one chunk's boundary — fixed-size chunking
+    would shift every subsequent chunk and defeat chunk-level dedup.
+    Expected chunk length ≈ ``divisor`` characters.
+
+    Execution shape: the rolling hash is computed by zipping the
+    char-code array against its own shifted slices (the round-4 n-gram
+    pattern — codegen walks the arrays in lockstep; a per-position
+    ``transform(sequence(...))`` would re-enter subscript machinery per
+    element). Everything is per-row Column work: ZERO shuffles, chunks
+    at scan speed. Output stays narrow: chunk spans + md5 fingerprints,
+    not chunk text.
+
+    ASCII corpora only as written (boundary positions index CHARACTERS;
+    ``length(text)`` == char-array size only for 1-byte code points —
+    true of the fixtures and asserted cheap via the n_chars column).
+    """
+    w = window
+    n = "length(__t)"
+    cs = "transform(split(__t, ''), c -> ascii(c))"
+    slices = [f"slice(__cs, {i + 1}, greatest(__n - {w - 1}, 0))" for i in range(w)]
+    # zip chain over the window's shifted slices: the first zip folds the
+    # basis + two chars, each further zip folds in the next slice.
+    expr = f"zip_with({slices[0]}, {slices[1]}, (x, y) -> " + (
+        "((((2166136261 ^ x) * 16777619) & 4294967295) ^ y))"
+    )
+    for i in range(2, w):
+        expr = (
+            f"zip_with({expr}, {slices[i]}, (a, y) -> "
+            "(((a * 16777619) & 4294967295) ^ y))"
+        )
+    hs = f"transform({expr}, a -> (a * 16777619) & 4294967295)"
+    bounds = (
+        f"CASE WHEN __n >= {w} THEN "
+        f"filter(zip_with({hs}, sequence({w}, greatest(__n, {w})), "
+        f"(h, p) -> IF(h % {divisor} = 0 AND p < __n, p, -1)), x -> x > 0) "
+        "ELSE array() END"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+    ).selectExpr(id_col, "__t", f"{n} AS __n").selectExpr(
+        id_col, "__t", "__n", f"{cs} AS __cs"
+    )
+    spans = base.selectExpr(
+        id_col,
+        "__t",
+        "__n",
+        f"{bounds} AS __bounds",
+    ).selectExpr(
+        id_col,
+        "__t",
+        "concat(array(1), transform(__bounds, b -> b + 1)) AS __starts",
+        "concat(__bounds, array(__n)) AS __ends",
+    )
+    ex = spans.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.posexplode(
+            F.arrays_zip(F.col("__starts").alias("s"), F.col("__ends").alias("e"))
+        ).alias("__i", "__se"),
+    )
+    return ex.select(
+        F.col(id_col),
+        (F.col("__i") + 1).cast("int").alias("chunk_no"),
+        F.col("__se.s").cast("bigint").alias("chunk_start"),
+        (F.col("__se.e") - F.col("__se.s") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(__t, __se.s, __se.e - __se.s + 1)")
+        ).alias("chunk_md5"),
+    )

@@ -2370,3 +2370,55 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), terms=_BM25_TERMS,
         text_col="text", id_col="doc_id", k1=1.2, b=0.75, top_n=20,
     )
+
+
+def _cdc_oracle(window: int = 4, divisor: int = 64) -> str:
+    from node_mongo2influx_spark.operators.dedup import _cdc_hash_nested
+
+    parts = [f"cs[i - {window - 1 - j}]" for j in range(window)]
+    h = _cdc_hash_nested(parts).replace("XOR", "xor")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n,
+                   list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+            FROM documents
+        ),
+        bounded AS (
+            SELECT doc_id, text, n,
+                   list_filter(
+                       list_transform(generate_series({window}, n),
+                           i -> CASE WHEN ({h}) % {divisor} = 0 AND i < n
+                                THEN i ELSE -1 END),
+                       x -> x > 0) AS bounds
+            FROM base
+        ),
+        spans AS (
+            SELECT doc_id, text,
+                   list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
+                   list_append(bounds, n) AS ends
+            FROM bounded
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_no,
+               CAST(starts[i] AS BIGINT) AS chunk_start,
+               CAST(ends[i] - starts[i] + 1 AS BIGINT) AS chunk_len,
+               md5(substr(text, starts[i], ends[i] - starts[i] + 1)) AS chunk_md5
+        FROM spans, unnest(generate_series(1, len(starts))) AS t(i)
+    """
+
+
+@query(
+    "cdc_chunking",
+    oracle=_cdc_oracle(),
+    description="Content-defined chunking (FastCDC/rsync family): split "
+    "where a rolling 4-char FNV hits h%64==0, so an edit shifts at most "
+    "one chunk boundary instead of every later chunk. Rolling hash via "
+    "the zip-of-shifted-slices pattern — zero shuffles, chunks at scan "
+    "speed; output is narrow spans + md5 fingerprints ready for "
+    "chunk-level dedup.",
+)
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cdc_chunks(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        window=4, divisor=64,
+    )

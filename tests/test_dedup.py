@@ -159,3 +159,63 @@ def test_incremental_exact_statuses(spark):
         12: "dup_delta",
         13: "new",
     }
+
+
+def _cdc_python(text: str, window: int = 4, divisor: int = 64):
+    n = len(text)
+    cs = [ord(c) for c in text]
+    bounds = []
+    for i in range(window, n + 1):
+        acc = 2166136261
+        for j in range(i - window, i):
+            acc = ((acc ^ cs[j]) * 16777619) & 4294967295
+        if acc % divisor == 0 and i < n:
+            bounds.append(i)
+    starts = [1] + [b + 1 for b in bounds]
+    ends = bounds + [n]
+    return [
+        (k + 1, s, e - s + 1, text[s - 1 : e])
+        for k, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+def test_cdc_chunks_match_python(spark, sf_dir):
+    import hashlib
+
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["cdc_chunking"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["chunk_start"], r["chunk_len"], r["chunk_md5"])
+        )
+    assert set(got) == set(docs)
+    for did, text in docs.items():
+        exp = [
+            (no, s, ln, hashlib.md5(chunk.encode()).hexdigest())
+            for no, s, ln, chunk in _cdc_python(text)
+        ]
+        assert sorted(got[did]) == exp, did
+        # chunks reassemble to the document
+        assert sum(ln for _, _, ln, _ in exp) == len(text)
+
+
+def test_cdc_boundaries_are_edit_local(spark):
+    # The CDC invariant: prepending text changes chunking only near the
+    # edit — chunk fingerprints downstream of the first post-edit
+    # boundary are IDENTICAL (fixed-size chunking would shift them all).
+    base = " ".join(f"w{(i * 2654435761) % 9973}" for i in range(400))
+    edited = "INSERTED PREFIX " + base
+    chunks_a = {c[3] for c in _cdc_python(base)}
+    chunks_b = {c[3] for c in _cdc_python(edited)}
+    shared = chunks_a & chunks_b
+    # all but the chunk(s) straddling the edit survive
+    assert len(shared) >= len(chunks_a) - 2
+    assert len(chunks_a) > 30  # the probe actually chunks
