@@ -87,6 +87,8 @@ _RECHECK_FIRST = (
     "word_subsample_weights",
     "bm25_keyword_topk",
     "cdc_chunking",
+    "embedding_gram_matrix",
+    "random_projection_jl",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

@@ -1161,3 +1161,115 @@ def knn_cosine_ivfpq(
     return _score_candidates_topk(
         cand, corpus, queries, id_col, vec_col, k, round_to
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear algebra over embedding columns (round 4)
+# ---------------------------------------------------------------------------
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 16,
+) -> DataFrame:
+    """Distributed Gram matrix: the upper triangle of X^T X over the
+    first ``dims`` vector components.
+
+    The building block for PCA / whitening / covariance QA at corpus
+    scale: each row contributes its d(d+1)/2 products (pure per-row
+    Column work), and ONE aggregation with map-side partial combine
+    reduces 100 TB of vectors to d² numbers — the only data that ever
+    moves is the (i, j, partial-sum) triples per partition. Mean-center
+    downstream with the norm QA query's per-dim means to get covariance.
+    """
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(0, {dims - 1}), i ->
+            transform(sequence(i, {dims - 1}), j ->
+                struct(i, j,
+                       CAST(element_at({vec_col}, i + 1) AS DOUBLE)
+                       * CAST(element_at({vec_col}, j + 1) AS DOUBLE) AS p))))
+        """
+    )
+    ex = df.select(F.explode(pairs).alias("e"))
+    return (
+        ex.groupBy(
+            F.col("e.i").cast("bigint").alias("i"),
+            F.col("e.j").cast("bigint").alias("j"),
+        )
+        .agg(F.sum("e.p").alias("s"))
+        .select(
+            "i",
+            "j",
+            (F.floor(F.col("s") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "gram"
+            ),
+        )
+    )
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas dense-sign variant),
+    derived from integer arithmetic any engine can replay: sign(i, j) =
+    low bit of murmur3's fmix32 finalizer over i*256+j. The finalizer
+    matters: a single multiplicative hash leaves a lattice (rows j, j+4
+    agreed on ~95% of signs here), and a plain parity of odd-constant
+    combinations collapses to the (i+j) mod 2 checkerboard — rank 1,
+    useless as a JL map. fmix32's xor-shift cascade measures ~0.3 max
+    |row·row'|/d, the random-matrix expectation. Returned as
+    ``out_dim`` rows of ``in_dim`` signs; tested for mixing in
+    tests/test_similarity.py."""
+
+    def fmix32(h: int) -> int:
+        h &= 0xFFFFFFFF
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h
+
+    return [
+        [
+            1.0 if fmix32(i * 256 + j) & 1 else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims.
+
+    Pairwise distances survive (w.h.p.) projection onto out_dim random
+    ±1 directions scaled by 1/sqrt(out_dim) — the cheap preconditioner
+    before ANN indexing or clustering when 100 TB of wide embeddings
+    won't fit the working set. The sign matrix is DERIVED, not stored:
+    both Spark and any oracle replay it from integer parity, so the
+    projection needs no side table, no broadcast, no randomness at run
+    time. Per row: out_dim zip_with folds in fixed left-to-right order
+    (bit-identical across engines); zero shuffles.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim)
+    scale = f"sqrt(CAST({out_dim} AS DOUBLE))"
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        lit = "array(" + ", ".join(f"{s:.1f}D" for s in signs[j]) + ")"
+        fold = (
+            f"aggregate(zip_with({vec_col}, {lit}, "
+            "(x, s) -> CAST(x AS DOUBLE) * s), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        # 1e6/5e-1 spell DOUBLE literals: a bare `1000000.0` in Spark SQL
+        # text parses as DECIMAL and the whole expression goes decimal.
+        cols.append(
+            F.expr(
+                f"floor(({fold}) / {scale} * 1e6 + 5e-1) / 1e6"
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols)

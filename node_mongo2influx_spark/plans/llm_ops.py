@@ -2422,3 +2422,62 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
         window=4, divisor=64,
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+        SELECT CAST(t.i AS BIGINT) AS i, CAST(u.j AS BIGINT) AS j,
+               {_R6.format(expr="sum(CAST(embedding[t.i + 1] AS DOUBLE)"
+                                " * CAST(embedding[u.j + 1] AS DOUBLE))")} AS gram
+        FROM embeddings,
+             unnest(generate_series(0, 15)) AS t(i),
+             unnest(generate_series(0, 15)) AS u(j)
+        WHERE u.j >= t.i
+        GROUP BY t.i, u.j
+    """,
+    description="Distributed Gram matrix (upper triangle of X^T X over "
+    "the first 16 dims): each row contributes its d(d+1)/2 products "
+    "per-row, one map-side-combined aggregate reduces the corpus to d^2 "
+    "numbers — the PCA/whitening/covariance building block where only "
+    "(i, j, partial sum) triples ever move.",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.gram_matrix(
+        load(spark, sf_dir, "embeddings"), vec_col="embedding", dims=16,
+    )
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 8) -> str:
+    signs = similarity.jl_sign_matrix(in_dim, out_dim)
+    cols = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(f"{s:.1f}" for s in signs[j]) + "]"
+        fold = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {in_dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), "
+            "(a, v) -> a + v)"
+        )
+        cols.append(
+            f"floor(({fold}) / sqrt(CAST({out_dim} AS DOUBLE)) "
+            f"* 1000000.0 + 0.5) / 1000000.0 AS p{j}"
+        )
+    sep = ",\n               ".join(cols)
+    return f"SELECT vec_id,\n               {sep}\n        FROM embeddings"
+
+
+@query(
+    "random_projection_jl",
+    oracle=_jl_oracle(),
+    description="Johnson-Lindenstrauss projection to 8 dims via a "
+    "DERIVED ±1 sign matrix (integer parity — no side table, no "
+    "broadcast, no runtime randomness). Per-row left-fold zip_with sums "
+    "are bit-identical across engines; zero shuffles, scan-speed "
+    "dimensionality reduction ahead of ANN/clustering.",
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.random_project(
+        load(spark, sf_dir, "embeddings"), vec_col="embedding",
+        id_col="vec_id", in_dim=64, out_dim=8,
+    )

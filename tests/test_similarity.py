@@ -304,3 +304,65 @@ def test_ivfpq_residual_reconstruction_beats_raw_pq(emb):
         for r in enc_raw
     )
     assert err_r < err_raw, (err_r, err_raw)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["embedding_gram_matrix"].fn(spark, sf_dir).collect()
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )[:, :16]
+    G = X.T @ X
+    assert len(rows) == 16 * 17 // 2
+    for r in rows:
+        assert r["gram"] == pytest.approx(G[r["i"], r["j"]], abs=2e-6), (r["i"], r["j"])
+
+
+def test_random_projection_matches_numpy_and_preserves_distance(spark, sf_dir):
+    import numpy as np
+
+    from node_mongo2influx_spark.operators.similarity import jl_sign_matrix
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["random_projection_jl"].fn(spark, sf_dir).collect()
+    data = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    S = np.array(jl_sign_matrix(64, 8))  # (8, 64)
+    # the sign matrix is genuinely mixed, not a degenerate checkerboard
+    col_corr = np.abs(S @ S.T) / 64.0
+    off = col_corr - np.diag(np.diag(col_corr))
+    assert off.max() < 0.5
+    proj = {}
+    for r in rows:
+        got = np.array([r[f"p{j}"] for j in range(8)])
+        exp = S @ data[r["vec_id"]] / np.sqrt(8.0)
+        assert np.allclose(got, exp, atol=2e-6), r["vec_id"]
+        proj[r["vec_id"]] = got
+    # JL guarantees (k=8): E||Px||^2 == ||x||^2 (unbiased) and pairwise
+    # sq-distance distortion ~ sqrt(2/k). NOT a correlation gate: these
+    # clustered unit vectors are near-equidistant (sq-distance spread
+    # ~12% of mean), so even a perfect-in-expectation projection shows
+    # weak correlation — distortion is the dimension-free property.
+    ids = sorted(data)[:80]
+    orig = np.array([data[i] for i in ids])
+    low = np.array([proj[i] for i in ids])
+    norm_ratio = (low**2).sum() / (orig**2).sum()
+    assert 0.85 < norm_ratio < 1.15, norm_ratio
+    do = ((orig[:, None, :] - orig[None, :, :]) ** 2).sum(-1).ravel()
+    dl = ((low[:, None, :] - low[None, :, :]) ** 2).sum(-1).ravel()
+    mask = do > 0
+    rel = np.abs(dl[mask] / do[mask] - 1.0)
+    assert rel.mean() < 0.6, rel.mean()  # theory: ~sqrt(2/pi)*sqrt(2/k)=0.4
