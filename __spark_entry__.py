@@ -89,6 +89,7 @@ _RECHECK_FIRST = (
     "cdc_chunking",
     "embedding_gram_matrix",
     "random_projection_jl",
+    "semantic_dedup_ivf",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

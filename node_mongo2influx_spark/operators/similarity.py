@@ -1273,3 +1273,44 @@ def random_project(
             ).alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every embedding whose
+    duplicate-cluster has a smaller canonical member; keep the survivors.
+
+    Pipeline: IVF-cell candidate pairs (exact cosine scored, so every
+    edge is TRUE — see :func:`cosine_pairs_ivf`) → connected components
+    (pointer jumping, O(log diameter) rounds) → broadcast anti-join of
+    the drop list. Because edges are exact-verified, missed candidates
+    only SPLIT components: every id this operator drops would also be
+    dropped by the exact all-pairs dedup (precision 1 structurally —
+    asserted in tests along with recall ≥ 0.7 of the exact drop set).
+
+    Scale shape: candidates are within-cell equi-joins (never all-pairs),
+    components move (id, label) pairs only, and the drop list is
+    O(duplicates) — broadcastable by construction.
+    """
+    from node_mongo2influx_spark.operators.dedup import components_from_pairs
+
+    pairs = cosine_pairs_ivf(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_cells=n_cells, n_assign=n_assign, dim=dim,
+    )
+    comp = components_from_pairs(pairs, a_col="vec_a", b_col="vec_b")
+    drops = comp.where(F.col("component_id") < F.col("doc_id")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return df.join(
+        F.broadcast(drops),
+        df[id_col] == F.col("__drop_id"),
+        "left_anti",
+    )

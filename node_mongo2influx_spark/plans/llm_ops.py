@@ -2481,3 +2481,21 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), vec_col="embedding",
         id_col="vec_id", in_dim=64, out_dim=8,
     )
+
+
+@query(
+    "semantic_dedup_ivf",
+    oracle=None,  # approximate candidate tier; precision/recall gated in tests
+    description="SemDeDup: semantic near-dup removal over embeddings — "
+    "IVF-cell candidate pairs (exact-cosine verified edges), pointer-"
+    "jumping components, broadcast anti-join drop list. Missed candidates "
+    "only split components, so every drop is exact-justified (precision "
+    "1 structurally; recall vs the all-pairs drop set gated ≥0.7 in "
+    "tests/test_similarity.py).",
+)
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_cells=16, n_assign=3, dim=64,
+    ).select("vec_id", "label")

@@ -323,7 +323,7 @@ def test_shuffle_order_no_global_sort(spark, sf_dir, reg):
 _LINT_SKIP = {
     "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
     "knn_cosine_ivf", "knn_cosine_pq", "knn_cosine_ivfpq",
-    "embedding_neardup_ivf",
+    "embedding_neardup_ivf", "semantic_dedup_ivf",
 }
 
 #: Queries where a BroadcastNestedLoopJoin is the INTENDED plan, each with

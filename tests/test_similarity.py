@@ -366,3 +366,44 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark, sf_dir):
     mask = do > 0
     rel = np.abs(dl[mask] / do[mask] - 1.0)
     assert rel.mean() < 0.6, rel.mean()  # theory: ~sqrt(2/pi)*sqrt(2/k)=0.4
+
+
+def test_semantic_dedup_precision_and_recall(spark, sf_dir):
+    import numpy as np
+
+    from node_mongo2influx_spark.plans import load_registry
+
+    reg = load_registry()
+    kept = {
+        r["vec_id"] for r in reg["semantic_dedup_ivf"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    sims = X @ X.T
+    # exact dedup decision: union-find over all pairs >= threshold
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ii, jj = np.where(np.triu(sims >= 0.4, k=1))
+    for a, b in zip(ids[ii], ids[jj]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    true_drops = {int(i) for i in ids if find(int(i)) < int(i)}
+    got_drops = set(int(i) for i in ids) - kept
+    assert true_drops, "fixture has no semantic dups; gate is vacuous"
+    # every drop is exact-justified (structural precision 1)
+    assert got_drops <= true_drops, got_drops - true_drops
+    recall = len(got_drops) / len(true_drops)
+    assert recall >= 0.7, recall
