@@ -370,3 +370,82 @@ def ohlc_stream(
             "n_events",
         )
     )
+
+
+def transform_with_state_supported() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state protocol over
+    protobuf; without the ``google.protobuf`` package the driver worker
+    crashes AT STREAM START (ImportError inside StateMessage_pb2), not at
+    plan time. Probe before starting a query; the container this repo is
+    developed in ships pyspark without protobuf, so the operator below is
+    exercised only where the dependency exists (tests skip cleanly)."""
+    import importlib.util
+
+    try:
+        # find_spec imports the PARENT package of a dotted name, so a
+        # missing `google` namespace raises instead of returning None.
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def stateful_type_profile(
+    source: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key event-type profile via Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` with COMPOSABLE typed
+    state. Here a MapState (event_type → running count) maintains each
+    user's type histogram across micro-batches; a flat GroupState tuple
+    can't express a growing keyed collection without serializing the whole
+    map through one value.
+
+    Emits (key, n_types, n_events) per updated key per batch; the final
+    row per key equals the batch groupBy(countDistinct, count) — asserted
+    in tests. State is keyed per (user, type) in RocksDB/HDFSBackedStore:
+    bounded by live cardinality, not stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("type_counts", "t string", "c long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            fresh: dict[str, int] = {}
+            for pdf in rows:
+                for t, c in pdf[type_col].value_counts().items():
+                    fresh[str(t)] = fresh.get(str(t), 0) + int(c)
+            for t, c in fresh.items():
+                prev = (
+                    self._counts.getValue((t,))[0]
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                self._counts.updateValue((t,), (prev + c,))
+            n_types, n_events = 0, 0
+            for _, (cnt,) in self._counts.iterator():
+                n_types += 1
+                n_events += cnt
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_types": [n_types],
+                    "n_events": [n_events],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return source.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TypeProfile(),
+        outputStructType="key long, n_types long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -453,3 +453,55 @@ def test_ohlc_stream_matches_batch(spark, events_stream_dir, tmp_path):
         .collect()
     }
     assert got == exp and len(got) > 100
+
+
+def test_transform_with_state_type_profile(spark, events_stream_dir, tmp_path):
+    # Spark 4 transformWithStateInPandas: MapState histogram per user.
+    # timeMode="None" → the query genuinely drains under availableNow.
+    if not sp.transform_with_state_supported():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (its state "
+            "protocol); not installed in this container"
+        )
+    schema = spark.read.parquet(events_stream_dir).schema
+    source = sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=2)
+    out = sp.stateful_type_profile(source)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_profile")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT key, max(n_types) AS t, max(n_events) AS n "
+        "FROM tws_profile GROUP BY key"
+    ).collect()
+    batch = {
+        r["user_id"]: (r["t"], r["n"])
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    final = {r["key"]: (r["t"], r["n"]) for r in got}
+    # MapState accumulated across micro-batches == batch ground truth
+    assert final == batch
+
+
+def test_transform_with_state_plan_composes_without_protobuf(
+    spark, events_stream_dir
+):
+    # Plan composition and output schema never need the protobuf runtime —
+    # only stream START does. This keeps the operator's plumbing covered
+    # even where the state protocol dependency is absent.
+    schema = spark.read.parquet(events_stream_dir).schema
+    source = sp.read_stream(spark, events_stream_dir, schema)
+    out = sp.stateful_type_profile(source)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["key", "n_types", "n_events"]
