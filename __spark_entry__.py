@@ -90,6 +90,9 @@ _RECHECK_FIRST = (
     "embedding_gram_matrix",
     "random_projection_jl",
     "semantic_dedup_ivf",
+    "cdc_shared_chunks",
+    "gopher_quality_flags",
+    "cooccurrence_pmi",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

@@ -592,3 +592,80 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(top_n)
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 2,
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Pointwise mutual information over the skip-gram co-occurrence
+    matrix: pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) — the collocation
+    score that separates genuinely associated pairs from pairs that
+    co-occur only because both words are frequent (raw counts, which
+    :func:`cooccurrence_pairs` ranks by, can't tell these apart).
+
+    Shuffle budget: pair counts (map-side combined, one concatenated
+    key), unigram counts (vocab-wide), two 1-row totals broadcast back,
+    and the pair⋈unigram joins are UNHINTED — the vocabulary scales
+    with the corpus, exactly the tfidf rule. Top-k by pmi among pairs
+    seen ≥ ``min_count`` times (PMI of a count-1 pair is noise).
+    """
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(ws)
+
+    def pairs_at(d: int):
+        ln = F.greatest(n - d, F.lit(0))
+        z = F.arrays_zip(F.slice(ws, 1, ln), F.slice(ws, d + 1, ln))
+        return F.transform(
+            z,
+            lambda s: F.concat_ws(
+                " ", F.least(s["0"], s["1"]), F.greatest(s["0"], s["1"])
+            ),
+        )
+
+    pairs = F.concat(*[pairs_at(d) for d in range(1, max_dist + 1)])
+    pc = (
+        df.select(F.explode(pairs).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+        .select(
+            F.split_part("pk", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("pk", F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    uc = (
+        df.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    pair_tot = pc.agg(F.sum("n_pair").alias("tp"))
+    word_tot = uc.agg(F.sum("cw").alias("tw"))
+    joined = (
+        pc.join(uc.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(pair_tot))
+        .crossJoin(F.broadcast(word_tot))
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("tp"))
+        / (
+            (F.col("c1").cast("double") / F.col("tw"))
+            * (F.col("c2").cast("double") / F.col("tw"))
+        )
+    )
+
+    def _r6(c: Column) -> Column:
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    return (
+        joined.select(
+            "w1", "w2", "n_pair", "c1", "c2", _r6(pmi).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

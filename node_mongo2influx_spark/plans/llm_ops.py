@@ -2499,3 +2499,186 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
         n_cells=16, n_assign=3, dim=64,
     ).select("vec_id", "label")
+
+
+@query(
+    "cdc_shared_chunks",
+    oracle=f"""
+        WITH chunks AS (
+            {_cdc_oracle().strip()}
+        ),
+        per_doc AS (
+            SELECT chunk_md5, doc_id, count(*) AS cnt
+            FROM chunks
+            WHERE chunk_len >= 16
+            GROUP BY chunk_md5, doc_id
+        )
+        SELECT chunk_md5,
+               CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+               count(*) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM per_doc
+        GROUP BY chunk_md5
+        HAVING count(*) > 1
+    """,
+    description="Chunk-level storage dedup over the CDC chunk table: "
+    "fingerprints appearing in >1 document = shared content spans "
+    "(boilerplate, quotes, mirrors) detectable WITHOUT any pairwise "
+    "comparison — GROUP BY fingerprint is O(n). Pre-aggregated per "
+    "(chunk, doc) first: a distinct-count mixed into the same groupBy "
+    "would plan an Expand and double the shuffle.",
+)
+def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = dedup.cdc_chunks(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        window=4, divisor=64,
+    )
+    per_doc = (
+        chunks.where(F.col("chunk_len") >= 16)
+        .groupBy("chunk_md5", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("chunk_md5")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                        AS DOUBLE)
+                       / len(string_split(text, ' ')) AS mwl,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('the','a','of','to','and','in','is','it')))
+                       AS stop_hits,
+                   CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))
+                        AS DOUBLE) / length(text) AS symr
+            FROM documents
+            WHERE length(text) > 0
+        )
+        SELECT doc_id, n_words,
+               {_R6.format(expr="mwl")} AS mean_word_len,
+               stop_hits,
+               {_R6.format(expr="symr")} AS symbol_ratio,
+               (n_words BETWEEN 50 AND 100000) AS flag_word_count,
+               (mwl BETWEEN 3.0 AND 10.0) AS flag_mean_word_len,
+               (stop_hits >= 2) AS flag_stopwords,
+               (symr <= 0.1) AS flag_symbol_ratio,
+               ((n_words BETWEEN 50 AND 100000)
+                AND (mwl BETWEEN 3.0 AND 10.0)
+                AND (stop_hits >= 2)
+                AND (symr <= 0.1)) AS passes
+        FROM feats
+    """,
+    description="Gopher-style quality rule screen: word-count bounds, "
+    "mean word length in [3,10], ≥2 stopword hits, symbol ratio ≤ 0.1 — "
+    "each rule surfaced as its own flag plus the conjunction, so "
+    "downstream mixes can re-threshold without recompute. Pure Column "
+    "exprs, scan-speed, zero shuffles.",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text_col, id_col = "text", "doc_id"
+    df = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col(text_col), " "))
+    mwl = (
+        (F.length(text_col) - (n_words - 1)).cast("double")
+        / n_words
+    )
+    stop_hits = F.expr(
+        "size(filter(split(lower(text), ' '), "
+        "w -> w IN ('the','a','of','to','and','in','is','it')))"
+    )
+    symr = (
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z ]", ""))
+         ).cast("double") / F.length(text_col)
+    )
+
+    def _r6(c):
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    f_wc = (n_words >= 50) & (n_words <= 100000)
+    f_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    f_stop = stop_hits >= 2
+    f_sym = symr <= 0.1
+    return df.where(F.length(text_col) > 0).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        _r6(mwl).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        _r6(symr).alias("symbol_ratio"),
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_sym.alias("flag_symbol_ratio"),
+        (f_wc & f_mwl & f_stop & f_sym).alias("passes"),
+    )
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=f"""
+        WITH d AS (
+            SELECT string_split(lower(text), ' ') AS w FROM documents
+        ),
+        i1 AS (
+            SELECT w, unnest(range(1, len(w))) AS i
+            FROM d WHERE len(w) >= 2
+        ),
+        i2 AS (
+            SELECT w, unnest(range(1, len(w) - 1)) AS i
+            FROM d WHERE len(w) >= 3
+        ),
+        p AS (
+            SELECT least(w[CAST(i AS INT)], w[CAST(i + 1 AS INT)]) AS w1,
+                   greatest(w[CAST(i AS INT)], w[CAST(i + 1 AS INT)]) AS w2
+            FROM i1
+            UNION ALL
+            SELECT least(w[CAST(i AS INT)], w[CAST(i + 2 AS INT)]),
+                   greatest(w[CAST(i AS INT)], w[CAST(i + 2 AS INT)])
+            FROM i2
+        ),
+        pc AS (
+            SELECT w1, w2, count(*) AS n_pair
+            FROM p GROUP BY w1, w2 HAVING count(*) >= 5
+        ),
+        uc AS (
+            SELECT unnest(w) AS wd FROM d
+        ),
+        ucc AS (SELECT wd, count(*) AS cw FROM uc GROUP BY wd),
+        tp AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS tp FROM pc),
+        tw AS (SELECT CAST(sum(cw) AS DOUBLE) AS tw FROM ucc)
+        SELECT pc.w1, pc.w2,
+               CAST(pc.n_pair AS BIGINT) AS n_pair,
+               CAST(u1.cw AS BIGINT) AS c1,
+               CAST(u2.cw AS BIGINT) AS c2,
+               {_R6.format(expr="ln((CAST(n_pair AS DOUBLE) / tp)"
+                                " / ((CAST(u1.cw AS DOUBLE) / tw)"
+                                " * (CAST(u2.cw AS DOUBLE) / tw)))")} AS pmi
+        FROM pc
+        JOIN ucc u1 ON u1.wd = pc.w1
+        JOIN ucc u2 ON u2.wd = pc.w2, tp, tw
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 30
+    """,
+    description="PMI collocation mining over the skip-gram (±2) "
+    "co-occurrence matrix: ln(p(a,b)/(p(a)p(b))) separates associated "
+    "pairs from merely-frequent pairs. Pair keys generated by the "
+    "zip-of-shifted-slices pattern; vocab joins unhinted (tfidf rule); "
+    "two 1-row totals broadcast; top-k by PMI.",
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.cooccurrence_pmi(
+        load(spark, sf_dir, "documents"), text_col="text", max_dist=2,
+        min_count=5, k=30,
+    )

@@ -348,6 +348,7 @@ _SCALAR_CROSSJOIN_OK = {
     "length_bucket_padding_stats",  # 1-row global-max × n_buckets rows
     "word_subsample_weights",  # 1-row corpus-total × vocab rows
     "bm25_keyword_topk",      # 1-row (N, avgdl, per-term df) stats record
+    "cooccurrence_pmi",       # two 1-row totals (pair count, word count)
 }
 
 #: Queries whose Python-eval node is the deliverable itself.
