@@ -93,6 +93,9 @@ _RECHECK_FIRST = (
     "cdc_shared_chunks",
     "gopher_quality_flags",
     "cooccurrence_pmi",
+    "mad_robust_outliers",
+    "retention_cohorts",
+    "embedding_pca_project",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

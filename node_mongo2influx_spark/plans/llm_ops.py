@@ -2682,3 +2682,20 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), text_col="text", max_dist=2,
         min_count=5, k=30,
     )
+
+
+@query(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition has no SQL twin; numpy-gated in tests
+    description="Gram-matrix PCA projection: one aggregate reduces the "
+    "corpus to a d×d Gram matrix (the ONLY collect — d² doubles, model-"
+    "sized like the k-means centroids), numpy eigh on the driver, then "
+    "one scan projects every vector onto the top-2 principal directions "
+    "inlined as literals. Scores equal sklearn-style uncentered PCA up "
+    "to the canonicalized sign — asserted against numpy in tests.",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pca_project(
+        load(spark, sf_dir, "embeddings"), vec_col="embedding",
+        id_col="vec_id", dims=16, n_components=2,
+    )

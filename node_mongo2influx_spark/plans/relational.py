@@ -2174,3 +2174,61 @@ def variant_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "string").alias("missing_path"),
         F.pmod(k, F.lit(10)).cast("bigint").alias("k_mod"),
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort
+            FROM orders GROUP BY o_custkey
+        ),
+        activity AS (
+            SELECT DISTINCT o.o_custkey, f.cohort,
+                   (year(date_trunc('month', o.o_orderdate)) - year(f.cohort)) * 12
+                   + (month(date_trunc('month', o.o_orderdate)) - month(f.cohort))
+                       AS month_offset
+            FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        )
+        SELECT CAST(cohort AS DATE) AS cohort_month,
+               CAST(month_offset AS BIGINT) AS month_offset,
+               count(*) AS n_customers
+        FROM activity
+        GROUP BY cohort, month_offset
+        HAVING count(*) >= 5
+    """,
+    description="Retention cohort matrix: customers grouped by first-"
+    "order month, counted per month-offset of later activity — the "
+    "classic cohort-retention triangle. Month offsets via integer "
+    "year/month arithmetic (portable across engines, unlike fractional "
+    "months_between). Distinct (customer, cohort, offset) FIRST, then "
+    "the count — never count(DISTINCT) mixed into the rollup (Expand "
+    "trap). Two shuffles on o_custkey, one on the small cohort key.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (
+                (F.year(month) - F.year("cohort")) * 12
+                + (F.month(month) - F.month("cohort"))
+            ).alias("month_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            F.col("month_offset").cast("bigint").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") >= 5)
+    )

@@ -324,6 +324,7 @@ _LINT_SKIP = {
     "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
     "knn_cosine_ivf", "knn_cosine_pq", "knn_cosine_ivfpq",
     "embedding_neardup_ivf", "semantic_dedup_ivf",
+    "embedding_pca_project",  # eager Gram collect (model-sized) at compose
 }
 
 #: Queries where a BroadcastNestedLoopJoin is the INTENDED plan, each with

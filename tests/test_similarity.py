@@ -407,3 +407,31 @@ def test_semantic_dedup_precision_and_recall(spark, sf_dir):
     assert got_drops <= true_drops, got_drops - true_drops
     recall = len(got_drops) / len(true_drops)
     assert recall >= 0.7, recall
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["embedding_pca_project"].fn(spark, sf_dir).collect()
+    data = {
+        r["vec_id"]: np.array(r["embedding"][:16], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    X = np.array([data[r["vec_id"]] for r in rows])
+    G = X.T @ X  # numpy's own gram — independent of the Spark aggregate
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(-vals)[:2]
+    comps = vecs[:, order].T
+    got = np.array([[r["pc1"], r["pc2"]] for r in rows])
+    exp = X @ comps.T
+    for c in range(2):
+        # sign is a convention — align before comparing
+        if np.dot(got[:, c], exp[:, c]) < 0:
+            exp[:, c] = -exp[:, c]
+        assert np.allclose(got[:, c], exp[:, c], atol=1e-4), c
+    # projections onto PC1 carry more variance than PC2
+    assert got[:, 0].var() >= got[:, 1].var()
