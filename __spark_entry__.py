@@ -96,6 +96,7 @@ _RECHECK_FIRST = (
     "mad_robust_outliers",
     "retention_cohorts",
     "embedding_pca_project",
+    "approx_top_words",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

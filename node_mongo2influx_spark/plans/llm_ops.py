@@ -2699,3 +2699,29 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), vec_col="embedding",
         id_col="vec_id", dims=16, n_components=2,
     )
+
+
+@query(
+    "approx_top_words",
+    oracle=None,  # sketch result; accuracy gated vs exact counts in tests
+    description="Heavy-hitter words via Spark 4's approx_top_k sketch "
+    "(space-saving family): one map-side-mergeable aggregate replaces "
+    "the vocab-wide count shuffle — at 100 TB the sketch is "
+    "O(k·log) memory per partition and merges associatively, where the "
+    "exact top_bigrams-style count shuffles the full vocabulary. "
+    "Accuracy vs exact counts gated in tests/test_text.py.",
+)
+def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .agg(F.expr("approx_top_k(word, 20)").alias("tk"))
+        .select(F.posexplode("tk").alias("rank0", "e"))
+        .select(
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            F.col("e.item").alias("word"),
+            F.col("e.count").alias("approx_count"),
+        )
+    )

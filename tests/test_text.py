@@ -149,3 +149,21 @@ def test_bm25_matches_python(spark, sf_dir):
     got = [(r["bm25"], r["doc_id"]) for r in rows]
     assert [(s, d) for s, d in got] == [(s, d) for s, d in expect]
     assert all(r["dl"] == len(toks[r["doc_id"]]) for r in rows)
+
+
+def test_approx_top_words_accuracy(spark, sf_dir):
+    from collections import Counter
+
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = load_registry()["approx_top_words"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    exact = Counter(w for d in docs for w in d["text"].lower().split(" "))
+    got = {r["word"]: r["approx_count"] for r in rows}
+    assert len(rows) == 20
+    # heavy-hitter guarantee: the exact top-10 all surface in the sketch's
+    # top-20, with counts within 5%
+    top10 = [w for w, _ in exact.most_common(10)]
+    for w in top10:
+        assert w in got, w
+        assert abs(got[w] - exact[w]) <= max(1, 0.05 * exact[w]), (w, got[w], exact[w])
