@@ -62,6 +62,17 @@ EXTENDED_R4 = (
     "knn_cosine_pq",
 )
 
+#: Round-4 second-wave additions: chunk-level dedup, lexical retrieval,
+#: linear algebra, semantic dedup, robust stats.
+EXTENDED_R4B = (
+    "cdc_chunking",
+    "bm25_keyword_topk",
+    "cooccurrence_pmi",
+    "random_projection_jl",
+    "semantic_dedup_ivf",
+    "mad_robust_outliers",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -108,6 +119,7 @@ def main() -> None:
     times, mins = run_set(HEADLINE)
     ext_times, ext_mins = run_set(EXTENDED)
     r4_times, r4_mins = run_set(EXTENDED_R4)
+    r4b_times, r4b_mins = run_set(EXTENDED_R4B)
 
     total = round(sum(times.values()), 3)
     print(
@@ -125,6 +137,9 @@ def main() -> None:
                 "extended_r4": r4_times,
                 "extended_r4_min": r4_mins,
                 "extended_r4_total": round(sum(r4_times.values()), 3),
+                "extended_r4b": r4b_times,
+                "extended_r4b_min": r4b_mins,
+                "extended_r4b_total": round(sum(r4b_times.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

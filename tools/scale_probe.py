@@ -99,6 +99,12 @@ def main() -> None:
         ),
         "chunk_windows": lambda k: sampling.chunk_windows(uniquified_docs(k)),
         "shuffle_order": lambda k: sampling.shuffle_order(uniquified_docs(k)),
+        "cdc_chunking": lambda k: dedup.cdc_chunks(uniquified_docs(k)),
+        "bm25": lambda k: text.bm25_topk(
+            uniquified_docs(k), terms=("join", "window", "hash")
+        ),
+        "cooccurrence_pmi": lambda k: text.cooccurrence_pmi(uniquified_docs(k)),
+        "quota_sample": lambda k: sampling.quota_sample(uniquified_docs(k)),
     }
 
     # warm up session + python workers
