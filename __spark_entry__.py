@@ -97,6 +97,9 @@ _RECHECK_FIRST = (
     "retention_cohorts",
     "embedding_pca_project",
     "approx_top_words",
+    "multimodal_audio_meta",
+    "cusum_drift_alarms",
+    "rfm_segmentation",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

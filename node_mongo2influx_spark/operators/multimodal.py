@@ -282,3 +282,58 @@ def sniff_mime(
         expr.alias("sniffed_mime"),
         F.length(payload_col).cast("long").alias("n_bytes"),
     )
+
+
+def _le_uint(payload, pos, nbytes):
+    """Little-endian unsigned int at 1-based offset ``pos``: n single-byte
+    reads recombined with place values (RIFF/WAV fields are LE; _be_uint's
+    hex-then-conv trick would read them backwards)."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        out = out + _be_uint(payload, pos + i, 1) * (1 << (8 * i))
+    return out
+
+
+def audio_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse canonical 44-byte PCM WAV headers: channels, sample rate,
+    bits/sample, data size, and the duration they imply.
+
+    Field offsets (1-based, RIFF little-endian): channels@23 (u16),
+    sample_rate@25 (u32), bits_per_sample@35 (u16), data_size@41 (u32).
+    Non-WAV payloads (magic mismatch at RIFF/WAVE/fmt/data anchors)
+    yield NULLs rather than garbage. All reads are Column byte
+    arithmetic — codec-free, zero Python, zero shuffles, same decoder
+    seam as image_dims: a real libsndfile would slot in at the honest
+    stub boundary (extract_features), but header math needs no codec.
+
+    duration_ms = data_size · 8000 / (rate · channels · bits) — exact
+    integer arithmetic scaled to milliseconds, floor'd (identical in any
+    engine; float division would be engine-rounding-dependent).
+    """
+    p = F.col(payload_col)
+    is_wav = (
+        (F.hex(F.substring(p, 1, 4)) == "52494646")     # RIFF
+        & (F.hex(F.substring(p, 9, 4)) == "57415645")   # WAVE
+        & (F.hex(F.substring(p, 13, 4)) == "666D7420")  # 'fmt '
+        & (F.hex(F.substring(p, 37, 4)) == "64617461")  # data
+    )
+    channels = _le_uint(p, 23, 2)
+    rate = _le_uint(p, 25, 4)
+    bits = _le_uint(p, 35, 2)
+    data_size = _le_uint(p, 41, 4)
+    denom = rate * channels * bits
+    duration_ms = F.floor(data_size * F.lit(8000).cast("long") / denom)
+    null = F.lit(None).cast("long")
+    return df.select(
+        F.col(id_col),
+        is_wav.alias("is_wav"),
+        F.when(is_wav, channels).otherwise(null).alias("channels"),
+        F.when(is_wav, rate).otherwise(null).alias("sample_rate"),
+        F.when(is_wav, bits).otherwise(null).alias("bits_per_sample"),
+        F.when(is_wav, data_size).otherwise(null).alias("data_size"),
+        F.when(is_wav, duration_ms).otherwise(null).alias("duration_ms"),
+    )

@@ -2725,3 +2725,74 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("approx_count"),
         )
     )
+
+
+def _le_hex(v, nbytes: int):
+    """Hex string of ``v`` in little-endian byte order (RIFF fields)."""
+    return F.concat(
+        *[
+            F.lpad(F.hex((v.cast("long") / (1 << (8 * i))).cast("long") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id,
+                   doc_id % 5 <> 0 AS w,
+                   1 + doc_id % 2 AS c,
+                   CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 44100 ELSE 48000 END AS r,
+                   1000 + (doc_id * 37) % 100000 AS ds
+            FROM documents
+        )
+        SELECT doc_id, w AS is_wav,
+               CASE WHEN w THEN CAST(c AS BIGINT) END AS channels,
+               CASE WHEN w THEN CAST(r AS BIGINT) END AS sample_rate,
+               CASE WHEN w THEN CAST(16 AS BIGINT) END AS bits_per_sample,
+               CASE WHEN w THEN CAST(ds AS BIGINT) END AS data_size,
+               CASE WHEN w THEN CAST(floor(CAST(ds AS DOUBLE) * 8000
+                    / (r * c * 16)) AS BIGINT) END AS duration_ms
+        FROM params
+    """,
+    description="WAV header metadata, round-trip checked: a canonical "
+    "44-byte PCM header is SYNTHESIZED per doc from deterministic "
+    "formulas (every 5th doc gets a PNG payload instead), then PARSED "
+    "back with little-endian Column byte arithmetic (channels@23, "
+    "rate@25, bits@35, data@41; magic anchors gate the NULL branch) — "
+    "the oracle recomputes the generating formulas, so a parse that "
+    "reads any field wrong hash-fails. duration = data·8000/(rate·ch·"
+    "bits) in exact integer-in-double arithmetic. Codec-free, zero "
+    "shuffles, same decoder seam as multimodal_image_dims.",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    c = (F.lit(1) + did % 2).cast("long")
+    r = (
+        F.when(did % 4 == 0, 8000)
+        .when(did % 4 == 1, 16000)
+        .when(did % 4 == 2, 44100)
+        .otherwise(48000)
+    ).cast("long")
+    ds = (F.lit(1000) + (did * 37) % 100000).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"), _le_hex(ds + 36, 4),      # RIFF + chunk size
+        F.lit("57415645"),                            # WAVE
+        F.lit("666D7420"), _le_hex(F.lit(16), 4),     # 'fmt ' + size 16
+        _le_hex(F.lit(1), 2),                         # PCM
+        _le_hex(c, 2), _le_hex(r, 4),                 # channels, rate
+        _le_hex(r * c * 2, 4),                        # byte rate
+        _le_hex(c * 2, 2), _le_hex(F.lit(16), 2),     # block align, bits
+        F.lit("64617461"), _le_hex(ds, 4),            # data + size
+    )
+    payload = F.unhex(
+        F.when(did % 5 == 0, F.lit("89504E470D0A1A0A")).otherwise(wav_hex)
+    )
+    return multimodal.audio_meta(
+        docs.select("doc_id", payload.alias("payload")),
+        payload_col="payload", id_col="doc_id",
+    )

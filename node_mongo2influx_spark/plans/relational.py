@@ -2232,3 +2232,68 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .where(F.col("n_customers") >= 5)
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+                   ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+                   ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+            FROM rfm
+        )
+        SELECT r AS r_score, f AS f_score, m AS m_score,
+               count(*) AS n_customers,
+               min(o_custkey) AS sample_custkey
+        FROM scored
+        GROUP BY r, f, m
+        HAVING count(*) >= 3
+    """,
+    description="RFM customer segmentation: recency/frequency/monetary "
+    "quintiles (ntile over deterministic total orders — custkey "
+    "tie-break, monetary in exact integer cents so both engines rank "
+    "identically), rolled up to segment cells. The per-customer "
+    "aggregate is the only data-sized shuffle; the ntile windows run "
+    "over the customer table (one partition per window at this "
+    "formulation — at 100 TB swap ntile for percent_rank-binning or "
+    "range-bucketed ranks, same downstream schema).",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(
+            Window.orderBy(F.col("last_order").desc(), "o_custkey")
+        ).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("frequency").desc(), "o_custkey")
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+        ).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("sample_custkey"),
+        )
+        .where(F.col("n_customers") >= 3)
+    )

@@ -534,3 +534,105 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(z).alias("robust_z"),
         )
     )
+
+
+@query(
+    "cusum_drift_alarms",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, event_type, ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(sum(cents * cents) AS BIGINT) AS sq
+            FROM c GROUP BY event_type
+        ),
+        r AS (
+            SELECT c.event_id, c.event_type, c.ts,
+                   CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n AS resid,
+                   sqrt((CAST(s.sq AS DOUBLE)
+                         - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n)
+                        / (s.n - 1)) AS sd
+            FROM c JOIN stats s USING (event_type)
+        ),
+        w AS (
+            SELECT event_id, event_type, ts, sd,
+                   sum(resid) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM r
+        ),
+        s2 AS (
+            SELECT event_id, event_type, sd,
+                   cum - min(cum) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS cusum
+            FROM w
+        )
+        SELECT event_type,
+               CAST(count(CASE WHEN cusum > 5 * sd THEN 1 END) AS BIGINT)
+                   AS n_alarms,
+               floor(max(cusum) / 100.0 * 10000.0 + 0.5) / 10000.0
+                   AS max_cusum,
+               min(CASE WHEN cusum > 5 * sd THEN event_id END)
+                   AS min_alarm_event
+        FROM s2
+        GROUP BY event_type
+    """,
+    description="CUSUM drift detection per series: one-sided cumulative "
+    "sum S_i expressed WINDOW-ALGEBRAICALLY as running_sum − running_min "
+    "(the recursive S_i = max(0, S_{i-1}+x_i) has no window form; the "
+    "prefix identity does), alarm when S > 5σ. All statistics on exact "
+    "integer basis points (CLAUDE.md currency rule) so both engines' "
+    "running sums follow the identical IEEE sequence — a mean computed "
+    "on raw doubles would differ in the last ulp by aggregation order "
+    "and drift the alarm boundary. Two windows + one aggregate.",
+)
+def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "event_type", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    r = c.join(stats, "event_type").select(
+        "event_id", "event_type", "ts",
+        (
+            F.col("cents").cast("double")
+            - F.col("s").cast("double") / F.col("n")
+        ).alias("resid"),
+        F.sqrt(
+            (
+                F.col("sq").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    wrun = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = r.select(
+        "event_id", "event_type", "ts", "sd",
+        F.sum("resid").over(wrun).alias("cum"),
+    )
+    s2 = w.select(
+        "event_id", "event_type", "sd",
+        (F.col("cum") - F.min("cum").over(wrun)).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 5 * F.col("sd")
+    return s2.groupBy("event_type").agg(
+        F.count(F.when(alarm, 1)).cast("bigint").alias("n_alarms"),
+        (
+            F.floor(F.max("cusum") / 100.0 * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("max_cusum"),
+        F.min(F.when(alarm, F.col("event_id"))).alias("min_alarm_event"),
+    )
