@@ -100,6 +100,8 @@ _RECHECK_FIRST = (
     "multimodal_audio_meta",
     "cusum_drift_alarms",
     "rfm_segmentation",
+    "rolling_median_value",
+    "feature_hashing_vectors",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query

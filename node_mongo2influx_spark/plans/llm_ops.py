@@ -2796,3 +2796,47 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", payload.alias("payload")),
         payload_col="payload", id_col="doc_id",
     )
+
+
+def _feature_hash_oracle(n_buckets: int = 64) -> str:
+    from node_mongo2influx_spark.functions.phash import fnv1a32_duckdb_sql
+
+    h = fnv1a32_duckdb_sql("w")
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(({h}) % {n_buckets} AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM words
+        GROUP BY doc_id, bucket
+    """
+
+
+@query(
+    "feature_hashing_vectors",
+    oracle=_feature_hash_oracle(),
+    description="Hashing-trick vectorizer: words land in "
+    "fnv1a32(w) mod 64 buckets, per-doc bucket counts in sparse long "
+    "format (doc_id, bucket, cnt) — the fixed-width featurization that "
+    "needs NO vocabulary table, no fitting pass, no broadcast: the "
+    "feature space is defined by the hash, so streaming and batch "
+    "featurize identically and new words never resize anything. One "
+    "map-side-combined shuffle keyed on (doc, bucket).",
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.phash import fnv1a32_spark_sql
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    bucket = (F.expr(fnv1a32_spark_sql("w")) % 64).cast("bigint")
+    return (
+        words.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -636,3 +636,36 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_cusum"),
         F.min(F.when(alarm, F.col("event_id"))).alias("min_alarm_event"),
     )
+
+
+@query(
+    "rolling_median_value",
+    oracle="""
+        SELECT event_id, event_type,
+               floor(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING
+               ) * 10000.0 + 0.5) / 10000.0 AS rolling_median
+        FROM events
+    """,
+    description="Centered 21-point rolling median per series — the "
+    "robust smoother (a rolling MEAN chases every spike the MAD query "
+    "flags). Exact windowed percentile; both engines interpolate "
+    "identically over the identical deterministic frame (ts, event_id "
+    "order). One window shuffle partitioned by series.",
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 10)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        stable_round(F.expr("percentile(value, 0.5)").over(w)).alias(
+            "rolling_median"
+        ),
+    )
