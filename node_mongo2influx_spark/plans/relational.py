@@ -2239,55 +2239,86 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rfm AS (
             SELECT o_custkey,
-                   max(o_orderdate) AS last_order,
+                   epoch(max(o_orderdate)) AS recency_s,
                    count(*) AS frequency,
                    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS monetary_cents
             FROM orders GROUP BY o_custkey
         ),
+        cuts AS (
+            SELECT quantile_cont(CAST(recency_s AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+                   quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+                   quantile_cont(CAST(monetary_cents AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mc
+            FROM rfm
+        ),
         scored AS (
             SELECT o_custkey,
-                   ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
-                   ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
-                   ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
-            FROM rfm
+                   1 + CASE WHEN recency_s > rc[1] THEN 1 ELSE 0 END
+                     + CASE WHEN recency_s > rc[2] THEN 1 ELSE 0 END
+                     + CASE WHEN recency_s > rc[3] THEN 1 ELSE 0 END
+                     + CASE WHEN recency_s > rc[4] THEN 1 ELSE 0 END AS r,
+                   1 + CASE WHEN frequency > fc[1] THEN 1 ELSE 0 END
+                     + CASE WHEN frequency > fc[2] THEN 1 ELSE 0 END
+                     + CASE WHEN frequency > fc[3] THEN 1 ELSE 0 END
+                     + CASE WHEN frequency > fc[4] THEN 1 ELSE 0 END AS f,
+                   1 + CASE WHEN monetary_cents > mc[1] THEN 1 ELSE 0 END
+                     + CASE WHEN monetary_cents > mc[2] THEN 1 ELSE 0 END
+                     + CASE WHEN monetary_cents > mc[3] THEN 1 ELSE 0 END
+                     + CASE WHEN monetary_cents > mc[4] THEN 1 ELSE 0 END AS m
+            FROM rfm, cuts
         )
-        SELECT r AS r_score, f AS f_score, m AS m_score,
+        SELECT CAST(r AS INT) AS r_score, CAST(f AS INT) AS f_score,
+               CAST(m AS INT) AS m_score,
                count(*) AS n_customers,
                min(o_custkey) AS sample_custkey
         FROM scored
         GROUP BY r, f, m
         HAVING count(*) >= 3
     """,
-    description="RFM customer segmentation: recency/frequency/monetary "
-    "quintiles (ntile over deterministic total orders — custkey "
-    "tie-break, monetary in exact integer cents so both engines rank "
-    "identically), rolled up to segment cells. The per-customer "
-    "aggregate is the only data-sized shuffle; the ntile windows run "
-    "over the customer table (one partition per window at this "
-    "formulation — at 100 TB swap ntile for percent_rank-binning or "
-    "range-bucketed ranks, same downstream schema).",
+    description="RFM customer segmentation by QUANTILE-THRESHOLD binning, "
+    "not ntile: a global ntile is a single-partition window (the exact "
+    "anti-pattern training_order_shuffle exists to avoid), and it splits "
+    "ties arbitrarily. Instead one aggregate computes the 20/40/60/80 "
+    "cutoffs per metric (exact interpolated percentiles — a 1-row table "
+    "broadcast back) and customers score by comparison: fully parallel, "
+    "ties land in one bucket (semantically right for RFM), monetary in "
+    "exact integer cents so cutoffs are engine-identical. The per-"
+    "customer aggregate is the only data-sized shuffle.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
+        F.unix_timestamp(F.max("o_orderdate")).alias("recency_s"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("monetary_cents"),
     )
-    scored = rfm.select(
+    cuts = rfm.agg(
+        F.expr(
+            "percentile(CAST(recency_s AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("rc"),
+        F.expr(
+            "percentile(CAST(frequency AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("fc"),
+        F.expr(
+            "percentile(CAST(monetary_cents AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("mc"),
+    )
+
+    def score(v: str, c: str):
+        out = F.lit(1)
+        for i in range(1, 5):
+            out = out + F.when(
+                F.col(v) > F.element_at(F.col(c), i), 1
+            ).otherwise(0)
+        return out
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
-        F.ntile(5).over(
-            Window.orderBy(F.col("last_order").desc(), "o_custkey")
-        ).alias("r_score"),
-        F.ntile(5).over(
-            Window.orderBy(F.col("frequency").desc(), "o_custkey")
-        ).alias("f_score"),
-        F.ntile(5).over(
-            Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
-        ).alias("m_score"),
+        score("recency_s", "rc").cast("int").alias("r_score"),
+        score("frequency", "fc").cast("int").alias("f_score"),
+        score("monetary_cents", "mc").cast("int").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

@@ -350,6 +350,7 @@ _SCALAR_CROSSJOIN_OK = {
     "word_subsample_weights",  # 1-row corpus-total × vocab rows
     "bm25_keyword_topk",      # 1-row (N, avgdl, per-term df) stats record
     "cooccurrence_pmi",       # two 1-row totals (pair count, word count)
+    "rfm_segmentation",       # 1-row quantile-cutoff record × customers
 }
 
 #: Queries whose Python-eval node is the deliverable itself.
