@@ -1097,13 +1097,41 @@ def knn_cosine_ivfpq(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
 
+    cand = _ivfpq_candidates(
+        codes, queries, cents, anchors, books,
+        id_col=id_col, vec_col=vec_col, n_probe=n_probe, short=short,
+    )
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to
+    )
+
+
+def _ivfpq_candidates(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    anchors: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    short: int,
+) -> DataFrame:
+    """ADC scan over an encoded (vid, cell, codes, nrm) table →
+    per-query shortlist candidates. Shared by the build-and-query path
+    (knn_cosine_ivfpq) and the persisted-index path
+    (knn_cosine_ivfpq_query) — the scan reads ONLY codes, never
+    vectors."""
+    from pyspark.sql import Window
+
+    m = books.shape[0]
+    dsub = books.shape[2]
     qrows = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()
     qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
-    dsub = dim // m
     qcos = (qmat / qnorm[:, None]) @ cents.T          # (q, n_cells)
     probed = np.argsort(-qcos, axis=1)[:, :n_probe]    # (q, n_probe)
     qcent = qmat @ anchors.T                           # dot(q, anchor)
@@ -1153,13 +1181,10 @@ def knn_cosine_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")
     )
-    cand = (
+    return (
         local.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= short)
         .select("query_id", "neighbor_id")
-    )
-    return _score_candidates_topk(
-        cand, corpus, queries, id_col, vec_col, k, round_to
     )
 
 
@@ -1374,3 +1399,130 @@ def pca_project(
             F.expr(f"round({fold}, {round_to})").alias(f"pc{c + 1}")
         )
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ index persistence: build once, query many (round 4)
+# ---------------------------------------------------------------------------
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Train an IVFPQ index over ``corpus`` and persist it under ``path``
+    — the build-once/query-many layout the all-in-one
+    :func:`knn_cosine_ivfpq` (which retrains per call) exists to
+    prototype.
+
+    Layout:
+
+    * ``codes/``   — (vid, codes, nrm) parquet PARTITIONED BY cell: the
+      IVF inverted lists as a disk layout. A query probing n_probe of
+      n_cells cells reads only those directories (Spark partition
+      pruning) — at 100 TB the ADC scan touches n_probe/n_cells of the
+      16×-compressed codes, nothing else.
+    * ``vectors/`` — (vid, vec) parquet, touched ONLY by the shortlist
+      rerank (id-equijoin with predicate pushdown).
+    * ``model/``   — centroids, residual anchors, PQ codebooks as
+      (kind, i, j, vals) rows — model-sized, read with one collect at
+      query time.
+    """
+    spark = corpus.sparkSession
+    cents = kmeans_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+    )
+    books, anchors = _pq_codebooks_residual(
+        corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
+    )
+    codes = ivfpq_encode(
+        corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    rows = []
+    for i, v in enumerate(cents):
+        rows.append(("centroid", i, 0, [float(x) for x in v]))
+    for i, v in enumerate(anchors):
+        rows.append(("anchor", i, 0, [float(x) for x in v]))
+    for j in range(books.shape[0]):
+        for c in range(books.shape[1]):
+            rows.append(("codebook", j, c, [float(x) for x in books[j][c]]))
+    spark.createDataFrame(
+        rows, "kind string, i int, j int, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+
+
+def load_ivfpq_model(spark, path: str):
+    """(centroids, anchors, codebooks) back from ``path``/model — one
+    model-sized collect, no vector data touched."""
+    rows = spark.read.parquet(f"{path}/model").collect()
+    cents = {r["i"]: r["vals"] for r in rows if r["kind"] == "centroid"}
+    anchors = {r["i"]: r["vals"] for r in rows if r["kind"] == "anchor"}
+    cb = [(r["i"], r["j"], r["vals"]) for r in rows if r["kind"] == "codebook"]
+    n_cells = len(cents)
+    m = max(j for j, _, _ in cb) + 1
+    n_codes = max(c for _, c, _ in cb) + 1
+    dsub = len(cb[0][2])
+    books = np.zeros((m, n_codes, dsub))
+    for j, c, vals in cb:
+        books[j][c] = vals
+    return (
+        np.array([cents[i] for i in range(n_cells)]),
+        np.array([anchors[i] for i in range(n_cells)]),
+        books,
+    )
+
+
+def knn_cosine_ivfpq_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Query a persisted IVFPQ index WITHOUT retraining: load the
+    model (one small collect), prune the codes scan to the union of
+    the queries' probed cells (partition pruning against the
+    cell-partitioned layout), ADC-score, exact-rerank the shortlist
+    against the vectors table."""
+    cents, anchors, books = load_ivfpq_model(spark, path)
+    short = shortlist if shortlist is not None else 4 * k
+    n_probe = min(n_probe, len(cents))
+
+    qmat = np.asarray(
+        [
+            r["qv"]
+            for r in queries.select(
+                _as_double(F.col(vec_col)).alias("qv")
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probed = np.argsort(-((qmat / qnorm) @ cents.T), axis=1)[:, :n_probe]
+    all_cells = sorted({int(c) for row in probed for c in row})
+
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cell").isin(all_cells)
+    )
+    cand = _ivfpq_candidates(
+        codes, queries, cents, anchors, books,
+        id_col=id_col, vec_col=vec_col, n_probe=n_probe, short=short,
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").select(
+        F.col("vid").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    return _score_candidates_topk(
+        cand, vectors, queries, id_col, vec_col, k, round_to
+    )

@@ -435,3 +435,40 @@ def test_pca_project_matches_numpy(spark, sf_dir):
         assert np.allclose(got[:, c], exp[:, c], atol=1e-4), c
     # projections onto PC1 carry more variance than PC2
     assert got[:, 0].var() >= got[:, 1].var()
+
+
+def test_ivfpq_index_build_query_roundtrip(spark, emb, tmp_path):
+    # build once, query many: persisted index answers without retraining,
+    # the codes scan prunes to the probed cells' partitions, and recall
+    # vs exact matches the in-memory IVFPQ tier's gate.
+    path = str(tmp_path / "ivfpq_index")
+    similarity.build_ivfpq_index(
+        emb, path, n_cells=16, m=16, n_codes=16, dim=64
+    )
+    queries = emb.where("vec_id < 5")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivfpq-query", "query must not retrain")
+    got = similarity.knn_cosine_ivfpq_query(
+        spark, path, queries, k=10, n_probe=8, shortlist=80
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows = got.collect()
+    jobs = sc.statusTracker().getJobIdsForGroup("ivfpq-query")
+    sc.setJobGroup("", "")
+    # Under AQE every shuffle stage materializes as its own job, so the
+    # query plan alone runs ~8-11 (model load, 2 query collects, ADC,
+    # window, rerank joins, final collect). A kmeans+codebook RETRAIN
+    # adds ~15 more on top — the regression this bound catches.
+    assert len(jobs) <= 12, f"query path ran {len(jobs)} jobs — retraining?"
+    # partition pruning reached the codes scan
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    exact = similarity.knn_cosine(emb, queries, k=10).collect()
+    es, gs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in rows:
+        gs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[q] & gs.get(q, set())) / 10 for q in es]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
