@@ -1526,3 +1526,31 @@ def knn_cosine_ivfpq_query(
     return _score_candidates_topk(
         cand, vectors, queries, id_col, vec_col, k, round_to
     )
+
+
+def append_to_ivfpq_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a batch of new vectors to a persisted IVFPQ index WITHOUT
+    retraining: encode the delta with the STORED model (the quantizer is
+    frozen — the FAISS add() semantics) and append to the cell-
+    partitioned codes and the vectors store. Cost is O(|delta|); the
+    existing inverted lists are never rewritten (dynamic partition
+    append touches only the delta's cells' directories).
+
+    Quantization drift is the known trade: if the data distribution
+    moves far from the training sample, rebuild — recall vs a
+    fresh-trained index is the test gate (tests/test_similarity.py).
+    """
+    spark = delta.sparkSession
+    cents, anchors, books = load_ivfpq_model(spark, path)
+    codes = ivfpq_encode(
+        delta, cents, anchors, books, id_col=id_col, vec_col=vec_col
+    )
+    codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    delta.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).write.mode("append").parquet(f"{path}/vectors")

@@ -472,3 +472,30 @@ def test_ivfpq_index_build_query_roundtrip(spark, emb, tmp_path):
         gs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(es[q] & gs.get(q, set())) / 10 for q in es]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_index_incremental_append(spark, emb, tmp_path):
+    # FAISS add() semantics: build on half the corpus, append the other
+    # half with the FROZEN quantizer — queries over the full index reach
+    # the same recall gate as a full build (no retrain, O(delta) cost).
+    path = str(tmp_path / "ivfpq_incr")
+    base = emb.where("vec_id % 2 = 0")
+    delta = emb.where("vec_id % 2 = 1")
+    similarity.build_ivfpq_index(base, path, n_cells=16, m=16, n_codes=16, dim=64)
+    similarity.append_to_ivfpq_index(delta, path)
+
+    queries = emb.where("vec_id < 5")
+    got = similarity.knn_cosine_ivfpq_query(
+        spark, path, queries, k=10, n_probe=8, shortlist=80
+    ).collect()
+    # every corpus row is findable: the appended half shows up in results
+    ids = {r["neighbor_id"] for r in got}
+    assert any(i % 2 == 1 for i in ids), "appended delta never surfaced"
+    exact = similarity.knn_cosine(emb, queries, k=10).collect()
+    es, gs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in got:
+        gs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(es[q] & gs.get(q, set())) / 10 for q in es]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
