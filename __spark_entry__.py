@@ -37,19 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: with their current oracle, then (c) everything whose last green row is
 #: r1/r2-era (i.e. outside round 3's window — CORRECTNESS_r03's keys),
 #: and finally the r3-green remainder.
+#: 65 queries lack a driver row for their current code but the window is
+#: 50 — so rank by what a driver row would PROVE: (1) full-oracle queries
+#: with no row ever (hash match = strongest evidence), (2) the two whose
+#: current oracle never got a row in r3, (3) changed-code queries that
+#: have old green rows (local gate re-verified them; q5/q3 first — they
+#: are headline), (4) rows-only tiers last (a driver row only proves
+#: rows > 0; their real gates are the pytest recall/accuracy checks).
 _RECHECK_FIRST = (
-    # never driver-green with current oracle / fixed this round
-    "multimodal_frame_sample",   # r3 comparator crash -> hex-encoded r4
-    "multimodal_features",       # full oracle landed late in r3, no row
-    # code changed in r3 but last green row is r1/r2-era (hint removals)
-    "q3_top_unshipped_revenue", "q5_revenue_by_nation",
-    "q7_nation_trade_flow", "q15_top_supplier",
-    # changed in r4 (vocabulary / exclusion-list broadcast-hint drops)
-    "tfidf_top_terms",
-    "q16_supplier_variety",
-    # bucket-key change in r3; rows-only but re-witness anyway
-    "dedup_minhash_lsh",
-    # new in round 4
+    # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",
     "corpus_segment_dedup",
@@ -58,8 +54,6 @@ _RECHECK_FIRST = (
     "doc_char_entropy",
     "pii_redaction_stats",
     "doc_perplexity_bigram",
-    "knn_cosine_pq",
-    "knn_cosine_ivfpq",
     "multimodal_mime_sniff",
     "multimodal_image_dims",
     "minhash_band_agreement",
@@ -80,7 +74,7 @@ _RECHECK_FIRST = (
     "recursive_event_chains",
     "lateral_top_orders",
     "variant_json_typed",
-    # new in round 4, second half
+    # (1) full-oracle, never ANY driver row — round-4 second half
     "domain_mixture_weights",
     "quota_sample_per_source",
     "length_bucket_padding_stats",
@@ -89,19 +83,33 @@ _RECHECK_FIRST = (
     "cdc_chunking",
     "embedding_gram_matrix",
     "random_projection_jl",
-    "semantic_dedup_ivf",
     "cdc_shared_chunks",
     "gopher_quality_flags",
     "cooccurrence_pmi",
     "mad_robust_outliers",
     "retention_cohorts",
-    "embedding_pca_project",
-    "approx_top_words",
     "multimodal_audio_meta",
     "cusum_drift_alarms",
     "rfm_segmentation",
     "rolling_median_value",
     "feature_hashing_vectors",
+    # (2) current oracle never driver-witnessed (r3 crash / late landing)
+    "multimodal_frame_sample",
+    "multimodal_features",
+    # (3) changed code, stale-but-green old rows (headline first)
+    "q5_revenue_by_nation",
+    "q3_top_unshipped_revenue",
+    "q7_nation_trade_flow",
+    "q15_top_supplier",
+    "tfidf_top_terms",
+    "q16_supplier_variety",
+    # (4) rows-only tiers — pytest gates are their real check
+    "dedup_minhash_lsh",
+    "knn_cosine_pq",
+    "knn_cosine_ivfpq",
+    "semantic_dedup_ivf",
+    "embedding_pca_project",
+    "approx_top_words",
 )
 
 #: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query
