@@ -93,6 +93,7 @@ _RECHECK_FIRST = (
     "rfm_segmentation",
     "rolling_median_value",
     "feature_hashing_vectors",
+    "hybrid_retrieval_rrf",
     # (2) current oracle never driver-witnessed (r3 crash / late landing)
     "multimodal_frame_sample",
     "multimodal_features",

@@ -2840,3 +2840,93 @@ def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _hybrid_oracle() -> str:
+    bm25 = _bm25_oracle(top_n=50).strip()
+    return f"""
+        WITH lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+            FROM ({bm25})
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+            WHERE vec_id = 0
+        ),
+        sem0 AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+        ),
+        sem AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, doc_id) AS srank
+            FROM sem0
+            ORDER BY cosine DESC, doc_id
+            LIMIT 50
+        )
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               floor((coalesce(1.0 / (60 + l.lrank), 0.0)
+                      + coalesce(1.0 / (60 + s.srank), 0.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS rrf,
+               l.lrank AS lex_rank,
+               s.srank AS sem_rank
+        FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=_hybrid_oracle(),
+    description="Hybrid retrieval: BM25 lexical top-50 and exact-cosine "
+    "semantic top-50 (query = embedding 0) fused by reciprocal-rank "
+    "fusion Σ 1/(60+rank) — the standard score-free combiner (scores "
+    "from different retrievers aren't calibrated against each other; "
+    "ranks are). Rank windows run over the BOUNDED top-k sets, never "
+    "the corpus; in production the semantic leg swaps to the LSH/IVFPQ "
+    "tier with identical downstream shape.",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs, terms=_BM25_TERMS, text_col="text", id_col="doc_id",
+        k1=1.2, b=0.75, top_n=50,
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    sem = (
+        similarity.knn_cosine(emb, emb.where("vec_id = 0"), k=50)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "neighbor_id"))
+            .alias("sem_rank"),
+        )
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.floor(rrf * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("rrf"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )

@@ -351,6 +351,7 @@ _SCALAR_CROSSJOIN_OK = {
     "bm25_keyword_topk",      # 1-row (N, avgdl, per-term df) stats record
     "cooccurrence_pmi",       # two 1-row totals (pair count, word count)
     "rfm_segmentation",       # 1-row quantile-cutoff record × customers
+    "hybrid_retrieval_rrf",   # bm25 1-row stats + knn broadcast (≤1-row query side)
 }
 
 #: Queries whose Python-eval node is the deliverable itself.
