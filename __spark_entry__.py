@@ -94,6 +94,8 @@ _RECHECK_FIRST = (
     "rolling_median_value",
     "feature_hashing_vectors",
     "hybrid_retrieval_rrf",
+    "table_diff_checksum",
+    "dq_expectations",
     # (2) current oracle never driver-witnessed (r3 crash / late landing)
     "multimodal_frame_sample",
     "multimodal_features",

@@ -2331,3 +2331,157 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_customers") >= 3)
     )
+
+
+@query(
+    "table_diff_checksum",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, event_type, user_id, value FROM events
+        ),
+        altered AS (
+            SELECT event_id, event_type, user_id,
+                   CASE WHEN event_id % 1000 = 7 THEN value + 1.0
+                        ELSE value END AS value
+            FROM base
+        ),
+        ba AS (
+            SELECT event_id % 64 AS bucket,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       + event_id * 31 + user_id * 7) AS chk,
+                   count(*) AS n
+            FROM base GROUP BY bucket
+        ),
+        aa AS (
+            SELECT event_id % 64 AS bucket,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       + event_id * 31 + user_id * 7) AS chk,
+                   count(*) AS n
+            FROM altered GROUP BY bucket
+        )
+        SELECT CAST(ba.bucket AS BIGINT) AS bucket,
+               CAST(ba.n AS BIGINT) AS n_rows,
+               (CAST(ba.chk AS BIGINT) <> CAST(aa.chk AS BIGINT)) AS differs
+        FROM ba JOIN aa USING (bucket)
+    """,
+    description="Merkle-style table diff: both replicas reduce to 64 "
+    "bucket checksums (order-independent integer sums over basis-point "
+    "values + key mixing) and ONLY differing buckets need row-level "
+    "repair — the anti-entropy primitive that compares 100 TB replicas "
+    "by exchanging 64 numbers, not rows. The probe alters one row per "
+    "1000 deterministically; exactly those buckets flag. Checksums are "
+    "commutative integer sums: aggregation-order-proof on BOTH engines.",
+)
+def table_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    altered = e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 1000 == 7, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+
+    def bucket_sums(df: DataFrame) -> DataFrame:
+        chk = (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            + F.col("event_id") * 31
+            + F.col("user_id") * 7
+        )
+        return (
+            df.groupBy((F.col("event_id") % 64).alias("bucket"))
+            .agg(F.sum(chk).alias("chk"), F.count(F.lit(1)).alias("n"))
+        )
+
+    ba = bucket_sums(e)
+    aa = bucket_sums(altered).select(
+        F.col("bucket"), F.col("chk").alias("chk2")
+    )
+    return ba.join(aa, "bucket").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").alias("n_rows"),
+        (F.col("chk") != F.col("chk2")).alias("differs"),
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+        SELECT 'lineitem_rowcount' AS checkname,
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS observed,
+               (SELECT count(*) FROM lineitem) > 0 AS passes
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               CAST((SELECT count(*) - count(DISTINCT o_orderkey)
+                     FROM orders) AS BIGINT),
+               (SELECT count(*) = count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'lineitem_orphans',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               (SELECT count(*) = 0 FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_quantity < 0 OR l_quantity > 100) AS BIGINT),
+               (SELECT count(*) = 0 FROM lineitem
+                WHERE l_quantity < 0 OR l_quantity > 100)
+        UNION ALL
+        SELECT 'orders_date_nonnull',
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_orderdate IS NULL) AS BIGINT),
+               (SELECT count(*) = 0 FROM orders WHERE o_orderdate IS NULL)
+        UNION ALL
+        SELECT 'events_value_nonnull',
+               CAST((SELECT count(*) FROM events
+                     WHERE value IS NULL) AS BIGINT),
+               (SELECT count(*) = 0 FROM events WHERE value IS NULL)
+    """,
+    description="Data-quality expectation suite (dbt-test/Great-"
+    "Expectations shape): row count, primary-key uniqueness, referential "
+    "orphans (anti-join), accepted ranges, null rates — each check ONE "
+    "aggregate row, the whole suite a union of map-side-combined scans. "
+    "The orphan check is a broadcast-able anti-join at the scan; nothing "
+    "collects row-level data. The output schema (checkname, observed, "
+    "passes) is the contract a scheduler alerts on.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+
+    def check(name: str, observed, passes) -> DataFrame:
+        return observed.select(
+            F.lit(name).alias("checkname"),
+            F.col("obs").cast("bigint").alias("observed"),
+            passes(F.col("obs")).alias("passes"),
+        )
+
+    rowcount = li.agg(F.count(F.lit(1)).alias("obs"))
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("obs")
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    qty = li.where(
+        (F.col("l_quantity") < 0) | (F.col("l_quantity") > 100)
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    dates = o.where(F.col("o_orderdate").isNull()).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    vals = e.where(F.col("value").isNull()).agg(F.count(F.lit(1)).alias("obs"))
+    return (
+        check("lineitem_rowcount", rowcount, lambda c: c > 0)
+        .unionAll(check("orders_pk_unique", pk, lambda c: c == 0))
+        .unionAll(check("lineitem_orphans", orphans, lambda c: c == 0))
+        .unionAll(check("lineitem_qty_range", qty, lambda c: c == 0))
+        .unionAll(check("orders_date_nonnull", dates, lambda c: c == 0))
+        .unionAll(check("events_value_nonnull", vals, lambda c: c == 0))
+    )
