@@ -45,6 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: are headline), (4) rows-only tiers last (a driver row only proves
 #: rows > 0; their real gates are the pytest recall/accuracy checks).
 _RECHECK_FIRST = (
+    # (0) VERDICT r3 item #1: the two multimodal queries whose current
+    # oracles have never had a driver row — pinned to the very front so
+    # later registry growth can never push them past the window edge.
+    "multimodal_frame_sample",
+    "multimodal_features",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",
@@ -96,9 +101,6 @@ _RECHECK_FIRST = (
     "hybrid_retrieval_rrf",
     "table_diff_checksum",
     "dq_expectations",
-    # (2) current oracle never driver-witnessed (r3 crash / late landing)
-    "multimodal_frame_sample",
-    "multimodal_features",
     # (3) changed code, stale-but-green old rows (headline first)
     "q5_revenue_by_nation",
     "q3_top_unshipped_revenue",
