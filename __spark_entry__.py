@@ -101,6 +101,7 @@ _RECHECK_FIRST = (
     "hybrid_retrieval_rrf",
     "table_diff_checksum",
     "dq_expectations",
+    "null_safe_join_probe",
     # (3) changed code, stale-but-green old rows (headline first)
     "q5_revenue_by_nation",
     "q3_top_unshipped_revenue",

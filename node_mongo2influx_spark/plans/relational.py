@@ -2485,3 +2485,52 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("orders_date_nonnull", dates, lambda c: c == 0))
         .unionAll(check("events_value_nonnull", vals, lambda c: c == 0))
     )
+
+
+@query(
+    "null_safe_join_probe",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_id,
+                   CASE WHEN user_id % 7 = 0 THEN NULL
+                        ELSE user_id % 5 END AS grp,
+                   value
+            FROM events
+        ),
+        agg AS (
+            SELECT grp, count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM tagged GROUP BY grp
+        )
+        SELECT t.event_id, a.grp, a.n AS grp_n
+        FROM tagged t JOIN agg a ON t.grp IS NOT DISTINCT FROM a.grp
+        WHERE t.event_id < 500
+    """,
+    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM): "
+    "NULL group keys MATCH each other instead of silently dropping — "
+    "the semantics plain equi-joins get wrong on nullable keys (a "
+    "NULL = NULL predicate is NULL, so every null-keyed row vanishes). "
+    "Spark plans <=> as a regular hash join (null-safe keys hash like "
+    "values); one aggregate + one join, both shuffles on the group key.",
+)
+def null_safe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 5)
+        .alias("grp"),
+        "value",
+    )
+    agg = tagged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("cents"),
+    ).select(F.col("grp").alias("agrp"), "n")
+    return (
+        tagged.join(agg, F.col("grp").eqNullSafe(F.col("agrp")))
+        .where(F.col("event_id") < 500)
+        .select("event_id", F.col("agrp").alias("grp"), F.col("n").alias("grp_n"))
+    )

@@ -449,3 +449,25 @@ def stateful_type_profile(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def quality_filter_stream(
+    source: DataFrame,
+    min_tokens: int = 10,
+    max_non_alpha: float = 0.3,
+    min_stopword: float = 0.01,
+) -> DataFrame:
+    """Streaming corpus curation: the SAME quality gate as the batch
+    `text.quality_filter` applied at ingest. The filter is stateless
+    (pure per-row Column exprs), so the streaming face is the batch
+    operator applied to a streaming frame — no watermark, no state
+    store, exactly-once under any replay, and asserted row-identical to
+    the batch result in tests."""
+    from node_mongo2influx_spark.operators import text
+
+    return text.quality_filter(
+        source,
+        min_tokens=min_tokens,
+        max_non_alpha=max_non_alpha,
+        min_stopword=min_stopword,
+    )

@@ -505,3 +505,34 @@ def test_transform_with_state_plan_composes_without_protobuf(
     out = sp.stateful_type_profile(source)
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == ["key", "n_types", "n_events"]
+
+
+def test_quality_filter_stream_equals_batch(spark, sf_dir, tmp_path):
+    from node_mongo2influx_spark.operators import text as text_ops
+
+    src_dir = str(tmp_path / "docs_src")
+    docs = load(spark, sf_dir, "documents")
+    docs.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.read_stream(spark, src_dir, schema, max_files_per_trigger=1)
+    out = sp.quality_filter_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM qf_stream").collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in text_ops.quality_filter(
+            spark.read.parquet(src_dir)
+        ).select("doc_id").collect()
+    }
+    assert streamed == batch and batch  # same gate, same survivors
