@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sink", help="parquet:<dir> | influx:<url>#<db> | influx-spool:<dir> | memory | noop")
     ap.add_argument("--list-queries", action="store_true",
                     help="list the query library and exit")
+    ap.add_argument("--sql", default=None, metavar="SQL",
+                    help="run ad-hoc SQL with the source dir's tables "
+                    "registered as views (ANSI, Spark dialect)")
     ap.add_argument("--query", default=None, metavar="NAME",
                     help="run one library query against --source and print rows")
     ap.add_argument("--show-rows", type=int, default=20,
@@ -107,6 +110,29 @@ def main(argv: list[str] | None = None) -> int:
         for name, qd in sorted(load_registry().items()):
             oracle = "oracle" if qd.oracle else "rows-only"
             print(f"{name:32s} [{oracle}] {qd.description.splitlines()[0][:90]}")
+        return 0
+
+    if args.sql is not None:
+        # Ad-hoc SQL over the fixture tables — the escape hatch for
+        # queries the library hasn't named. Same session settings (AQE,
+        # ANSI) as every library query.
+        if not args.source:
+            raise SystemExit("--sql requires --source <fixture dir>")
+        from node_mongo2influx_spark import Engine
+        from node_mongo2influx_spark.plans.tables import TABLE_NAMES, load
+
+        engine = Engine.builder(master=args.master)
+        import pathlib as _pl
+
+        for t in TABLE_NAMES:
+            if (_pl.Path(args.source) / f"{t}.parquet").exists():
+                load(engine.spark, args.source, t).createOrReplaceTempView(t)
+        df = engine.spark.sql(args.sql).persist()
+        try:
+            df.show(args.show_rows, truncate=False)
+            print(f"rows: {df.count()}")
+        finally:
+            df.unpersist()
         return 0
 
     if args.query is not None:

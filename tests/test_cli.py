@@ -79,3 +79,18 @@ def test_cli_migrate_spool_source(spark, sf_dir, tmp_path, capsys):
     assert report["tables"]["readings"]["rows_written"] == 50
     df = spark.read.parquet(f"{tmp_path}/out/readings")
     assert df.count() == 50 and "time" in df.columns
+
+
+def test_cli_adhoc_sql(capsys):
+    from node_mongo2influx_spark.cli import main
+
+    rc = main([
+        "--sql",
+        "SELECT event_type, count(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type",
+        "--source", "/root/testdata/sf0.001",
+        "--master", "local[4]",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "rows: 5" in out and "click" in out

@@ -183,3 +183,31 @@ def test_shuffle_order_is_always_a_permutation(spark, ids):
     out = sampling.shuffle_order(df, n_buckets=8).collect()
     positions = sorted(r["pos"] for r in out)
     assert positions == list(range(len(ids)))
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cdc_chunks_reassemble_and_are_edit_local(text):
+    # Pure-python model of operators/dedup.cdc_chunks (the Spark/DuckDB
+    # equivalence is pinned by tests/test_dedup.py on the fixtures; this
+    # checks the ALGORITHM's invariants on arbitrary printable strings).
+    from tests.test_dedup import _cdc_python
+
+    chunks = _cdc_python(text)
+    # lossless: chunks partition the document exactly, in order
+    assert "".join(c[3] for c in chunks) == text
+    assert [c[0] for c in chunks] == list(range(1, len(chunks) + 1))
+    assert all(c[2] == len(c[3]) >= 1 for c in chunks)
+    # edit locality: prepending text preserves all chunks after the
+    # first boundary of the original
+    edited = _cdc_python("XX " + text)
+    if len(chunks) > 1:
+        surviving = {c[3] for c in chunks[1:]}
+        got = {c[3] for c in edited}
+        assert surviving <= got
