@@ -653,7 +653,9 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "robust smoother (a rolling MEAN chases every spike the MAD query "
     "flags). Exact windowed percentile; both engines interpolate "
     "identically over the identical deterministic frame (ts, event_id "
-    "order). One window shuffle partitioned by series.",
+    "order). One window shuffle partitioned by series — parallelism = "
+    "series count, same caveat (and remedy) as cusum_drift_alarms for "
+    "few-series corpora.",
 )
 def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
