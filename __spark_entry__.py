@@ -102,6 +102,7 @@ _RECHECK_FIRST = (
     "table_diff_checksum",
     "dq_expectations",
     "null_safe_join_probe",
+    "cusum_drift_chunked",
     # (3) changed code, stale-but-green old rows (headline first)
     "q5_revenue_by_nation",
     "q3_top_unshipped_revenue",

@@ -671,3 +671,146 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+@query(
+    "cusum_drift_chunked",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, event_type, ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(sum(cents * cents) AS BIGINT) AS sq
+            FROM c GROUP BY event_type
+        ),
+        r AS (
+            SELECT c.event_id, c.event_type, c.ts,
+                   c.cents * s.n - s.s AS resid_s,
+                   s.n,
+                   sqrt((CAST(s.sq AS DOUBLE)
+                         - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n)
+                        / (s.n - 1)) AS sd
+            FROM c JOIN stats s USING (event_type)
+        ),
+        w AS (
+            SELECT event_type, n, sd, ts, event_id,
+                   CAST(sum(resid_s) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
+            FROM r
+        ),
+        s2 AS (
+            SELECT event_type, n, sd,
+                   cum - CAST(min(cum) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS cusum_s
+            FROM w
+        )
+        SELECT event_type,
+               CAST(count(CASE WHEN CAST(cusum_s AS DOUBLE)
+                               > 5.0 * sd * n * 100.0 THEN 1 END)
+                    AS BIGINT) AS n_alarms,
+               floor(CAST(max(cusum_s) AS DOUBLE) / n / 100.0
+                     * 10000.0 + 0.5) / 10000.0 AS max_cusum
+        FROM s2
+        GROUP BY event_type, n, sd
+    """,
+    description="The epoch-chunked CUSUM — cusum_drift_alarms' few-"
+    "series remedy IMPLEMENTED, not just documented: data-sized windows "
+    "partition by (series, day) so parallelism is series x epochs; "
+    "cross-epoch state (prefix offsets, prefix-min of offset+local-min) "
+    "rides a TINY per-epoch table. The exactness trick: residuals are "
+    "SCALED TO INTEGERS (cents*n - s), making running sums association-"
+    "free — the chunked reassociation is bit-identical to this oracle's "
+    "sequential global-window formulation, which is exactly what the "
+    "hash comparison proves. (Scaled double residuals would drift in "
+    "the low bits and flip boundary alarms.) Overflow bound "
+    "|cents|*n^2 < 2^63 holds to ~1e8 rows/series; widen epochs past "
+    "that.",
+)
+def cusum_drift_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "event_type", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    r = c.join(stats, "event_type").select(
+        "event_id", "event_type", "ts",
+        F.date_trunc("day", "ts").alias("epoch"),
+        (F.col("cents") * F.col("n") - F.col("s")).alias("resid_s"),
+        "n",
+        F.sqrt(
+            (
+                F.col("sq").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    # data-sized windows run WITHIN (series, epoch) only
+    wloc = (
+        Window.partitionBy("event_type", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lcum = F.sum("resid_s").over(wloc)
+    local = r.select(
+        "event_type", "epoch", "n", "sd", "resid_s",
+        lcum.alias("lcum"),
+        F.min(lcum).over(wloc).alias("lrmin"),
+    )
+    # tiny per-epoch state: epoch totals, epoch-local minima, prefix algebra
+    et = local.groupBy("event_type", "epoch").agg(
+        F.sum("resid_s").alias("t_epoch"),
+        F.min("lrmin").alias("lmin"),
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    et2 = et.select(
+        "event_type", "epoch", "t_epoch", "lmin",
+        F.coalesce(F.sum("t_epoch").over(wprev), F.lit(0)).alias("off"),
+    )
+    et3 = et2.select(
+        "event_type", "epoch", "off",
+        F.min(F.col("off") + F.col("lmin")).over(wprev).alias("m_prev"),
+    )
+    j = local.join(et3, ["event_type", "epoch"])
+    cum = F.col("off") + F.col("lcum")
+    local_min = F.col("off") + F.col("lrmin")
+    runmin = F.least(F.coalesce(F.col("m_prev"), local_min), local_min)
+    s2 = j.select("event_type", "n", "sd", (cum - runmin).alias("cusum_s"))
+    alarm = (
+        F.col("cusum_s").cast("double")
+        > 5.0 * F.col("sd") * F.col("n") * 100.0
+    )
+    return (
+        s2.groupBy("event_type", "n", "sd")
+        .agg(
+            F.count(F.when(alarm, 1)).cast("bigint").alias("n_alarms"),
+            (
+                F.floor(
+                    F.max("cusum_s").cast("double") / F.col("n") / 100.0
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("max_cusum"),
+        )
+        .select("event_type", "n_alarms", "max_cusum")
+    )
