@@ -110,6 +110,13 @@ class Engine:
             # Let Python Data Sources (sources/mongospool.py) receive
             # pushed filters; off by default in Spark 4.1.
             "spark.sql.python.filterPushdown.enabled": "true",
+            # Apply AQE (esp. partition coalescing) to cached plans too:
+            # iterative operators persist small intermediates (edge lists,
+            # label maps), and without this the cache pins them at the
+            # static shuffle-partition count — 32 near-empty partitions
+            # whose per-task overhead dominates every iteration, and whose
+            # fragmentation defeats partition-local contraction.
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         }
         defaults.update(cfg.spark_conf)
         for k, v in defaults.items():

@@ -351,96 +351,176 @@ def components_from_pairs(
     """Connected components over near-dup pairs → (doc_id, component_id),
     component_id = the smallest doc id in the component.
 
-    Small-label propagation with pointer jumping: each iteration every node
-    adopts the minimum label among itself and its neighbors (one hop), then
-    jumps to its label's label (halving the distance to the component
-    minimum). Neighbor-min alone converges in O(diameter); the jump makes it
-    O(log diameter), so ``max_iterations=20`` genuinely covers chains of
-    ~2^20 nodes. Three hash joins + one aggregate per iteration — no
-    driver-side graph. Raises RuntimeError if the budget is exhausted
-    before fixpoint (silent mis-clustering is worse than failing).
+    Iterated partition-local contraction. Each round runs ONE bulk
+    union-find kernel per partition of the (residual) edge list: the
+    kernel maps every node it sees to the smallest id of its
+    PARTITION-LOCAL component (array-backed union-find over
+    ``np.unique``-compacted ids — memory is O(nodes-in-partition),
+    bounded by the shuffle partition size, never the graph). The
+    per-node min across partitions is a label map; because partitions
+    can disagree, the map is transitively CLOSED by pointer doubling on
+    the mapping table itself (label ← label's label until fixpoint —
+    labels strictly decrease within a component, so this is monotone;
+    doubling makes it O(log chain), and the union-find already closed
+    everything intra-partition, so real graphs need 0-2 doubling
+    steps of one self-join each). Closed labels are always
+    in-component, so relabeling edges through the map preserves
+    components exactly; intra-component edges become self-loops and
+    drop out — a cross-partition CHAIN collapses in one round (the
+    closure resolves it), not one node per round. Residual rounds
+    shrink geometrically, so real dedup graphs finish in 1-2 rounds and
+    ``max_iterations=20`` is a deep safety margin. This is the
+    map-reduce star-contraction family (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") with the per-round work done
+    by a bulk kernel + mapping-table doubling instead of O(log d)
+    edge-join rounds: total cost is ~2× one pass over the edges, vs. a
+    fixed 3-join + action round PER pointer-jumping iteration.
 
-    The returned frame is lineage-truncated via ``localCheckpoint`` — the
-    iterative plan is not replayed on reuse, and no persist outlives the
-    returned reference.
+    Raises RuntimeError if the budget is exhausted before the residual
+    empties (silent mis-clustering is worse than failing). The returned
+    frame is lineage-truncated via ``localCheckpoint`` — the iterative
+    plan is not replayed on reuse, and no persist outlives the returned
+    reference.
 
     This is the 'keep one canonical doc per duplicate cluster' step that
     turns pairwise candidates into an actual dedup decision.
     """
-    edges = (
+
+    def uf_kernel(batches):
+        import pandas as pd
+
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf):
+                srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+                dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        if not srcs:
+            return
+        a = np.concatenate(srcs)
+        b = np.concatenate(dsts)
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a) :]
+        parent = np.arange(len(ids), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x, y in zip(ia, ib):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union toward the smaller index: ids is sorted, so every
+                # root is the minimum member of its tree by construction
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        roots = np.asarray([find(i) for i in range(len(ids))], dtype=np.int64)
+        yield pd.DataFrame({"node": ids, "label": ids[roots]})
+
+    residual = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # consumed twice per round (contraction kernel + relabel join);
+        # without persist the whole candidate-pair pipeline replays
         .persist()
     )
-    # Iterations MUST truncate lineage (localCheckpoint), not merely cache:
-    # each round references the previous labels four times, so the logical
-    # plan otherwise grows 4^k and the driver OOMs analyzing it around
-    # k≈12 — persist() bounds recomputation but not plan size.
-    # Init label = min(node, neighbors) — computable from the edge list
-    # with ONE aggregation, no join. This is iteration 1's neighbor-min
-    # for free: pair-shaped components (the overwhelming case in dedup
-    # graphs) converge on the FIRST loop check instead of the second,
-    # which halves rounds on real workloads where each round costs a
-    # fixed 3-join + checkpoint overhead.
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("nmin"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("nmin")).alias("label"),
+    def close_mapping(d: DataFrame, budget: int = 30) -> DataFrame:
+        # Pointer doubling to fixpoint: label ← label-of-label while any
+        # label is itself a mapped node with a smaller label. Labels
+        # strictly decrease inside a component, so this terminates; the
+        # convergence count rides the checkpoint job as an observe
+        # metric (one Spark job per doubling step, no extra action).
+        from pyspark.sql import Observation
+
+        for _ in range(budget):
+            lk = d.select(
+                F.col("node").alias("l_node"), F.col("label").alias("l_label")
+            )
+            obs = Observation()
+            d = (
+                d.join(lk, d.label == lk.l_node, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("prev"),
+                    F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("prev")).cast("long")
+                    ).alias("changed"),
+                )
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+            if (obs.get["changed"] or 0) == 0:
+                return d
+        raise RuntimeError(
+            "components_from_pairs: mapping closure did not converge "
+            f"in {budget} doubling steps"
         )
-        .localCheckpoint(eager=True)
-    )
+
+    mapping = None  # node -> current best (in-component) label
     converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        hop = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
-        )
-        # Pointer jump: label -> label's label. Labels are always node ids,
-        # so the lookup side is the label table itself.
-        lookup = hop.select(
-            F.col("node").alias("l_node"), F.col("label").alias("l_label")
-        )
-        new_labels = (
-            hop.join(lookup, hop.label == lookup.l_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-                ).alias("label"),
-            )
+        # d: residual-node -> smallest in-component id seen in any
+        # partition this round, transitively closed. The groupBy-min
+        # reconciles nodes whose edges straddle partitions.
+        d = close_mapping(
+            residual.mapInPandas(uf_kernel, schema="node long, label long")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        if mapping is None:
+            mapping = d
+        else:
+            # Chase one level: a mapping label that was merged this round
+            # appears as a node of d (residual edges run between current
+            # labels). Labels d never saw belong to already-resolved
+            # components and stay put.
+            upd = d.select(
+                F.col("node").alias("u_node"), F.col("label").alias("u_label")
+            )
+            mapping = (
+                mapping.join(upd, mapping.label == upd.u_node, "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("u_label"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        da = d.select(F.col("node").alias("d_src"), F.col("label").alias("la"))
+        db = d.select(F.col("node").alias("d_dst"), F.col("label").alias("lb"))
+        new_residual = (
+            residual.join(da, residual.src == da.d_src)
+            .join(db, residual.dst == db.d_dst)
+            .where(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+            .distinct()
+            .persist()
         )
-        labels = new_labels
-        if changed == 0:
+        # Full count (not limit(1)): materializes the persist completely
+        # before the previous residual is released.
+        n_residual = new_residual.count()
+        residual.unpersist()
+        residual = new_residual
+        if n_residual == 0:
             converged = True
             break
-    edges.unpersist()
+    residual.unpersist()
     if not converged:
         raise RuntimeError(
             f"components_from_pairs did not converge in {max_iterations} "
             "iterations; raise max_iterations"
         )
     # Checkpoint blocks are released when the returned DataFrame is GC'd.
-    return labels.select(
+    return mapping.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
 

@@ -421,19 +421,24 @@ def kmeans_centroids(
         caller wants sample size to track corpus size); no floor is
         applied, so tiny corpora should use ``train_rows`` instead.
 
-      The train sample is cached for the Lloyd iterations and unpersisted
-      before returning.
-    * **Fused assign + partial-sum kernel.** Each iteration is ONE Arrow
-      pass: the kernel matmul-assigns its batch to cells and accumulates
-      per-cell (count, Σvec) locally, emitting one partial row per
-      non-empty cell per partition — O(partitions × cells) rows of
-      ``dim``-wide arrays, never the data. (The previous shape — ``dim``
-      separate ``avg(vec[i])`` aggregates — planned fine at dim=64 but is
-      codegen-hostile at 768+: one aggregate expression per dimension.)
+    * **Execution matches the sample contract.** The ``train_rows`` path
+      has a BOUNDED sample (≤ train_rows × dim doubles — the same
+      driver-holds-model budget as the returned k × dim matrix, and the
+      same train(array) shape FAISS uses), so the sample is collected
+      ONCE and all Lloyd iterations run in numpy on the driver: one
+      Spark job total instead of 1 + n_iters driver round-trips.
+      The ``train_fraction`` path's sample grows with the corpus, so it
+      keeps the distributed per-iteration pass: ONE fused Arrow kernel
+      per iteration that matmul-assigns its batch to cells and
+      accumulates per-cell (count, Σvec) locally, emitting one partial
+      row per non-empty cell per partition — O(partitions × cells) rows
+      of ``dim``-wide arrays, never the data. (A ``dim``-separate
+      ``avg(vec[i])`` aggregate shape is codegen-hostile at 768+.)
 
-    The driver holds only the k × dim centroid matrix and the tiny partial
-    rows between iterations — model state, O(cells·dim·partitions)
-    regardless of corpus size (same class as a broadcast dim table).
+    The driver holds only the k × dim centroid matrix, the bounded train
+    sample (train_rows path), or the tiny partial rows between
+    iterations (train_fraction path) — model state regardless of corpus
+    size (same class as a broadcast dim table).
 
     Init is deterministic: the ``n_cells`` sample rows with smallest
     xxhash64(id) (a seedless uniform spread that any engine/run reproduces).
@@ -442,12 +447,45 @@ def kmeans_centroids(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("km-train"))
-    if train_fraction is not None:
-        cut = int(train_fraction * 1_000_000)
-        train = base.where(F.pmod(salted, F.lit(1_000_000)) < cut)
-    else:
+    if train_fraction is None:
+        # Bounded sample: ONE top-k collect, then driver-side Lloyd.
         target = train_rows if train_rows is not None else 64 * n_cells
-        train = base.orderBy(salted).limit(target)
+        rows = (
+            base.select(
+                "vid",
+                "vec",
+                F.xxhash64(F.col("vid").cast("string")).alias("__init_h"),
+            )
+            .orderBy(salted)
+            .limit(target)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("kmeans_centroids: empty training input")
+        mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        unit = mat / norms
+        init_order = np.argsort(
+            np.asarray([r["__init_h"] for r in rows], dtype=np.int64),
+            kind="stable",
+        )[:n_cells]
+        cents = mat[init_order]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        for _ in range(n_iters):
+            cell = (unit @ cents.T).argmax(axis=1)
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            np.add.at(counts, cell, 1)
+            np.add.at(sums, cell, mat)
+            for c in np.nonzero(counts)[0]:
+                n = np.linalg.norm(sums[c])
+                if n > 1e-12:
+                    cents[c] = sums[c] / n
+            # empty cells keep their previous centroid (stable, deterministic)
+        return cents
+
+    cut = int(train_fraction * 1_000_000)
+    train = base.where(F.pmod(salted, F.lit(1_000_000)) < cut)
     train = train.cache()
     try:
         init_rows = (
@@ -685,12 +723,14 @@ def pq_codebooks(
     """Train per-subspace PQ codebooks — shape (m, n_codes, dim//m).
 
     Same scale posture as :func:`kmeans_centroids`: a deterministic
-    salted-hash top-k sample (no corpus count), and each Lloyd iteration
-    is ONE fused Arrow kernel that assigns every subvector of its batch
-    to its nearest sub-centroid (L2, via the matmul identity
-    argmin‖x−c‖² = argmax(x·c − ‖c‖²/2)) and emits per-(subspace, cell)
-    (count, Σsubvec) partials. Driver state is the m·n_codes·(dim/m)
-    codebook tensor — model-sized, corpus-independent.
+    salted-hash top-k sample (no corpus count). The sample is BOUNDED
+    (≤ train_rows × dim doubles — the same driver-holds-model budget as
+    the returned codebook tensor, and the same train(array) shape FAISS
+    uses), so it is collected ONCE and all Lloyd iterations run in numpy
+    on the driver: one Spark job total. Assignment uses the matmul
+    identity argmin‖x−c‖² = argmax(x·c − ‖c‖²/2). Driver state is the
+    m·n_codes·(dim/m) codebook tensor plus the bounded sample —
+    model-sized, corpus-independent.
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -700,67 +740,40 @@ def pq_codebooks(
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("pq-train"))
     target = train_rows if train_rows is not None else 64 * n_codes
-    train = base.orderBy(salted).limit(target).cache()
-    try:
-        init_rows = (
-            train.orderBy(F.xxhash64(F.col("vid").cast("string")))
-            .limit(n_codes)
-            .collect()
+    rows = (
+        base.select(
+            "vid",
+            "vec",
+            F.xxhash64(F.col("vid").cast("string")).alias("__init_h"),
         )
-        init = np.asarray([r["vec"] for r in init_rows], dtype=np.float64)
-        # (m, n_codes, dsub): subspace j starts from the init rows' j-th slice
-        books = np.stack(
-            [init[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
-        )
-
-        for _ in range(n_iters):
-            sums = np.zeros_like(books)
-            counts = np.zeros((m, len(books[0])), dtype=np.int64)
-            for row in _pq_partial_sums(train, books).collect():
-                sums[row["sub"], row["cell"]] += np.asarray(
-                    row["s"], dtype=np.float64
-                )
-                counts[row["sub"], row["cell"]] += row["n"]
-            for j in range(m):
-                nz = np.nonzero(counts[j])[0]
-                books[j, nz] = sums[j, nz] / counts[j, nz, None]
-                # empty cells keep their previous centroid (deterministic)
-    finally:
-        train.unpersist()
+        .orderBy(salted)
+        .limit(target)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty training input")
+    mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    init_order = np.argsort(
+        np.asarray([r["__init_h"] for r in rows], dtype=np.int64),
+        kind="stable",
+    )[:n_codes]
+    init = mat[init_order]
+    # (m, n_codes, dsub): subspace j starts from the init rows' j-th slice
+    books = np.stack(
+        [init[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )
+    for _ in range(n_iters):
+        for j in range(m):
+            x = mat[:, j * dsub : (j + 1) * dsub]
+            cell = (x @ books[j].T - 0.5 * (books[j] ** 2).sum(1)).argmax(1)
+            sums = np.zeros_like(books[j])
+            counts = np.zeros(len(books[j]), dtype=np.int64)
+            np.add.at(counts, cell, 1)
+            np.add.at(sums, cell, x)
+            nz = np.nonzero(counts)[0]
+            books[j, nz] = sums[nz] / counts[nz, None]
+            # empty cells keep their previous centroid (deterministic)
     return books
-
-
-def _pq_partial_sums(base: DataFrame, books: np.ndarray) -> DataFrame:
-    """One PQ-Lloyd pass over all m subspaces in a single Arrow kernel:
-    per partition, per subspace, per non-empty cell → (sub, cell, n, Σ)."""
-    bk = books  # (m, k, dsub) closure capture, ships with the task
-
-    def kernel(batches):
-        import pandas as pd
-
-        m, k, dsub = bk.shape
-        acc = np.zeros((m, k, dsub), dtype=np.float64)
-        cnt = np.zeros((m, k), dtype=np.int64)
-        for pdf in batches:
-            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            if not len(mat):
-                continue
-            for j in range(m):
-                x = mat[:, j * dsub : (j + 1) * dsub]
-                cell = (x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)).argmax(1)
-                np.add.at(cnt[j], cell, 1)
-                np.add.at(acc[j], cell, x)
-        subs, cells = np.nonzero(cnt)
-        yield pd.DataFrame(
-            {
-                "sub": subs.astype(np.int32),
-                "cell": cells.astype(np.int32),
-                "n": cnt[subs, cells],
-                "s": [acc[s, c].tolist() for s, c in zip(subs, cells)],
-            }
-        )
-
-    return base.mapInPandas(kernel, schema="sub int, cell int, n long, s array<double>")
 
 
 def pq_encode(
@@ -965,11 +978,12 @@ def _pq_codebooks_residual(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(books, anchors): PQ codebooks trained on IVF RESIDUALS of a
     deterministic hash sample — the residual twin of :func:`pq_codebooks`
-    (same sampling, same fused-Lloyd shape). Anchors are the per-cell
-    MEAN vectors of the sample (assignment stays cosine-argmax against
-    the unit centroids): the mean minimizes residual variance, where the
-    unit centroid can inflate it (see :func:`ivfpq_encode`). Empty cells
-    fall back to their unit centroid."""
+    (same bounded sampling, same one-collect driver Lloyd). Anchors are
+    the per-cell MEAN vectors of the sample (assignment stays
+    cosine-argmax against the unit centroids): the mean minimizes
+    residual variance, where the unit centroid can inflate it (see
+    :func:`ivfpq_encode`). Empty cells fall back to their unit
+    centroid."""
     dsub = dim // m
     cents = centroids_unit
     base = df.select(
@@ -977,81 +991,52 @@ def _pq_codebooks_residual(
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("ivfpq-train"))
     target = train_rows if train_rows is not None else 64 * n_codes
-    train = base.orderBy(salted).limit(target).cache()
-    try:
-        # anchors: per-cell (count, Σvec) partials over the sample — one
-        # Arrow pass, same kernel the IVF trainer uses
-        sums_a = np.zeros_like(cents)
-        counts_a = np.zeros(len(cents), dtype=np.int64)
-        for row in _cell_partial_sums(train, cents).collect():
-            sums_a[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
-            counts_a[row["cell"]] += row["n"]
-        anchors = cents.copy()
-        nz_a = np.nonzero(counts_a)[0]
-        anchors[nz_a] = sums_a[nz_a] / counts_a[nz_a, None]
-
-        rows = (
-            train.orderBy(F.xxhash64(F.col("vid").cast("string")))
-            .limit(n_codes)
-            .collect()
+    rows = (
+        base.select(
+            "vid",
+            "vec",
+            F.xxhash64(F.col("vid").cast("string")).alias("__init_h"),
         )
-        init = np.asarray([r["vec"] for r in rows], dtype=np.float64)
-        nrm = np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
-        cell0 = ((init / nrm) @ cents.T).argmax(axis=1)
-        resid0 = init - anchors[cell0]
-        books = np.stack(
-            [resid0[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
-        )
+        .orderBy(salted)
+        .limit(target)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("_pq_codebooks_residual: empty training input")
+    mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cell = ((mat / norms) @ cents.T).argmax(axis=1)
 
-        def residualize(mat):
-            norms = np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
-            return mat - anchors[((mat / norms) @ cents.T).argmax(axis=1)]
+    # anchors: per-cell MEAN of the sample; empty cells keep the unit
+    # centroid
+    anchors = cents.copy()
+    sums_a = np.zeros_like(cents)
+    counts_a = np.zeros(len(cents), dtype=np.int64)
+    np.add.at(counts_a, cell, 1)
+    np.add.at(sums_a, cell, mat)
+    nz_a = np.nonzero(counts_a)[0]
+    anchors[nz_a] = sums_a[nz_a] / counts_a[nz_a, None]
 
-        for _ in range(n_iters):
-            bk = books
-
-            def kernel(batches):
-                import pandas as pd
-
-                mm, kk, dd = bk.shape
-                acc = np.zeros((mm, kk, dd), dtype=np.float64)
-                cnt = np.zeros((mm, kk), dtype=np.int64)
-                for pdf in batches:
-                    mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-                    if not len(mat):
-                        continue
-                    resid = residualize(mat)
-                    for j in range(mm):
-                        x = resid[:, j * dd : (j + 1) * dd]
-                        cl = (x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)).argmax(1)
-                        np.add.at(cnt[j], cl, 1)
-                        np.add.at(acc[j], cl, x)
-                subs, cells = np.nonzero(cnt)
-                yield pd.DataFrame(
-                    {
-                        "sub": subs.astype(np.int32),
-                        "cell": cells.astype(np.int32),
-                        "n": cnt[subs, cells],
-                        "s": [acc[s, c].tolist() for s, c in zip(subs, cells)],
-                    }
-                )
-
-            sums = np.zeros_like(books)
-            counts = np.zeros((m, n_codes), dtype=np.int64)
-            for row in train.mapInPandas(
-                kernel, schema="sub int, cell int, n long, s array<double>"
-            ).collect():
-                sums[row["sub"], row["cell"]] += np.asarray(
-                    row["s"], dtype=np.float64
-                )
-                counts[row["sub"], row["cell"]] += row["n"]
-            for j in range(m):
-                nz = np.nonzero(counts[j])[0]
-                books[j, nz] = sums[j, nz] / counts[j, nz, None]
-    finally:
-        train.unpersist()
+    resid = mat - anchors[cell]
+    init_order = np.argsort(
+        np.asarray([r["__init_h"] for r in rows], dtype=np.int64),
+        kind="stable",
+    )[:n_codes]
+    resid0 = resid[init_order]
+    books = np.stack(
+        [resid0[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )
+    for _ in range(n_iters):
+        for j in range(m):
+            x = resid[:, j * dsub : (j + 1) * dsub]
+            cl = (x @ books[j].T - 0.5 * (books[j] ** 2).sum(1)).argmax(1)
+            sums = np.zeros_like(books[j])
+            counts = np.zeros(len(books[j]), dtype=np.int64)
+            np.add.at(counts, cl, 1)
+            np.add.at(sums, cl, x)
+            nz = np.nonzero(counts)[0]
+            books[j, nz] = sums[nz] / counts[nz, None]
+            # empty cells keep their previous centroid (deterministic)
     return books, anchors
 
 
