@@ -50,6 +50,9 @@ _RECHECK_FIRST = (
     # later registry growth can never push them past the window edge.
     "multimodal_frame_sample",
     "multimodal_features",
+    # (0b) added after the r3 snapshot — no driver row exists yet
+    "bm25_multi_query_topk",
+    "dedup_modality_agreement",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

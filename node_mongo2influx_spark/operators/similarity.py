@@ -1299,7 +1299,7 @@ def semantic_dedup(
 
     Pipeline: IVF-cell candidate pairs (exact cosine scored, so every
     edge is TRUE — see :func:`cosine_pairs_ivf`) → connected components
-    (pointer jumping, O(log diameter) rounds) → broadcast anti-join of
+    (partition-local union-find contraction) → broadcast anti-join of
     the drop list. Because edges are exact-verified, missed candidates
     only SPLIT components: every id this operator drops would also be
     dropped by the exact all-pairs dedup (precision 1 structurally —

@@ -594,6 +594,98 @@ def bm25_topk(
     )
 
 
+def bm25_multi_topk(
+    df: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-N per query for a BATCH of queries — the inverted-
+    index path that :func:`bm25_topk`'s fixed-query shortcut does not
+    scale to (one tf column per term stops working when the term set is
+    the union of thousands of queries).
+
+    Scale shape: the corpus explodes ONCE into postings restricted to
+    the query vocabulary (the ``isin`` filter runs before the (doc,
+    term) aggregation, so only matching tokens shuffle); document
+    frequency per term is a second tiny aggregate of the postings;
+    query terms and per-term df broadcast onto the postings; corpus
+    stats (N, avgdl) are a 1-row broadcast. Per-(query, doc) scores sum
+    EXACT INTEGER nano-units (each term contribution is rounded to 1e-9
+    before the sum) so the reassociated distributed sum is bit-identical
+    to any sequential engine — double prefix sums drift in the low bits
+    under reassociation. Top-N per query is one rank window partitioned
+    by query id.
+
+    A doc scores iff it contains ≥1 query term, which equals
+    :func:`bm25_topk`'s ``bm25 > 0`` cut: absent terms contribute 0 and
+    the Lucene idf variant is strictly positive.
+    """
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    for t in all_terms:
+        if "'" in t:
+            raise ValueError("terms must not contain quotes")
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id int, w string",
+    )
+    words = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("doc"), words.alias("ws"))
+    postings = (
+        base.select(
+            "doc", F.size("ws").alias("dl"), F.explode("ws").alias("w")
+        )
+        .where(F.col("w").isin(all_terms))
+        .groupBy("doc", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("ws")).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    nano = F.floor(contrib * 1e9 + F.lit(0.5)).cast("long")
+    scored = (
+        postings.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc")
+        .agg(F.sum(nano).alias("nanos"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("nanos").desc(), F.col("doc")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rank_w))
+        .where(F.col("rk") <= top_n)
+        .select(
+            "query_id",
+            F.col("doc").alias(id_col),
+            F.col("rk").alias("rank"),
+            (
+                F.floor(F.col("nanos").cast("double") / 1e3 + F.lit(0.5))
+                / 1e6
+            ).alias("bm25"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def cooccurrence_pmi(
     df: DataFrame,
     text_col: str = "text",

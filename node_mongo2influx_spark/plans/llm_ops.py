@@ -369,6 +369,106 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_modality_agreement",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 3 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       ELSE [] END
+                   )) AS sh
+            FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shingles a JOIN shingles b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        text_pairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM inter p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        emb_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        ),
+        merged AS (
+            SELECT coalesce(t.doc_a, v.doc_a) AS doc_a,
+                   (t.doc_a IS NOT NULL) AS in_text,
+                   (v.doc_a IS NOT NULL) AS in_emb
+            FROM text_pairs t
+            FULL OUTER JOIN emb_pairs v
+                 ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+        )
+        SELECT CAST(sum(CASE WHEN in_text THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_text_pairs,
+               CAST(sum(CASE WHEN in_emb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_embedding_pairs,
+               CAST(sum(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(count(*) AS BIGINT) AS n_either,
+               floor(CAST(sum(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS agreement
+        FROM merged
+    """,
+    description="Cross-modality dedup audit: do the text tier (exact "
+    "3-gram Jaccard >= 0.5) and the embedding tier (exact cosine >= 0.4) "
+    "flag the same pairs? Full-outer join of the two exact pair sets -> "
+    "counts per side, intersection, union, and the pair-set Jaccard "
+    "agreement — the calibration measurement that tells a pipeline "
+    "operator whether the cheap tier can stand in for the expensive one "
+    "on this corpus. Both inputs are the exact (oracle-checkable) tiers, "
+    "so the audit itself is fully oracle-checked.",
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tp = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        text_col="text", id_col="doc_id", n=3, threshold=0.5,
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_text"))
+    ep = similarity.cosine_pairs(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id", vec_col="embedding", threshold=0.4,
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
+        F.lit(True).alias("in_emb"),
+    )
+    merged = tp.join(ep, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_text"), F.lit(False)).alias("in_text"),
+        F.coalesce(F.col("in_emb"), F.lit(False)).alias("in_emb"),
+    )
+    both = F.sum((F.col("in_text") & F.col("in_emb")).cast("long"))
+    return merged.agg(
+        F.sum(F.col("in_text").cast("long")).alias("n_text_pairs"),
+        F.sum(F.col("in_emb").cast("long")).alias("n_embedding_pairs"),
+        both.alias("n_both"),
+        F.count(F.lit(1)).alias("n_either"),
+        (
+            F.floor(
+                both.cast("double") / F.count(F.lit(1)) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("agreement"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2369,6 +2469,87 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(
         load(spark, sf_dir, "documents"), terms=_BM25_TERMS,
         text_col="text", id_col="doc_id", k1=1.2, b=0.75, top_n=20,
+    )
+
+
+_BM25_QUERIES = {
+    0: ("join", "window", "hash"),
+    1: ("stream", "merge", "sort"),
+    2: ("data", "query", "fast", "scan"),
+}
+
+
+def _bm25_multi_oracle(queries=_BM25_QUERIES, k1=1.2, b=0.75, top_n=10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in ts
+    )
+    vocab = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in queries.values() for t in ts})
+    )
+    contrib = (
+        f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * (CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+    )
+    return f"""
+        WITH q(query_id, w) AS (VALUES {vals}),
+        base AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        sized AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+                  FROM sized),
+        postings AS (
+            SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, dl, unnest(ws) AS w FROM sized)
+            WHERE w IN ({vocab})
+            GROUP BY doc_id, dl, w
+        ),
+        dfreq AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY w
+        ),
+        contrib AS (
+            SELECT q.query_id, p.doc_id,
+                   CAST(floor(({contrib}) * 1e9 + 0.5) AS BIGINT) AS nanos
+            FROM postings p
+            JOIN q ON p.w = q.w
+            JOIN dfreq ON dfreq.w = p.w, stats
+        ),
+        scored AS (
+            SELECT query_id, doc_id, CAST(sum(nanos) AS BIGINT) AS nanos
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, nanos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY nanos DESC, doc_id) AS rk
+            FROM scored
+        )
+        SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+               CAST(rk AS INTEGER) AS rank,
+               floor(CAST(nanos AS DOUBLE) / 1e3 + 0.5) / 1e6 AS bm25
+        FROM ranked WHERE rk <= {top_n}
+        ORDER BY query_id, rank
+    """
+
+
+@query(
+    "bm25_multi_query_topk",
+    oracle=_bm25_multi_oracle(),
+    description="Okapi BM25 top-10 per query for a BATCH of queries via a "
+    "real inverted index: the corpus explodes once into postings "
+    "restricted to the query vocabulary (filter before the (doc, term) "
+    "shuffle), per-term df is a second tiny aggregate, query terms + df "
+    "broadcast onto the postings, and per-(query, doc) scores sum EXACT "
+    "INTEGER nano-units so the reassociated distributed sum hash-matches "
+    "the sequential oracle. The scale path bm25_keyword_topk's fixed-"
+    "query shortcut (one tf column per term) cannot take when the term "
+    "set is thousands of queries wide.",
+)
+def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_multi_topk(
+        load(spark, sf_dir, "documents"), queries=_BM25_QUERIES,
+        text_col="text", id_col="doc_id", k1=1.2, b=0.75, top_n=10,
     )
 
 

@@ -382,7 +382,7 @@ FROM chain GROUP BY user_id
     "predecessor, so the graph is a union of simple paths — acyclic, "
     "in-degree ≤1 — which is exactly the shape UNION ALL recursion "
     "terminates on (Spark rejects deduplicating UNION recursion; cyclic "
-    "graphs go through the iterative pointer-jumping operator in "
+    "graphs go through the iterative contraction operator in "
     "operators/dedup.py instead). One window pass builds the edges; "
     "each recursion level is a hash join on (user, predecessor). The "
     "IDENTICAL SQL text runs on DuckDB as the oracle.",

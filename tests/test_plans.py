@@ -92,6 +92,7 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q2_min_cost_supplier", "q11_important_stock",
         "q20_promo_part_suppliers", "orders_fill_rate_asof",
         "events_user_funnel", "ohlc_vwap_hourly",
+        "bm25_multi_query_topk", "dedup_modality_agreement",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
@@ -124,6 +125,11 @@ _BOUNDED_HINTED_AGG_ALLOW = {
     # q15: per-supplier revenue FILTERED to == the global max revenue —
     # output is ~1 row at any sf (ties only), regardless of supplier count.
     "q15_top_supplier",
+    # bm25_multi: the hinted per-term df aggregate is computed over
+    # postings already FILTERED to the literal query vocabulary (isin on
+    # a fixed term set), so its output is ≤ |query terms| rows at any sf
+    # — bounded by the query batch, not the corpus.
+    "bm25_multi_query_topk",
 }
 
 _GROUPED_AGG_RE = None
@@ -352,6 +358,8 @@ _SCALAR_CROSSJOIN_OK = {
     "cooccurrence_pmi",       # two 1-row totals (pair count, word count)
     "rfm_segmentation",       # 1-row quantile-cutoff record × customers
     "hybrid_retrieval_rrf",   # bm25 1-row stats + knn broadcast (≤1-row query side)
+    "bm25_multi_query_topk",  # 1-row (N, avgdl) stats record
+    "dedup_modality_agreement",  # embeds the exact all-pairs cosine tier
 }
 
 #: Queries whose Python-eval node is the deliverable itself.

@@ -63,6 +63,53 @@ def test_components_deep_chain_converges(spark):
     assert set(got.values()) == {1} and len(got) == 40
 
 
+def test_components_match_ground_truth_on_adversarial_graphs(spark):
+    # The contraction algorithm (per-partition union-find + closure +
+    # relabel rounds) must agree with a sequential union-find on graph
+    # shapes that stress each piece: random sparse, long chains that
+    # straddle every partition, stars, dense cliques, and disconnected
+    # pair soup. Labels must be the exact global component minimum.
+    import random
+
+    from node_mongo2influx_spark.operators.dedup import components_from_pairs
+
+    def truth(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(42)
+    shapes = {
+        "random": [
+            tuple(sorted((rng.randrange(500), rng.randrange(500))))
+            for _ in range(300)
+        ],
+        "chains": [(i, i + 1) for i in range(1, 60)]
+        + [(i, i + 1) for i in range(100, 145)],
+        "star": [(1, i) for i in range(2, 80)],
+        "clique": [(i, j) for i in range(200, 215) for j in range(i + 1, 215)],
+        "pairs": [(i, i + 1000) for i in range(300, 340)],
+    }
+    for name, edges in shapes.items():
+        edges = [e for e in set(edges) if e[0] != e[1]]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in components_from_pairs(pairs).collect()
+        }
+        assert got == truth(edges), name
+
+
 def test_components_from_pairs_basic(spark):
     from node_mongo2influx_spark.operators.dedup import components_from_pairs
 
