@@ -53,6 +53,8 @@ _RECHECK_FIRST = (
     # (0b) added after the r3 snapshot — no driver row exists yet
     "bm25_multi_query_topk",
     "dedup_modality_agreement",
+    "rollup_incremental_refresh",
+    "sft_render_truncate",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

@@ -594,6 +594,58 @@ def bm25_topk(
     )
 
 
+def sft_render(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    response_budget: int = 48,
+    user_tag: str = "<|user|>",
+    assistant_tag: str = "<|assistant|>",
+    end_tag: str = "<|end|>",
+) -> DataFrame:
+    """Render documents into SFT (supervised fine-tuning) chat-template
+    examples with a response token budget — the formatting step between a
+    cleaned corpus and a trainer's packed batches.
+
+    Each document is split at its word midpoint into a synthetic
+    prompt/response pair, the response is truncated to
+    ``response_budget`` words, and the pair is rendered as
+    ``user_tag\\nprompt\\nassistant_tag\\nresponse end_tag``. Output
+    carries the rendered text's length + md5 (join key for downstream
+    packing/dedup) and the token accounting a data buyer audits:
+    prompt/response word counts, kept count, truncation flag.
+
+    Pure Column ops (split/slice/array_join/concat) — zero shuffles,
+    renders at scan speed; the template literals are parameters, so a
+    real tokenizer's special tokens drop in unchanged.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    np_ = F.floor((n + F.lit(1)) / 2).cast("int")
+    prompt = F.slice(words, F.lit(1), np_)
+    resp = F.slice(words, np_ + 1, F.greatest(n - np_, F.lit(0)))
+    kept = F.slice(
+        resp, F.lit(1), F.least(F.size(resp), F.lit(response_budget))
+    )
+    rendered = F.concat(
+        F.lit(user_tag + "\n"),
+        F.array_join(prompt, " "),
+        F.lit("\n" + assistant_tag + "\n"),
+        F.array_join(kept, " "),
+        F.lit(end_tag),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.size(prompt).cast("long").alias("n_prompt_words"),
+        F.size(resp).cast("long").alias("n_response_words"),
+        F.size(kept).cast("long").alias("n_response_kept"),
+        (F.size(resp) > response_budget).alias("truncated"),
+        F.length(rendered).cast("long").alias("n_chars_rendered"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
+
+
 def bm25_multi_topk(
     df: DataFrame,
     queries: dict[int, tuple[str, ...]],

@@ -2553,6 +2553,60 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sft_render_truncate",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        split AS (
+            SELECT doc_id, len(ws) AS n,
+                   CAST(floor((len(ws) + 1) / 2) AS INTEGER) AS np, ws
+            FROM base
+        ),
+        parts AS (
+            SELECT doc_id, n, np,
+                   ws[1:np] AS prompt,
+                   ws[np+1:n] AS resp
+            FROM split
+        ),
+        cut AS (
+            SELECT doc_id, n, prompt, resp,
+                   resp[1:least(len(resp), 48)] AS kept
+            FROM parts
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               CAST(len(prompt) AS BIGINT) AS n_prompt_words,
+               CAST(len(resp) AS BIGINT) AS n_response_words,
+               CAST(len(kept) AS BIGINT) AS n_response_kept,
+               len(resp) > 48 AS truncated,
+               CAST(length('<|user|>' || chr(10) || array_to_string(prompt, ' ')
+                    || chr(10) || '<|assistant|>' || chr(10)
+                    || array_to_string(kept, ' ') || '<|end|>') AS BIGINT)
+                   AS n_chars_rendered,
+               md5('<|user|>' || chr(10) || array_to_string(prompt, ' ')
+                   || chr(10) || '<|assistant|>' || chr(10)
+                   || array_to_string(kept, ' ') || '<|end|>')
+                   AS rendered_md5
+        FROM cut
+    """,
+    description="SFT chat-template rendering with a response budget: each "
+    "document splits at its word midpoint into a synthetic prompt/response "
+    "pair, the response truncates to 48 words, and the pair renders as "
+    "<|user|>/<|assistant|>/<|end|>-tagged training text — the formatting "
+    "step between a cleaned corpus and packed batches. Output is the "
+    "rendered text's md5 + length plus the token accounting "
+    "(prompt/response/kept counts, truncation flag). Pure Column ops, "
+    "zero shuffles, renders at scan speed.",
+)
+def sft_render_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sft_render(
+        load(spark, sf_dir, "documents"),
+        text_col="text", id_col="doc_id", response_budget=48,
+    )
+
+
 def _cdc_oracle(window: int = 4, divisor: int = 64) -> str:
     from node_mongo2influx_spark.operators.dedup import _cdc_hash_nested
 

@@ -48,6 +48,87 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_CUTOFF = "2024-01-24 00:00:00"
+
+
+@query(
+    "rollup_incremental_refresh",
+    oracle="""
+        SELECT event_type,
+               CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_value,
+               floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100.0 * 1e4 + 0.5) / 1e4 AS avg_value,
+               CAST(min(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS min_value,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="Incremental view maintenance for the 5-minute rollup: the "
+    "pre-cutoff 'stored' rollup and the post-cutoff delta rollup are "
+    "aggregated separately as MERGEABLE partials (count, exact-integer "
+    "cent sum, cent min/max) and combined with one full-outer merge join — "
+    "never rescanning the base. The oracle is the FULL recompute over all "
+    "events: because the partials are exact integers (cents), the merged "
+    "sums are bit-identical to single-pass aggregation under any grouping "
+    "of the data — the algebra a continuous aggregate needs to refresh "
+    "only delta-touched partitions at 100 TB. (Double sums would NOT "
+    "hash-match here: reassociation drifts their low bits.)",
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.window("ts", "5 minutes").start.alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("c_sum"),
+            F.min(cents).alias("c_min"),
+            F.max(cents).alias("c_max"),
+        )
+    base = partial(e.where(F.col("ts") < F.lit(_IVM_CUTOFF)))
+    delta = partial(e.where(F.col("ts") >= F.lit(_IVM_CUTOFF)))
+    b = base.select(
+        "event_type", "bucket",
+        F.col("n").alias("bn"), F.col("c_sum").alias("bs"),
+        F.col("c_min").alias("bmin"), F.col("c_max").alias("bmax"),
+    )
+    d = delta.select(
+        "event_type", "bucket",
+        F.col("n").alias("dn"), F.col("c_sum").alias("ds"),
+        F.col("c_min").alias("dmin"), F.col("c_max").alias("dmax"),
+    )
+    merged = b.join(d, ["event_type", "bucket"], "full_outer")
+    n = F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+    s = F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0))
+    cmin = F.least(
+        F.coalesce(F.col("bmin"), F.col("dmin")),
+        F.coalesce(F.col("dmin"), F.col("bmin")),
+    )
+    cmax = F.greatest(
+        F.coalesce(F.col("bmax"), F.col("dmax")),
+        F.coalesce(F.col("dmax"), F.col("bmax")),
+    )
+    return merged.select(
+        "event_type",
+        "bucket",
+        n.alias("n"),
+        (s.cast("double") / 100.0).alias("sum_value"),
+        (
+            F.floor(s.cast("double") / n / 100.0 * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("avg_value"),
+        (cmin.cast("double") / 100.0).alias("min_value"),
+        (cmax.cast("double") / 100.0).alias("max_value"),
+    )
+
+
 @query(
     "sessionize_events",
     oracle="""

@@ -264,3 +264,64 @@ def test_z_order_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert avg_norm_span(z_dir, "user_id", tot_user) <= 0.75
     # and nothing was lost in the rewrite
     assert spark.read.parquet(z_dir).count() == ev.count()
+
+
+def test_rollup_refresh_from_stored_partials_matches_full_recompute(
+    spark, sf_dir, tmp_path
+):
+    # The IVM claim end-to-end: persist the pre-cutoff rollup PARTIALS
+    # (count + exact-cent sum/min/max) to parquet, then refresh by merging
+    # the stored table with only the delta's partials — never rescanning
+    # base events — and get bit-identical results to a full single-pass
+    # recompute. Works only because the partials are exact integers:
+    # double sums drift under the base/delta reassociation.
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partial(df):
+        return df.groupBy(
+            "event_type", F.window("ts", "5 minutes").start.alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("c_sum"),
+            F.min(cents).alias("c_min"),
+            F.max(cents).alias("c_max"),
+        )
+
+    cutoff = "2024-01-20 00:00:00"
+    store = str(tmp_path / "rollup_store")
+    partial(e.where(F.col("ts") < cutoff)).write.parquet(store)
+
+    stored = spark.read.parquet(store).select(
+        "event_type", "bucket",
+        F.col("n").alias("bn"), F.col("c_sum").alias("bs"),
+        F.col("c_min").alias("bmin"), F.col("c_max").alias("bmax"),
+    )
+    delta = partial(e.where(F.col("ts") >= cutoff)).select(
+        "event_type", "bucket",
+        F.col("n").alias("dn"), F.col("c_sum").alias("ds"),
+        F.col("c_min").alias("dmin"), F.col("c_max").alias("dmax"),
+    )
+    merged = stored.join(delta, ["event_type", "bucket"], "full_outer").select(
+        "event_type", "bucket",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce("bs", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("c_sum"),
+        F.least(
+            F.coalesce("bmin", "dmin"), F.coalesce("dmin", "bmin")
+        ).alias("c_min"),
+        F.greatest(
+            F.coalesce("bmax", "dmax"), F.coalesce("dmax", "bmax")
+        ).alias("c_max"),
+    )
+    full = partial(e)
+    got = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in merged.collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in full.collect()
+    }
+    assert got == want
