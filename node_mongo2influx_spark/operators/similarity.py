@@ -91,10 +91,17 @@ def cosine_pairs(
     oracle-checkable; quadratic, so at 100 TB feed it LSH-bucketed
     candidates (see :func:`knn_cosine_lsh`) rather than the raw corpus —
     the scoring expression is identical.
+
+    The streamed side is repartitioned to the cluster's parallelism:
+    BroadcastNestedLoopJoin parallelizes over streamed-side partitions
+    only, and a small corpus arriving as ONE parquet split would put the
+    entire O(n²) scoring loop on a single core. The extra shuffle moves
+    n rows — noise against n² scoring work at any size.
     """
     base = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     a = base.select(
         F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
