@@ -73,6 +73,15 @@ EXTENDED_R4B = (
     "mad_robust_outliers",
 )
 
+#: Round-4 third-wave additions: inverted-index retrieval, cross-modality
+#: audit, incremental view maintenance, SFT formatting.
+EXTENDED_R4C = (
+    "bm25_multi_query_topk",
+    "dedup_modality_agreement",
+    "rollup_incremental_refresh",
+    "sft_render_truncate",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -120,6 +129,7 @@ def main() -> None:
     ext_times, ext_mins = run_set(EXTENDED)
     r4_times, r4_mins = run_set(EXTENDED_R4)
     r4b_times, r4b_mins = run_set(EXTENDED_R4B)
+    r4c_times, r4c_mins = run_set(EXTENDED_R4C)
 
     total = round(sum(times.values()), 3)
     print(
@@ -140,6 +150,9 @@ def main() -> None:
                 "extended_r4b": r4b_times,
                 "extended_r4b_min": r4b_mins,
                 "extended_r4b_total": round(sum(r4b_times.values()), 3),
+                "extended_r4c": r4c_times,
+                "extended_r4c_min": r4c_mins,
+                "extended_r4c_total": round(sum(r4c_times.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

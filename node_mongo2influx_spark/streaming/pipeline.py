@@ -325,6 +325,78 @@ def incremental_dedup_stream(
     )
 
 
+def rollup_maintenance_stream(
+    source: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Continuously maintain the 5-minute rollup as an APPEND-ONLY log of
+    mergeable exact-integer partials — the streaming face of
+    ``rollup_incremental_refresh``'s merge algebra.
+
+    Per micro-batch: aggregate the arriving events to (key, bucket,
+    count, cent-sum, cent-min, cent-max) partials and write them under
+    ``ingest_batch=<id>`` with DYNAMIC partition overwrite. A replayed
+    micro-batch (crash before checkpoint commit) rewrites its OWN
+    partition instead of double-counting — replay-idempotent with no
+    read-modify-write and no transaction coordinator, because the store
+    is a log of partials, not the merged result. Readers merge on read
+    (:func:`read_rollup_store`: one groupBy-sum, exact because the
+    partials are integers); periodic compaction
+    (``sinks/parquet.py``) collapses the log so the merge stays
+    O(batches-since-compaction). This is the continuous-aggregate
+    design that avoids the per-batch base-rescan a merged store would
+    need at 100 TB: each batch writes O(its own buckets) rows and
+    touches nothing else.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.col(key_col),
+                F.window(time_col, "5 minutes").start.alias("bucket"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("c_sum"),
+                F.min(cents).alias("c_min"),
+                F.max(cents).alias("c_max"),
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store_dir)
+        )
+
+    return (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup_store(spark, store_dir: str, key_col: str = "event_type") -> DataFrame:
+    """Merge-on-read over the partial log written by
+    :func:`rollup_maintenance_stream`: one groupBy collapses all
+    per-batch partials into the current rollup. Exact-integer partials
+    make the merge bit-identical to a single-pass aggregate over the raw
+    events, however the batches sliced them."""
+    p = spark.read.parquet(store_dir)
+    return p.groupBy(key_col, "bucket").agg(
+        F.sum("n").alias("n"),
+        F.sum("c_sum").alias("c_sum"),
+        F.min("c_min").alias("c_min"),
+        F.max("c_max").alias("c_max"),
+    )
+
+
 def ohlc_stream(
     source: DataFrame,
     time_col: str = "time",

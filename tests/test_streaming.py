@@ -536,3 +536,61 @@ def test_quality_filter_stream_equals_batch(spark, sf_dir, tmp_path):
         ).select("doc_id").collect()
     }
     assert streamed == batch and batch  # same gate, same survivors
+
+
+def test_rollup_maintenance_stream_merge_equals_batch(
+    spark, events_stream_dir, tmp_path
+):
+    # The streaming IVM design: each micro-batch appends mergeable
+    # exact-integer partials under its own ingest_batch partition;
+    # merge-on-read must equal the single-pass batch aggregate
+    # BIT-FOR-BIT (integer partials make the merge associative), and a
+    # replayed batch (dynamic overwrite of its own partition) must
+    # change nothing.
+    schema = spark.read.parquet(events_stream_dir).schema
+    store = str(tmp_path / "rollup_store")
+    q = sp.rollup_maintenance_stream(
+        sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    n_batches = (
+        spark.read.parquet(store).select("ingest_batch").distinct().count()
+    )
+    assert n_batches >= 2, "need multiple micro-batches to prove the merge"
+
+    merged = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in sp.read_rollup_store(spark, store).collect()
+    }
+    cents = F.round(F.col("value") * 100).cast("long")
+    full = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("event_type", F.window("ts", "5 minutes").start.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("c_sum"),
+            F.min(cents).alias("c_min"),
+            F.max(cents).alias("c_max"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+    # replay: re-run the stream with a FRESH checkpoint over the same
+    # source — every batch id re-fires and dynamic overwrite rewrites the
+    # same partitions (batch slicing is deterministic for the file source
+    # with the same maxFilesPerTrigger), so the store must not change
+    q2 = sp.rollup_maintenance_stream(
+        sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    merged2 = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in sp.read_rollup_store(spark, store).collect()
+    }
+    assert merged2 == full
