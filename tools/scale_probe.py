@@ -105,6 +105,23 @@ def main() -> None:
         ),
         "cooccurrence_pmi": lambda k: text.cooccurrence_pmi(uniquified_docs(k)),
         "quota_sample": lambda k: sampling.quota_sample(uniquified_docs(k)),
+        "bm25_multi": lambda k: text.bm25_multi_topk(
+            uniquified_docs(k),
+            queries={
+                0: ("join", "window", "hash"),
+                1: ("stream", "merge", "sort"),
+            },
+        ),
+        "sft_render": lambda k: text.sft_render(uniquified_docs(k)),
+        # synthetic chains-of-10 edge list scaling linearly in k: probes
+        # the contraction operator itself. (Feeding it the exact-Jaccard
+        # tier over replicated docs would create k^2 pairs by
+        # construction — that tests the data, not the operator.)
+        "components_contraction": lambda k: dedup.components_from_pairs(
+            spark.range(50_000 * k)
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+            .where(F.col("id") % 10 != 9),
+        ),
     }
 
     # warm up session + python workers
