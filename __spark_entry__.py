@@ -55,6 +55,8 @@ _RECHECK_FIRST = (
     "dedup_modality_agreement",
     "rollup_incremental_refresh",
     "sft_render_truncate",
+    "sliding_distinct_users",
+    "winsorize_by_type",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

@@ -935,6 +935,49 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorize_by_type",
+    oracle="""
+        WITH cuts AS (
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.05) * 1e4 + 0.5) / 1e4 AS lo,
+                   floor(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               floor(least(greatest(value, lo), hi) * 1e4 + 0.5) / 1e4
+                   AS clipped,
+               (value < lo OR value > hi) AS was_clipped
+        FROM events e JOIN cuts USING (event_type)
+    """,
+    description="Per-group winsorization: clip each value into its "
+    "group's [p05, p95] band — the outlier-taming step a training "
+    "pipeline applies to lengths/scores before normalization. Exact "
+    "interpolated percentiles reduce each group to a 2-number cut "
+    "record; the join-back is an aggregate-over-the-same-table joined "
+    "without a hint (AQE broadcasts the cuts while small). Cuts are "
+    "half-up rounded to 1e-4 BEFORE comparison on BOTH engines so an "
+    "ulp of interpolation drift can't flip a boundary row's clip flag.",
+)
+def winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    r4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    cuts = e.groupBy("event_type").agg(
+        r4(F.expr("percentile(value, 0.05)")).alias("lo"),
+        r4(F.expr("percentile(value, 0.95)")).alias("hi"),
+    )
+    return e.join(cuts, "event_type").select(
+        "event_id",
+        "event_type",
+        r4(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))).alias(
+            "clipped"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
+@query(
     "correlated_max_order",
     oracle="""
         SELECT c.c_custkey, c.c_name, o.o_orderkey AS top_orderkey,

@@ -48,6 +48,41 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sliding_distinct_users",
+    oracle="""
+        WITH exploded AS (
+            SELECT user_id,
+                   time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                       - k * (INTERVAL '10 minutes') AS window_start
+            FROM events, unnest([0, 1, 2]) AS t(k)
+        )
+        SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM exploded
+        GROUP BY window_start
+    """,
+    description="Sliding-window distinct: unique users per 30-minute "
+    "window hopping every 10 minutes. Spark's window(slide) replicates "
+    "each event into its 3 covering windows before the distinct "
+    "aggregate — O(rows × overlap) exploded rows, two-phase distinct, "
+    "no per-window rescan; the oracle reproduces the replication with "
+    "an explicit unnest. Deliberately ONLY the distinct count: mixing a "
+    "distinct and a plain aggregate in one groupBy plans an Expand "
+    "(CLAUDE.md round-3 trap).",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "30 minutes", "10 minutes").start.alias(
+                "window_start"
+            )
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 _IVM_CUTOFF = "2024-01-24 00:00:00"
 
 

@@ -167,3 +167,27 @@ def test_approx_top_words_accuracy(spark, sf_dir):
     for w in top10:
         assert w in got, w
         assert abs(got[w] - exact[w]) <= max(1, 0.05 * exact[w]), (w, got[w], exact[w])
+
+
+def test_bm25_multi_agrees_with_fixed_query_path(spark, sf_dir):
+    # Internal consistency of the two BM25 formulations: for the same
+    # term set, the inverted-index multi-query path must rank documents
+    # identically to the fixed-query stats-broadcast path (scores follow
+    # different rounding routes — nano-int sum vs direct 1e-6 floor — so
+    # compare the ranking, not the floats).
+    from node_mongo2influx_spark.operators import text as t
+    from node_mongo2influx_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ("join", "window", "hash")
+    fixed = [
+        r["doc_id"]
+        for r in t.bm25_topk(docs, terms=terms, top_n=15).collect()
+    ]
+    multi = [
+        r["doc_id"]
+        for r in t.bm25_multi_topk(docs, queries={0: terms}, top_n=15)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert multi == fixed
