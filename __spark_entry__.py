@@ -57,6 +57,8 @@ _RECHECK_FIRST = (
     "sft_render_truncate",
     "sliding_distinct_users",
     "winsorize_by_type",
+    "entity_resolution_pairs",
+    "k_anonymity_audit",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

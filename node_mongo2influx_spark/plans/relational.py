@@ -2577,3 +2577,79 @@ def null_safe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_id") < 500)
         .select("event_id", F.col("agrp").alias("grp"), F.col("n").alias("grp_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution & privacy audits
+# ---------------------------------------------------------------------------
+@query(
+    "entity_resolution_pairs",
+    oracle="""
+        WITH blocked AS (
+            SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+            FROM customer
+        )
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+        FROM blocked a JOIN blocked b
+             ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    description="Entity resolution candidate pairs: block on a name "
+    "prefix, score within-block pairs by Levenshtein edit distance, keep "
+    "dist <= 1 — the record-linkage shape (Fellegi-Sunter blocking + "
+    "string similarity) whose candidates are a bucket equi-join, never "
+    "all-pairs. Same scale posture as the LSH dedup tiers: the block key "
+    "bounds the comparison set; feed the surviving pairs to "
+    "components_from_pairs for entity groups.",
+)
+def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .where(F.col("edit_dist") <= 1)
+        .select("cust_a", "cust_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS group_size,
+               count(*) < 5 AS below_k
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    description="k-anonymity audit over the quasi-identifier combination "
+    "(nation, market segment): group sizes below k=5 single out "
+    "individuals under linkage attacks and must be generalized or "
+    "suppressed before release. One two-phase aggregate over the "
+    "quasi-identifier key — the privacy-screening pass a training-data "
+    "release pipeline runs next to the PII redaction stats.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < 5).alias("below_k"),
+        )
+    )
