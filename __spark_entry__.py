@@ -59,6 +59,7 @@ _RECHECK_FIRST = (
     "winsorize_by_type",
     "entity_resolution_pairs",
     "k_anonymity_audit",
+    "pagerank_cust_supp",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

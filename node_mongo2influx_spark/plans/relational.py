@@ -2653,3 +2653,111 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < 5).alias("below_k"),
         )
     )
+
+
+def _pagerank_oracle(n_iters: int = 3) -> str:
+    """Unrolled integer-PageRank CTE chain: standard SQL forbids
+    aggregates in a recursive CTE's recursive term, so each fixed
+    iteration is its own CTE — same integer math as the Spark loop."""
+    body = """
+        WITH edges0 AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT cust AS src, supp + 1000000 AS dst FROM edges0
+            UNION ALL
+            SELECT supp + 1000000 AS src, cust AS dst FROM edges0
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src
+        ),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg)
+    """
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        body += f""",
+        r{i} AS (
+            SELECT deg.node,
+                   150000000 + CAST(floor(coalesce(s.inc, 0) * 85 / 100.0)
+                                    AS BIGINT) AS r
+            FROM deg
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum(CAST(floor(CAST(p.r AS DOUBLE) / deg.d)
+                                     AS BIGINT)) AS BIGINT) AS inc
+                FROM edges e
+                JOIN {prev} p ON p.node = e.src
+                JOIN deg ON deg.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = deg.node
+        )"""
+        prev = f"r{i}"
+    body += f"""
+        SELECT node, r AS rank_nano FROM {prev}
+    """
+    return body
+
+
+@query(
+    "pagerank_cust_supp",
+    oracle=_pagerank_oracle(),
+    description="Graph centrality: integer-deterministic PageRank over "
+    "the undirected customer-supplier order graph (suppliers offset by "
+    "1e6), 3 fixed iterations, damping 0.85. Ranks live on EXACT "
+    "integers (nano-rank 1e9; per-edge contribution floor(r/deg), "
+    "damped sum floor(s*85/100)) so the distributed aggregation "
+    "hash-matches the sequential oracle under any reassociation — the "
+    "same exact-integer discipline as cusum_drift_chunked. Each "
+    "iteration is one join + two-phase aggregate; the oracle unrolls "
+    "the iterations as CTEs (standard SQL forbids aggregates in a "
+    "recursive term).",
+)
+def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1000000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        e0.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ranks = deg.select("node", F.lit(1000000000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, edges.src == deg.node)
+            .join(
+                ranks.select(F.col("node").alias("rnode"), "r"),
+                F.col("src") == F.col("rnode"),
+            )
+            .select(
+                "dst",
+                F.floor(F.col("r").cast("double") / F.col("d"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            deg.join(contrib, deg.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000000)
+                    + F.floor(
+                        F.coalesce(F.col("inc"), F.lit(0)) * 85 / 100.0
+                    ).cast("long")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_nano"))
