@@ -141,3 +141,64 @@ def test_gapfill_grid_is_dense(spark, sf_dir):
     }
     assert diffs == {3600.0}  # dense hourly grid, no holes
     assert any(r["n"] == 0 for r in rows) or len(rows) > 0
+
+
+def test_entity_resolution_pairs_compose_into_entity_groups(spark, sf_dir):
+    # The record-linkage composition: blocked edit-distance pairs ->
+    # components -> entity groups. Every pair's two members must land in
+    # the same component, and components must be closed under the pair
+    # relation (the whole point of the candidate tier).
+    from node_mongo2influx_spark.operators.dedup import components_from_pairs
+    from node_mongo2influx_spark.plans import load_registry
+
+    reg = load_registry()
+    pairs = (
+        reg["entity_resolution_pairs"].fn(spark, sf_dir)
+        .select("cust_a", "cust_b")
+        .persist()
+    )
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in components_from_pairs(
+            pairs, a_col="cust_a", b_col="cust_b"
+        ).collect()
+    }
+    for r in pairs.collect():
+        assert comp[r["cust_a"]] == comp[r["cust_b"]]
+    pairs.unpersist()
+    assert comp, "blocking should produce at least one candidate pair"
+
+
+def test_pagerank_mass_and_ordering(spark, sf_dir):
+    # Integer PageRank sanity: every rank >= the damping floor, total
+    # mass stays below the theoretical cap N*1e9 (floor() only loses
+    # mass), and the mean rank of the top-degree decile exceeds the
+    # bottom decile's (centrality must follow connectivity).
+    from node_mongo2influx_spark.plans import load_registry
+
+    reg = load_registry()
+    ranks = {
+        r["node"]: r["rank_nano"]
+        for r in reg["pagerank_cust_supp"].fn(spark, sf_dir).collect()
+    }
+    assert all(v >= 150000000 for v in ranks.values())
+    assert sum(ranks.values()) <= len(ranks) * 1_000_000_000
+    from node_mongo2influx_spark.plans.tables import load
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    deg = {
+        r["o_custkey"]: r["d"]
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    by_deg = sorted(deg, key=deg.get)
+    k = max(1, len(by_deg) // 10)
+    low = sum(ranks[c] for c in by_deg[:k]) / k
+    high = sum(ranks[c] for c in by_deg[-k:]) / k
+    assert high > low

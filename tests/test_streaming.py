@@ -594,3 +594,39 @@ def test_rollup_maintenance_stream_merge_equals_batch(
         for r in sp.read_rollup_store(spark, store).collect()
     }
     assert merged2 == full
+
+
+def test_rollup_store_compaction_preserves_merge(spark, events_stream_dir, tmp_path):
+    # Closing the IVM loop: after N batches the partial log is compacted
+    # (partials merged down to one ingest_batch partition) so
+    # merge-on-read stays O(1) per key — and the compacted store must
+    # read back identical to the uncompacted log.
+    schema = spark.read.parquet(events_stream_dir).schema
+    store = str(tmp_path / "store")
+    q = sp.rollup_maintenance_stream(
+        sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    before = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in sp.read_rollup_store(spark, store).collect()
+    }
+    # compact: merge every partial into a single log entry and swap in
+    compacted = sp.read_rollup_store(spark, store).withColumn(
+        "ingest_batch", F.lit(-1)
+    )
+    compacted.write.mode("overwrite").parquet(store + "__tmp")
+    import shutil
+
+    shutil.rmtree(store)
+    shutil.move(store + "__tmp", store)
+    after = {
+        (r["event_type"], r["bucket"]): (r["n"], r["c_sum"], r["c_min"], r["c_max"])
+        for r in sp.read_rollup_store(spark, store).collect()
+    }
+    assert after == before
+    assert (
+        spark.read.parquet(store).select("ingest_batch").distinct().count() == 1
+    )
