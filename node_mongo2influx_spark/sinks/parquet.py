@@ -11,6 +11,7 @@ from __future__ import annotations
 import pathlib
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.sinks.base import Sink
 
@@ -88,6 +89,71 @@ class ParquetSink(Sink):
         # atomic (no window where the series is empty), unlike the
         # reference's DELETE-then-insert (index.js:328).
         self._truncated.add(series)
+
+    def upsert(self, df_reader, delta: DataFrame, series: str, keys: tuple[str, ...]) -> int:
+        """MERGE-style upsert without a table format: rows in ``delta``
+        REPLACE stored rows with the same key; new keys append. Requires
+        ``dynamic_overwrite`` (and so ``partition_by``): only partitions
+        the delta touches are read, merged (left-anti on the keys +
+        union), and rewritten — every other partition is untouched, so
+        the cost is O(touched partitions), not O(table). The delta must
+        carry its partition columns; a key that MOVES partitions leaves
+        the old row in the old partition (that is CDC-delete territory —
+        pair with a tombstone sweep if keys can migrate). Returns the
+        number of touched partitions.
+
+        This is the continuous-load companion to the reference's
+        truncate-then-load (index.js:328): the reference rewrites the
+        world per run; at 100 TB an upsert rewrites only the partitions
+        the day's delta lands in.
+        """
+        if not self.dynamic_overwrite:
+            raise ValueError("upsert requires dynamic_overwrite (and partition_by)")
+        pcols = list(self.partition_by)
+        touched = [
+            tuple(r[c] for c in pcols)
+            for r in delta.select(*pcols).distinct().collect()
+        ]
+        target = str(self.path / series)
+        try:
+            existing = df_reader(target)
+        except Exception:
+            existing = None
+        if existing is not None:
+            import functools
+
+            pred = functools.reduce(
+                lambda a, b: a | b,
+                (
+                    functools.reduce(
+                        lambda x, y: x & y,
+                        (F.col(c) == F.lit(v) for c, v in zip(pcols, t)),
+                    )
+                    for t in touched
+                ),
+            )
+            kept = existing.where(pred).join(
+                delta.select(*keys).distinct(), list(keys), "left_anti"
+            )
+            # Materialize BEFORE the overwrite: the merge reads the very
+            # partitions dynamic overwrite is about to replace, and Spark
+            # (rightly) refuses to overwrite a path still in its read
+            # lineage. localCheckpoint truncates the lineage to the
+            # materialized blocks — O(touched partitions) data.
+            merged = kept.unionByName(delta).localCheckpoint(eager=True)
+        else:
+            merged = delta
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_by)
+            .parquet(target)
+        )
+        # Invalidate the session's cached file listing for the path:
+        # pre-upsert DataFrames over it would otherwise FAILED_READ_FILE
+        # on the replaced files.
+        delta.sparkSession.catalog.refreshByPath(target)
+        return len(touched)
 
     def retention_sweep(self, series: str, keep_from: str) -> list[str]:
         """Drop whole partitions older than ``keep_from`` — the InfluxDB

@@ -325,3 +325,69 @@ def test_rollup_refresh_from_stored_partials_matches_full_recompute(
         for r in full.collect()
     }
     assert got == want
+
+
+def test_upsert_replaces_keys_and_touches_only_delta_partitions(
+    spark, sf_dir, tmp_path
+):
+    # MERGE-style upsert on a day-partitioned sink: delta rows replace
+    # same-key rows, new keys append, and partitions outside the delta
+    # are byte-identical (their files are not rewritten).
+    import os
+
+    from node_mongo2influx_spark.plans.tables import load
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    sink = ParquetSink(
+        str(tmp_path), partition_by=("day",), dynamic_overwrite=True
+    )
+    sink.write(e, "events")
+    target = str(tmp_path / "events")
+    days = sorted(d for d in os.listdir(target) if d.startswith("day="))
+    untouched_day = days[0]
+    touched_day = days[1].split("=", 1)[1]
+    before_mtimes = {
+        f: os.path.getmtime(os.path.join(target, untouched_day, f))
+        for f in os.listdir(os.path.join(target, untouched_day))
+        if f.endswith(".parquet")
+    }
+
+    stored = spark.read.parquet(target)
+    # delta: bump value for 5 existing keys of day 2 + add 2 new keys
+    upd = (
+        stored.where(F.col("day") == touched_day)
+        .orderBy("event_id")
+        .limit(5)
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    new = spark.createDataFrame(
+        [(10_000_001, upd.first()["ts"], 1.0, touched_day),
+         (10_000_002, upd.first()["ts"], 2.0, touched_day)],
+        "event_id long, ts timestamp, value double, day string",
+    )
+    delta = upd.unionByName(new)
+    expect_bumped = {r["event_id"]: r["value"] for r in upd.collect()}
+    n_touched = sink.upsert(
+        lambda p: spark.read.parquet(p), delta, "events", keys=("event_id",)
+    )
+    assert n_touched == 1
+
+    after = spark.read.parquet(target)
+    assert after.count() == e.count() + 2  # replaced in place, 2 appended
+    bumped = {
+        r["event_id"]: r["value"]
+        for r in after.where(F.col("value") >= 1000.0).collect()
+    }
+    for k, v in expect_bumped.items():
+        assert bumped[k] == v
+    # untouched partition's files were not rewritten
+    after_mtimes = {
+        f: os.path.getmtime(os.path.join(target, untouched_day, f))
+        for f in os.listdir(os.path.join(target, untouched_day))
+        if f.endswith(".parquet")
+    }
+    assert after_mtimes == before_mtimes
