@@ -421,13 +421,16 @@ def components_from_pairs(
         roots = np.asarray([find(i) for i in range(len(ids))], dtype=np.int64)
         yield pd.DataFrame({"node": ids, "label": ids[roots]})
 
+    from pyspark.sql import Observation
+
     residual = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         # consumed twice per round (contraction kernel + relabel join);
-        # without persist the whole candidate-pair pipeline replays
-        .persist()
+        # checkpointing truncates the candidate-pipeline lineage so it
+        # never replays, and blocks free on GC of the reference
+        .localCheckpoint(eager=True)
     )
     def close_mapping(d: DataFrame, budget: int = 30) -> DataFrame:
         # Pointer doubling to fixpoint: label ← label-of-label while any
@@ -497,23 +500,21 @@ def components_from_pairs(
             )
         da = d.select(F.col("node").alias("d_src"), F.col("label").alias("la"))
         db = d.select(F.col("node").alias("d_dst"), F.col("label").alias("lb"))
-        new_residual = (
+        # The row count rides the checkpoint job as an observe metric —
+        # one Spark job materializes the residual AND answers "done?".
+        robs = Observation()
+        residual = (
             residual.join(da, residual.src == da.d_src)
             .join(db, residual.dst == db.d_dst)
             .where(F.col("la") != F.col("lb"))
             .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
             .distinct()
-            .persist()
+            .observe(robs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        # Full count (not limit(1)): materializes the persist completely
-        # before the previous residual is released.
-        n_residual = new_residual.count()
-        residual.unpersist()
-        residual = new_residual
-        if n_residual == 0:
+        if (robs.get["n"] or 0) == 0:
             converged = True
             break
-    residual.unpersist()
     if not converged:
         raise RuntimeError(
             f"components_from_pairs did not converge in {max_iterations} "
