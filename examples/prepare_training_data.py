@@ -10,6 +10,8 @@ clean_corpus.py):
       → PII redaction         (regex detect-and-replace, redacted text
                                carried forward)
       → train/val/test split  (salted hash, growth-stable)
+      → SFT rendering         (val split rendered as chat-template
+                               examples with a response budget)
       → context chunking      (64-word windows, stride 48)
       → sequence packing      (chunks into 2048-token bins)
       → global shuffle order  (deterministic permutation, no global sort)
@@ -72,6 +74,17 @@ def main() -> None:
     # 4. growth-stable split
     split = sampling.assign_split(red)
 
+    # 4b. SFT branch: the same cleaned+redacted corpus rendered as
+    #     chat-template examples with a response budget — the
+    #     instruction-tuning face next to the pretraining chunks
+    sft = text.sft_render(
+        red.join(
+            split.where(F.col("split") == "val").select("doc_id"), "doc_id",
+            "left_semi",
+        )
+    )
+    sft.write.mode("overwrite").parquet(out + "_sft")
+
     # 5. context chunking: each chunk becomes one training sequence
     chunks = sampling.chunk_windows(split, ctx=64, stride=48).withColumn(
         "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_no")
@@ -100,8 +113,9 @@ def main() -> None:
     got = spark.read.parquet(out)
     n_chunks = got.count()
     n_pos = got.agg(F.count_distinct("pos")).first()[0]
+    n_sft = spark.read.parquet(out + "_sft").count()
     print(
-        f"raw={n_raw} chunks={n_chunks} distinct_pos={n_pos} "
+        f"raw={n_raw} chunks={n_chunks} distinct_pos={n_pos} sft={n_sft} "
         f"splits={sorted(r['split'] for r in got.select('split').distinct().collect())}"
     )
 
