@@ -60,6 +60,8 @@ _RECHECK_FIRST = (
     "entity_resolution_pairs",
     "k_anonymity_audit",
     "pagerank_cust_supp",
+    "dup_transitivity_audit",
+    "seasonal_baseline_residual",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

@@ -186,6 +186,84 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components_from_pairs(pairs)
 
 
+@query(
+    "dup_transitivity_audit",
+    oracle=f"""
+        WITH {_PAIRS_CTE},
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT doc_a AS node FROM pairs
+                UNION ALL SELECT doc_b AS node FROM pairs
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pairs p1
+            JOIN pairs p2 ON p2.doc_a = p1.doc_b
+            JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+        ),
+        wed AS (
+            SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+               n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE floor(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6
+               END AS transitivity
+        FROM wed, tri
+    """,
+    description="Transitivity audit of the near-dup graph: edges, wedges "
+    "(Σ d·(d−1)/2), closed triangles (ordered-edge double join — each "
+    "triangle counted once), and the global clustering coefficient "
+    "3·triangles/wedges. High transitivity means duplicate clusters are "
+    "cliquey (cluster-level canonical-keep is safe); low means chaining — "
+    "threshold too loose for component-based dedup. Triangle counting is "
+    "the standard two-join formulation over ordered edges; wedges come "
+    "from the degree aggregate, no joins.",
+)
+def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+        n=3, threshold=0.5,
+    ).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        p1.join(p2, p1.b == p2.b2)
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            )
+            .alias("transitivity"),
+        )
+    )
+
+
 def simhash_oracle_sql(n_bands: int = 4) -> str:
     """DuckDB replica of dedup.simhash(token_hash='fnv1a32x2').
 

@@ -49,6 +49,69 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seasonal_baseline_residual",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                       AS dow,
+                   CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                       AS hod
+            FROM events
+        ),
+        base AS (
+            SELECT event_type, dow, hod,
+                   CAST(sum(cents) AS BIGINT) AS c_sum,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM keyed GROUP BY event_type, dow, hod
+        )
+        SELECT k.event_id, k.event_type,
+               floor(CAST(b.c_sum AS DOUBLE) / b.n / 100.0 * 1e4 + 0.5) / 1e4
+                   AS baseline,
+               floor((k.cents / 100.0
+                      - floor(CAST(b.c_sum AS DOUBLE) / b.n / 100.0 * 1e4
+                              + 0.5) / 1e4) * 1e4 + 0.5) / 1e4 AS residual
+        FROM keyed k
+        JOIN base b ON b.event_type = k.event_type
+                   AND b.dow = k.dow AND b.hod = k.hod
+    """,
+    description="Seasonal baseline + residual: each event's value against "
+    "the mean of its (series, day-of-week, hour-of-day) seasonal cell — "
+    "the de-seasonalization step before CUSUM/MAD anomaly scoring (a "
+    "Monday-9am spike is only anomalous relative to Monday 9am). The "
+    "baseline is a bounded aggregate (series × 7 × 24 cells) joined "
+    "back; cell means derive from EXACT cent sums so both engines "
+    "divide the same integers — a double avg() would drift under "
+    "grouping-order reassociation.",
+)
+def seasonal_baseline_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # DuckDB extract(dow): Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    base = keyed.groupBy("event_type", "dow", "hod").agg(
+        F.sum("cents").alias("c_sum"), F.count(F.lit(1)).alias("n")
+    )
+    r4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    baseline = r4(F.col("c_sum").cast("double") / F.col("n") / 100.0)
+    return (
+        keyed.join(base, ["event_type", "dow", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            baseline.alias("baseline"),
+            r4(F.col("cents") / 100.0 - baseline).alias("residual"),
+        )
+    )
+
+
+@query(
     "sliding_distinct_users",
     oracle="""
         WITH exploded AS (

@@ -360,6 +360,7 @@ _SCALAR_CROSSJOIN_OK = {
     "hybrid_retrieval_rrf",   # bm25 1-row stats + knn broadcast (≤1-row query side)
     "bm25_multi_query_topk",  # 1-row (N, avgdl) stats record
     "dedup_modality_agreement",  # embeds the exact all-pairs cosine tier
+    "dup_transitivity_audit",  # three 1-row aggregates (edges, wedges, triangles)
 }
 
 #: Queries whose Python-eval node is the deliverable itself.
