@@ -62,6 +62,7 @@ _RECHECK_FIRST = (
     "pagerank_cust_supp",
     "dup_transitivity_audit",
     "seasonal_baseline_residual",
+    "unpivot_event_matrix",
     # (1) full-oracle, never ANY driver row — round-4 first half
     "doc_chunk_overlap",
     "training_order_shuffle",

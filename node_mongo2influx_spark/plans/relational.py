@@ -889,6 +889,49 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_event_matrix",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END)    AS click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END)     AS view,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END)   AS signup,
+                   count(CASE WHEN event_type = 'error' THEN 1 END)    AS error
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+        FROM m UNPIVOT (n FOR event_type IN (click, view, purchase, signup, error))
+    """,
+    description="UNPIVOT (melt): the wide per-user event matrix back to "
+    "long (user, type, count) rows — the round trip of "
+    "pivot_event_matrix. Spark's unpivot is a zero-shuffle Expand over "
+    "the wide rows; output width is rows × value-columns, so at scale "
+    "unpivot the columns you need, not the whole matrix. (DuckDB's "
+    "UNPIVOT drops NULL cells, so counts stay un-defaulted tall only "
+    "for present combinations — both engines emit exactly the "
+    "rows-with-counts.)",
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=["click", "view", "purchase", "signup", "error"],
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .where(F.col("n").isNotNull())
+    )
+
+
+@query(
     "grouping_sets_explicit",
     oracle="""
         SELECT c_mktsegment, c_nationkey,

@@ -404,3 +404,31 @@ def test_mongo_catalog_wires_partitioner_without_connector(spark):
     assert rec.opts["collection"] == "events"
     assert rec.opts["partitioner"].endswith("SamplePartitioner")
     assert rec.opts["partitioner.options.partition.size.mb"] == "128"
+
+
+def test_corrupt_file_tolerance_with_ignore_corrupt_files(spark, sf_dir, tmp_path):
+    # Operational reality at 100 TB: a crawl drop or a failed writer
+    # leaves a truncated/garbage file in the input directory. With
+    # spark.sql.files.ignoreCorruptFiles the scan must skip it and
+    # deliver every row from the healthy files; without it the read
+    # fails loudly (the default we keep — silent skipping is an explicit
+    # opt-in per read, not a global).
+    from node_mongo2influx_spark.plans.tables import load
+
+    d = str(tmp_path / "mixed")
+    load(spark, sf_dir, "events").limit(500).coalesce(2).write.parquet(d)
+    with open(f"{d}/part-zz-garbage.snappy.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Py4JJavaError):
+        spark.read.parquet(d).count()
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(d).count() == 500
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
