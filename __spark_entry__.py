@@ -8,6 +8,8 @@ operator from SURVEY.md §2 with its DuckDB oracle; the registry lives in
 
 from __future__ import annotations
 
+import glob
+import json
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -31,141 +33,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg["migrate_events"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: Round-4 window ordering. The driver checks a 50-query prefix, so each
-#: round the prefix leads with queries that lack a driver-green row for
-#: their CURRENT code: (a) changed or added this round, (b) never green
-#: with their current oracle, then (c) everything whose last green row is
-#: r1/r2-era (i.e. outside round 3's window — CORRECTNESS_r03's keys),
-#: and finally the r3-green remainder.
-#: 65 queries lack a driver row for their current code but the window is
-#: 50 — so rank by what a driver row would PROVE: (1) full-oracle queries
-#: with no row ever (hash match = strongest evidence), (2) the two whose
-#: current oracle never got a row in r3, (3) changed-code queries that
-#: have old green rows (local gate re-verified them; q5/q3 first — they
-#: are headline), (4) rows-only tiers last (a driver row only proves
-#: rows > 0; their real gates are the pytest recall/accuracy checks).
-_RECHECK_FIRST = (
-    # (0) VERDICT r3 item #1: the two multimodal queries whose current
-    # oracles have never had a driver row — pinned to the very front so
-    # later registry growth can never push them past the window edge.
-    "multimodal_frame_sample",
-    "multimodal_features",
-    # (0b) added after the r3 snapshot — no driver row exists yet
-    "bm25_multi_query_topk",
-    "dedup_modality_agreement",
-    "rollup_incremental_refresh",
-    "sft_render_truncate",
-    "sliding_distinct_users",
-    "winsorize_by_type",
-    "entity_resolution_pairs",
-    "k_anonymity_audit",
-    "pagerank_cust_supp",
-    "dup_transitivity_audit",
-    "seasonal_baseline_residual",
-    "unpivot_event_matrix",
-    # (1) full-oracle, never ANY driver row — round-4 first half
-    "doc_chunk_overlap",
-    "training_order_shuffle",
-    "corpus_segment_dedup",
-    "dedup_incremental_delta",
-    "cooccurrence_topk",
-    "doc_char_entropy",
-    "pii_redaction_stats",
-    "doc_perplexity_bigram",
-    "multimodal_mime_sniff",
-    "multimodal_image_dims",
-    "minhash_band_agreement",
-    "ann_recall_probe",
-    "quality_lang_matrix",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_promo_part_suppliers",
-    "bpe_merge_pair_stats",
-    "url_domain_stats",
-    "dedup_url_canonical",
-    "embedding_norm_qa",
-    "window_cume_ntile",
-    "events_user_funnel",
-    "orders_fill_rate_asof",
-    "ohlc_vwap_hourly",
-    "locf_forward_fill",
-    "recursive_event_chains",
-    "lateral_top_orders",
-    "variant_json_typed",
-    # (1) full-oracle, never ANY driver row — round-4 second half
-    "domain_mixture_weights",
-    "quota_sample_per_source",
-    "length_bucket_padding_stats",
-    "word_subsample_weights",
-    "bm25_keyword_topk",
-    "cdc_chunking",
-    "embedding_gram_matrix",
-    "random_projection_jl",
-    "cdc_shared_chunks",
-    "gopher_quality_flags",
-    "cooccurrence_pmi",
-    "mad_robust_outliers",
-    "retention_cohorts",
-    "multimodal_audio_meta",
-    "cusum_drift_alarms",
-    "rfm_segmentation",
-    "rolling_median_value",
-    "feature_hashing_vectors",
-    "hybrid_retrieval_rrf",
-    "table_diff_checksum",
-    "dq_expectations",
-    "null_safe_join_probe",
-    "cusum_drift_chunked",
-    # (3) changed code, stale-but-green old rows (headline first)
-    "q5_revenue_by_nation",
-    "q3_top_unshipped_revenue",
-    "q7_nation_trade_flow",
-    "q15_top_supplier",
-    "tfidf_top_terms",
-    "q16_supplier_variety",
-    # (4) rows-only tiers — pytest gates are their real check
-    "dedup_minhash_lsh",
-    "knn_cosine_pq",
-    "knn_cosine_ivfpq",
-    "semantic_dedup_ivf",
-    "embedding_pca_project",
-    "approx_top_words",
+#: Queries whose IMPLEMENTATION or oracle changed after their most recent
+#: driver-green row — the per-round maintenance hook the automatic
+#: ordering below cannot infer. Add names here when editing a query that
+#: already has a green row; clear entries once re-witnessed.
+_CHANGED_SINCE_GREEN: tuple[str, ...] = (
+    # round-4 session 3: the components rewrite touches every clusters
+    # query; the cosine_pairs repartition touches the exact embedding tier.
+    "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
+    "embedding_neardup_pairs",
 )
 
-#: Queries with a green row in CORRECTNESS_r03.json (r3's 50-query
-#: window) — their current code already has a fresh witness, so they sort
-#: last; the r1/r2-era remainder goes in between.
-_R3_GREEN = frozenset({
-    "train_val_test_split", "pack_sequences", "window_range_moving_avg",
-    "q10_returned_revenue", "q12_priority_by_returnflag",
-    "q14_promo_revenue_pct", "q18_large_volume_customers",
-    "window_lead_lag_delta", "doc_repetition_ratio", "label_centroid_cosine",
-    "q9_profit_by_nation_year", "top_bigrams", "skew_salted_rollup",
-    "q4_order_priority_check", "q13_customer_order_histogram",
-    "q19_disjunctive_revenue", "q22_dormant_high_balance",
-    "batch_session_windows", "embedding_neardup_ivf",
-    "range_join_clicks_near_purchase", "q17_small_quantity_revenue",
-    "q8_market_share", "dedup_filtered_corpus", "q21_waiting_supplier",
-    "dedup_containment_pairs", "split_contamination_audit",
-    "pack_sequences_ffd", "null_semantics_probe", "distinct_users_per_type",
-    "scalar_string_math", "scalar_date_json", "pivot_event_matrix",
-    "grouping_sets_explicit", "percentiles_by_type", "correlated_max_order",
-    "udaf_geomean_value", "udtf_explode_props", "approx_percentiles_by_type",
-    "grouped_zscore", "approx_distinct_users", "array_functions",
-    "hypertable_rollup_5min", "sessionize_events", "gapfill_minutely",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_clusters_lsh",
-})
+#: Pinned prefix: highest-evidence-value driver rows this round. Kept
+#: SHORT — everything else is ordered automatically from the
+#: CORRECTNESS_r*.json history.
+_PIN_FIRST: tuple[str, ...] = (
+    # VERDICT r3 item #1: the multimodal pair whose current oracles have
+    # never had a driver row.
+    "multimodal_frame_sample",
+    "multimodal_features",
+)
+
+
+def _green_history() -> dict[str, int]:
+    """name -> latest round with a driver-green row (hash match, or a
+    rows-only match for queries without an oracle)."""
+    best: dict[str, int] = {}
+    for f in sorted(glob.glob(str(_REPO / "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(Path(f).stem.split("_r")[-1])
+            rows = json.loads(Path(f).read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = bool(row.get("hash_match")) or (
+                row.get("hash_match") is None and bool(row.get("rows_match"))
+            )
+            if green:
+                best[name] = max(best.get(name, 0), rnd)
+    return best
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver checks a fixed-size prefix, so ordering IS evidence
+    policy. Rank by what a green row would prove, computed from the
+    CORRECTNESS_r*.json history on disk (self-maintaining across
+    rounds):
+
+    1. the pinned prefix (``_PIN_FIRST``),
+    2. full-oracle queries with no green row in ANY round (a hash match
+       is the strongest new evidence),
+    3. queries whose code changed after their last green row
+       (``_CHANGED_SINCE_GREEN`` — manual, the history can't see code),
+    4. rows-only queries with no green row (a row only proves rows>0;
+       their real gates are pytest recall/accuracy checks),
+    5. everything green before, oldest green round first (stalest
+       witness re-freshened first).
+    """
     reg = _registry()
-    ordered = [n for n in _RECHECK_FIRST if n in reg]
-    ordered += [
-        n for n in reg if n not in _RECHECK_FIRST and n not in _R3_GREEN
-    ]
-    ordered += [n for n in reg if n in _R3_GREEN and n not in _RECHECK_FIRST]
+    greens = _green_history()
+    seen: set[str] = set()
+
+    def take(names):
+        out = []
+        for n in names:
+            if n in reg and n not in seen:
+                seen.add(n)
+                out.append(n)
+        return out
+
+    ordered = take(_PIN_FIRST)
+    never = [n for n in reg if n not in greens]
+    ordered += take([n for n in never if reg[n].oracle is not None])
+    ordered += take(_CHANGED_SINCE_GREEN)
+    ordered += take([n for n in never if reg[n].oracle is None])
+    rest = [n for n in reg if n not in seen]
+    ordered += take(sorted(rest, key=lambda n: greens.get(n, 0)))
     return {name: reg[name].fn for name in ordered}
 
 
