@@ -2685,6 +2685,77 @@ def sft_render_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sft_pack_plan",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+            FROM documents
+        ),
+        acct AS (
+            SELECT doc_id, doc_id % 16 AS bucket,
+                   CAST(floor((n + 1) / 2) AS BIGINT) AS n_prompt,
+                   CAST(least(n - floor((n + 1) / 2), 48) AS BIGINT) AS n_kept,
+                   CAST(floor((n + 1) / 2)
+                        + least(n - floor((n + 1) / 2), 48) + 4 AS BIGINT)
+                       AS n_tokens
+            FROM base
+        ),
+        c AS (
+            SELECT doc_id, bucket, n_prompt, n_kept, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM acct
+        )
+        SELECT doc_id, bucket,
+               CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+               n_tokens,
+               CAST(n_prompt + 4 AS BIGINT) AS n_masked,
+               n_kept AS n_trained,
+               CAST(cum - n_tokens AS BIGINT) AS start_offset
+        FROM c
+    """,
+    description="Loss-mask-aware SFT packing plan: each rendered chat "
+    "example (prompt + budget-truncated response + 4 template special "
+    "tokens) is packed into 512-token bins by the bucketed "
+    "concatenate-and-chop layout, and every row carries the trainer's "
+    "loss accounting — masked tokens (prompt + specials, loss off) vs "
+    "trained tokens (response). The composition sft_render → "
+    "pack_sequences: token accounting from the render, bin layout from "
+    "the bucketed prefix-sum window (n_buckets-way parallel, no global "
+    "sort).",
+)
+def sft_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rendered = text.sft_render(
+        load(spark, sf_dir, "documents"),
+        text_col="text", id_col="doc_id", response_budget=48,
+    ).select(
+        "doc_id",
+        F.col("n_prompt_words").alias("n_prompt"),
+        F.col("n_response_kept").alias("n_kept"),
+        (
+            F.col("n_prompt_words") + F.col("n_response_kept") + F.lit(4)
+        ).alias("n_tokens"),
+    )
+    packed = sampling.pack_sequences(
+        rendered.select("doc_id", "n_tokens"),
+        id_col="doc_id", ctx_len=512, n_buckets=16,
+    )
+    return packed.join(
+        rendered.select("doc_id", "n_prompt", "n_kept"), "doc_id"
+    ).select(
+        "doc_id",
+        "bucket",
+        "bin",
+        "n_tokens",
+        (F.col("n_prompt") + 4).alias("n_masked"),
+        F.col("n_kept").alias("n_trained"),
+        "start_offset",
+    )
+
+
 def _cdc_oracle(window: int = 4, divisor: int = 64) -> str:
     from node_mongo2influx_spark.operators.dedup import _cdc_hash_nested
 
