@@ -391,3 +391,51 @@ def test_upsert_replaces_keys_and_touches_only_delta_partitions(
         if f.endswith(".parquet")
     }
     assert after_mtimes == before_mtimes
+
+
+def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
+    # Model-based check: a sequence of random upserts must leave the
+    # store equal to a plain dict keyed by (event_id) — replacement on
+    # key collision, append on new keys, partitions untouched by a delta
+    # never consulted.
+    import random
+
+    rng = random.Random(7)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    sink = ParquetSink(str(tmp_path), partition_by=("day",), dynamic_overwrite=True)
+    model: dict[int, tuple] = {}
+
+    def batch(n, id_pool):
+        rows = []
+        for _ in range(n):
+            k = rng.choice(id_pool)
+            day = days[k % 3]  # keys never migrate partitions
+            v = round(rng.uniform(0, 100), 2)
+            rows.append((k, v, day))
+        # last-write-wins within a batch: dedupe keys keeping the last
+        dedup = {r[0]: r for r in rows}
+        return list(dedup.values())
+
+    first = batch(40, list(range(30)))
+    sink.write(
+        spark.createDataFrame(first, "event_id long, value double, day string"),
+        "t",
+    )
+    model.update({r[0]: r for r in first})
+
+    for step in range(4):
+        delta = batch(15, list(range(step * 10, step * 10 + 40)))
+        sink.upsert(
+            lambda p: spark.read.parquet(p),
+            spark.createDataFrame(delta, "event_id long, value double, day string"),
+            "t",
+            keys=("event_id",),
+        )
+        model.update({r[0]: r for r in delta})
+        got = {
+            # partition-column type inference reads day back as DATE;
+            # compare on its ISO string
+            r["event_id"]: (r["event_id"], r["value"], str(r["day"]))
+            for r in spark.read.parquet(str(tmp_path / "t")).collect()
+        }
+        assert got == model, f"divergence after step {step}"
