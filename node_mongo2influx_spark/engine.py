@@ -110,13 +110,14 @@ class Engine:
             # Let Python Data Sources (sources/mongospool.py) receive
             # pushed filters; off by default in Spark 4.1.
             "spark.sql.python.filterPushdown.enabled": "true",
-            # Apply AQE (esp. partition coalescing) to cached plans too:
-            # iterative operators persist small intermediates (edge lists,
-            # label maps), and without this the cache pins them at the
-            # static shuffle-partition count — 32 near-empty partitions
-            # whose per-task overhead dominates every iteration, and whose
-            # fragmentation defeats partition-local contraction.
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+            # NOTE on canChangeCachedPlanOutputPartitioning (deliberately
+            # NOT set): it was briefly enabled so persisted iteration
+            # intermediates would AQE-coalesce, but the iterative
+            # operators now localCheckpoint instead of persist (coalescing
+            # applies to checkpoints regardless), and the flag measurably
+            # HURT the LSH queries — their cached mid-size tables
+            # coalesced to one partition and downstream CPU-bound scoring
+            # lost parallelism (dedup_minhash_lsh 0.84→1.06 s at sf0.1).
         }
         defaults.update(cfg.spark_conf)
         for k, v in defaults.items():
