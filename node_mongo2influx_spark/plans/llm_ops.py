@@ -2427,6 +2427,61 @@ def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _aes_oracle(k: int = 100, salt: str = "aes-v1") -> str:
+    from node_mongo2influx_spark.functions.phash import fnv1a32_duckdb_sql
+
+    h = fnv1a32_duckdb_sql(f"concat(CAST(doc_id AS VARCHAR), ':{salt}')")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   (CAST({h} AS DOUBLE) + 1) / 4294967296 AS u
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               floor(ln(u) / n_chars * 1e9 + 0.5) / 1e9 AS sample_key
+        FROM t
+        ORDER BY ln(u) / n_chars DESC, doc_id
+        LIMIT {k}
+    """
+
+
+@query(
+    "weighted_sample_aes",
+    oracle=_aes_oracle(),
+    description="Weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): each doc draws u from a salted portable-FNV hash "
+    "(deterministic, engine-replayable) and competes on key = ln(u)/w "
+    "with w = doc length — the top-k IS a weighted sample, so one "
+    "TakeOrderedAndProject replaces any sequential pass. The standard "
+    "way to sample training docs proportional to a quality/length "
+    "weight at 100 TB: distributed top-k over a scan, no global sort, "
+    "no state, reproducible across engines and re-runs.",
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.phash import fnv1a32_spark_sql
+
+    h = fnv1a32_spark_sql("concat(CAST(doc_id AS STRING), ':aes-v1')")
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (F.expr(h) + 1).cast("double") / F.lit(float(1 << 32))
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("__key"),
+        )
+        .orderBy(F.col("__key").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "weight",
+            (F.floor(F.col("__key") * 1e9 + F.lit(0.5)) / 1e9).alias(
+                "sample_key"
+            ),
+        )
+    )
+
+
 @query(
     "length_bucket_padding_stats",
     oracle=f"""

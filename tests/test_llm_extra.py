@@ -67,3 +67,27 @@ def test_label_centroid_cosine_matches_numpy(spark, sf_dir, reg):
             glab, gcos = got[vid]
             assert glab == lab
             assert gcos == pytest.approx(round(c, 4), abs=2e-4)
+
+
+def test_weighted_sample_biases_toward_weight_and_plans_topk(spark, sf_dir):
+    # A-ES semantics: inclusion probability rises with weight, so the
+    # sample's mean doc length must exceed the corpus mean; and the
+    # plan must be a TakeOrderedAndProject (distributed top-k), never a
+    # global sort.
+    from node_mongo2influx_spark.plans import load_registry
+    from node_mongo2influx_spark.plans.tables import load
+    from pyspark.sql import functions as F
+
+    reg = load_registry()
+    df = reg["weighted_sample_aes"].fn(spark, sf_dir)
+    jvm = spark._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+    sampled_mean = df.agg(F.avg("weight")).first()[0]
+    corpus_mean = (
+        load(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert sampled_mean > corpus_mean * 1.1, (sampled_mean, corpus_mean)
