@@ -659,7 +659,12 @@ def test_cdc_apply_stream_converges_to_last_write_wins(spark, sf_dir, tmp_path):
         sorted(glob.glob(src + "/.tmp1/*.parquet"))
         + sorted(glob.glob(src + "/.tmp2/*.parquet"))
     ):
-        shutil.copy(f, f"{src}/{i:03d}.parquet")
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders batches by modification time — two
+        # files copied within the same ms can fire in either order, and
+        # last-write-wins depends on it. Pin strictly increasing mtimes.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     store = str(tmp_path / "store")
     sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
