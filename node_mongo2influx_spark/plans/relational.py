@@ -2882,3 +2882,71 @@ def fuzzy_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "c_custkey")
         .limit(10)
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+        WITH freq AS (
+            SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_n,
+                   floor(avg(n) * 1e4 + 0.5) / 1e4 AS avg_n
+            FROM freq
+        ),
+        top AS (
+            SELECT CAST(sum(n) AS BIGINT) AS top_rows FROM (
+                SELECT n FROM freq ORDER BY n DESC, k LIMIT 10
+            )
+        )
+        SELECT n_keys, n_rows, max_n, avg_n,
+               floor(CAST(max_n AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)
+                     * 1e4 + 0.5) / 1e4 AS skew_factor,
+               floor(CAST(top_rows AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6
+                   AS top10_share
+        FROM stats, top
+    """,
+    description="Join-key skew diagnosis for lineitem.l_orderkey: key "
+    "count, max/avg rows per key, the max/avg skew factor, and the share "
+    "of rows owned by the 10 hottest keys — the numbers that decide "
+    "between plain shuffle, AQE skew-join, and salting "
+    "(functions/skew.py) BEFORE a 100 TB join melts an executor. One "
+    "two-phase aggregate + a 1-row top-k; nothing data-sized leaves the "
+    "executors.",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        (F.floor(F.avg("n") * 1e4 + F.lit(0.5)) / 1e4).alias("avg_n"),
+    )
+    top = (
+        freq.orderBy(F.col("n").desc(), "k")
+        .limit(10)
+        .agg(F.sum("n").alias("top_rows"))
+    )
+    r4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return stats.crossJoin(top).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "avg_n",
+        r4(
+            F.col("max_n").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys"))
+        ).alias("skew_factor"),
+        r6(F.col("top_rows").cast("double") / F.col("n_rows")).alias(
+            "top10_share"
+        ),
+    )

@@ -93,6 +93,7 @@ def _hint_subtrees(analyzed: str) -> list[str]:
         "q20_promo_part_suppliers", "orders_fill_rate_asof",
         "events_user_funnel", "ohlc_vwap_hourly",
         "bm25_multi_query_topk", "dedup_modality_agreement",
+        "fuzzy_name_lookup",
     ],
 )
 def test_no_broadcast_hint_on_scaling_tables(spark, sf_dir, reg, qname):
@@ -130,6 +131,10 @@ _BOUNDED_HINTED_AGG_ALLOW = {
     # a fixed term set), so its output is ≤ |query terms| rows at any sf
     # — bounded by the query batch, not the corpus.
     "bm25_multi_query_topk",
+    # fuzzy lookup: the hinted rare-gram table is the literal query's
+    # trigram list inner-joined to the df cut — ≤ len(query)-2 rows at
+    # any sf, bounded by the query string, not the corpus.
+    "fuzzy_name_lookup",
 }
 
 _GROUPED_AGG_RE = None
@@ -361,6 +366,7 @@ _SCALAR_CROSSJOIN_OK = {
     "bm25_multi_query_topk",  # 1-row (N, avgdl) stats record
     "dedup_modality_agreement",  # embeds the exact all-pairs cosine tier
     "dup_transitivity_audit",  # three 1-row aggregates (edges, wedges, triangles)
+    "join_key_skew_report",   # two 1-row aggregates (key stats × top-10 sum)
 }
 
 #: Queries whose Python-eval node is the deliverable itself.
