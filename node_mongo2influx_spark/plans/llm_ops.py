@@ -86,6 +86,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_rate_by_source",
+    oracle="""
+        WITH ranked AS (
+            SELECT source,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                       AS canonical
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN canonical THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_duplicates,
+               floor(CAST(sum(CASE WHEN canonical THEN 0 ELSE 1 END)
+                          AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+                   AS dup_rate
+        FROM ranked
+        GROUP BY source
+    """,
+    description="Dedup observability: per-source duplicate rate (share of "
+    "docs that are non-canonical exact copies) — the report a data buyer "
+    "reads before deciding which crawl sources to keep paying for, and "
+    "the drift signal an ingest pipeline alerts on. One window over the "
+    "content hash + one aggregate; at 100 TB the same query runs over "
+    "the incremental fingerprint store instead of rescanning text.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5("text").alias("fp")
+    )
+    canonical = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("fp")
+    )
+    return (
+        docs.withColumn("canon", canonical)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("canon")).cast("long")).alias("n_duplicates"),
+            (
+                F.floor(
+                    F.sum((~F.col("canon")).cast("long")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # approximate: verified against exact Jaccard in tests
     description="MinHash(128 perms)+LSH banding near-dup pairs — the 100 TB "
