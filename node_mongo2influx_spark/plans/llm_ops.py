@@ -140,6 +140,74 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_overlap_matrix",
+    oracle="""
+        WITH fp AS (
+            SELECT DISTINCT source, md5(text) AS h FROM documents
+        ),
+        sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM fp GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.source_a, i.source_b, i.n_shared,
+               floor(CAST(i.n_shared AS DOUBLE)
+                     / least(sa.n, sb.n) * 1e6 + 0.5) / 1e6
+                   AS overlap_coeff
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.source_a
+        JOIN sizes sb ON sb.source = i.source_b
+    """,
+    description="Cross-source duplication matrix: for every source pair, "
+    "the count of shared content hashes and the overlap coefficient "
+    "|A∩B| / min(|A|, |B|) — which crawls mirror each other, the input "
+    "to source-level dedup ordering (drop the mirror, keep the origin). "
+    "The join runs on 16-byte content hashes (never text) grouped to "
+    "per-pair counts — O(sources²) output regardless of corpus size.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.md5("text").alias("h"))
+        .distinct()
+    )
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("source").alias("source_a"), "h")
+    b = fp.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared").cast("double")
+                    / F.least(F.col("na"), F.col("nb"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # approximate: verified against exact Jaccard in tests
     description="MinHash(128 perms)+LSH banding near-dup pairs — the 100 TB "
