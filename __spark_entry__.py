@@ -35,22 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries whose IMPLEMENTATION or oracle changed after their most recent
 #: driver-green row — the per-round maintenance hook the automatic
-#: ordering below cannot infer. Add names here when editing a query that
-#: already has a green row; clear entries once re-witnessed.
-_CHANGED_SINCE_GREEN: tuple[str, ...] = (
+#: ordering below cannot infer. Each entry is ``(name, round_changed)``:
+#: add ``(name, CURRENT_ROUND)`` when editing an already-green query; the
+#: entry self-expires once a green driver row lands in a round >=
+#: ``round_changed`` (no manual pruning).
+_CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # round-4 session 3: the components rewrite touches every clusters
     # query; the cosine_pairs repartition touches the exact embedding tier.
-    "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
-    "embedding_neardup_pairs",
+    ("dedup_clusters", 4),
+    ("dedup_clusters_lsh", 4),
+    ("dedup_filtered_corpus", 4),
+    ("embedding_neardup_pairs", 4),
+    # round 5: ADVICE fix — sparse (user,type) combos now emit 0 on both
+    # engines instead of being NULL-filtered on the Spark side only.
+    ("unpivot_event_matrix", 5),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept
 #: SHORT — everything else is ordered automatically from the
 #: CORRECTNESS_r*.json history.
 _PIN_FIRST: tuple[str, ...] = (
-    # VERDICT r3 item #1: the multimodal pair whose current oracles have
-    # never had a driver row.
-    "multimodal_frame_sample",
+    # VERDICT r4 item #1: third-round red for output-encoding, now
+    # posexploded to scalar rows — the green row proves the fix.
     "multimodal_features",
 )
 
@@ -107,7 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = take(_PIN_FIRST)
     never = [n for n in reg if n not in greens]
     ordered += take([n for n in never if reg[n].oracle is not None])
-    ordered += take(_CHANGED_SINCE_GREEN)
+    ordered += take(
+        n for n, rnd in _CHANGED_SINCE_GREEN if greens.get(n, 0) < rnd
+    )
     ordered += take([n for n in never if reg[n].oracle is None])
     rest = [n for n in reg if n not in seen]
     ordered += take(sorted(rest, key=lambda n: greens.get(n, 0)))

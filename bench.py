@@ -82,6 +82,13 @@ EXTENDED_R4C = (
     "sft_render_truncate",
 )
 
+#: Round-5 additions: the sampled (scale-path) cross-modality audit —
+#: benchmarked next to its exact twin in EXTENDED_R4C so the rate^2 cost
+#: drop is visible in the same JSON.
+EXTENDED_R5 = (
+    "dedup_modality_agreement_sampled",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -101,35 +108,39 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    def run_set(names):
+    def run_set(names, reps=3):
         times: dict[str, float] = {}
         mins: dict[str, float] = {}
         for name in names:
             fn = reg[name].fn
             runs = []
-            # median of 3: local[32] wall-clock jitters ±30% under OS
-            # noise; the median is robust to a single noisy run in either
-            # direction, so round-over-round comparisons track real plan
-            # changes. The min (steady-state floor) is reported alongside.
-            for _ in range(3):
+            # local[32] wall-clock jitters ±30% under OS noise; the median
+            # is robust to single noisy runs, and the MIN (steady-state
+            # floor) is the noise-robust basis for round-over-round
+            # comparison. The headline set runs 7 reps so a <15% delta is
+            # signal, not the r4 noise band (VERDICT r4 #5); extended sets
+            # stay at 3 to bound total bench time.
+            for _ in range(reps):
                 t0 = time.monotonic()
                 df = fn(spark, SF_DIR)
                 # Full materialization, no driver transfer for big results.
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.monotonic() - t0)
-            times[name] = round(sorted(runs)[1], 3)
+            times[name] = round(sorted(runs)[len(runs) // 2], 3)
             mins[name] = round(min(runs), 3)
             print(
-                f"# {name}: median {times[name]}s min {mins[name]}s",
+                f"# {name}: median {times[name]}s min {mins[name]}s "
+                f"(n={reps})",
                 file=sys.stderr,
             )
         return times, mins
 
-    times, mins = run_set(HEADLINE)
+    times, mins = run_set(HEADLINE, reps=7)
     ext_times, ext_mins = run_set(EXTENDED)
     r4_times, r4_mins = run_set(EXTENDED_R4)
     r4b_times, r4b_mins = run_set(EXTENDED_R4B)
     r4c_times, r4c_mins = run_set(EXTENDED_R4C)
+    r5_times, r5_mins = run_set(EXTENDED_R5)
 
     total = round(sum(times.values()), 3)
     print(
@@ -153,6 +164,10 @@ def main() -> None:
                 "extended_r4c": r4c_times,
                 "extended_r4c_min": r4c_mins,
                 "extended_r4c_total": round(sum(r4c_times.values()), 3),
+                "extended_r5": r5_times,
+                "extended_r5_min": r5_mins,
+                "extended_r5_total": round(sum(r5_times.values()), 3),
+                "headline_reps": 7,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -384,7 +384,59 @@ def components_from_pairs(
 
     This is the 'keep one canonical doc per duplicate cluster' step that
     turns pairwise candidates into an actual dedup decision.
+
+    Ids need not be integral: the contraction kernel itself runs on
+    int64, so non-integral (e.g. string) ids are dense-ranked to int64
+    first and mapped back at the end. The dictionary rank follows the
+    natural ordering of the original type, so ``component_id`` is still
+    the smallest member id of the component under that ordering. The
+    generic path costs one global sort over the DISTINCT node ids (the
+    dictionary) plus two relabel joins on each side — prefer native
+    integer ids at scale.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ta = pairs.schema[a_col].dataType
+    tb = pairs.schema[b_col].dataType
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    if not (isinstance(ta, integral) and isinstance(tb, integral)):
+        from pyspark.sql import Window
+
+        nodes = (
+            pairs.select(F.col(a_col).alias("orig"))
+            .union(pairs.select(F.col(b_col).alias("orig")))
+            .distinct()
+        )
+        dic = nodes.withColumn(
+            "nid", F.row_number().over(Window.orderBy("orig")).cast("long")
+        ).localCheckpoint(eager=True)
+        enc = (
+            pairs.join(
+                dic.select(F.col("orig").alias(a_col), F.col("nid").alias("__na")),
+                a_col,
+            )
+            .join(
+                dic.select(F.col("orig").alias(b_col), F.col("nid").alias("__nb")),
+                b_col,
+            )
+            .select(F.col("__na").alias(a_col), F.col("__nb").alias(b_col))
+        )
+        comp = components_from_pairs(enc, a_col, b_col, max_iterations)
+        return (
+            comp.join(
+                dic.select(F.col("nid").alias("doc_id"), F.col("orig").alias("__d")),
+                "doc_id",
+            )
+            .join(
+                dic.select(
+                    F.col("nid").alias("component_id"), F.col("orig").alias("__c")
+                ),
+                "component_id",
+            )
+            .select(
+                F.col("__d").alias("doc_id"), F.col("__c").alias("component_id")
+            )
+        )
 
     def uf_kernel(batches):
         import pandas as pd

@@ -669,6 +669,136 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from node_mongo2influx_spark.functions import phash as _ph
+
+#: Hash-sample rate for the sampled calibration audit. At 100 TB the
+#: EXACT all-pairs calibration above is not runnable at all; sampling doc
+#: ids at rate r before BOTH tiers turns O(n^2) into O((rn)^2) while the
+#: agreement statistic on surviving pairs estimates the full-corpus
+#: agreement (both endpoints survive with prob r^2, independent of
+#: modality, so the pair sample is unbiased for the in-text/in-emb
+#: contingency proportions).
+_MODALITY_SAMPLE_RATE = 0.5
+_MODALITY_CUT = _ph.cutoff32(_MODALITY_SAMPLE_RATE)
+
+
+@query(
+    "dedup_modality_agreement_sampled",
+    oracle=f"""
+        WITH sdocs AS (
+            SELECT doc_id, text FROM documents
+            WHERE {_ph.fnv1a32_duckdb_sql("CAST(doc_id AS VARCHAR)")}
+                  < {_MODALITY_CUT}
+        ),
+        semb AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE {_ph.fnv1a32_duckdb_sql("CAST(vec_id AS VARCHAR)")}
+                  < {_MODALITY_CUT}
+        ),
+        docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS words FROM sdocs
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(words) >= 3 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                       ELSE [] END
+                   )) AS sh
+            FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shingles a JOIN shingles b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        text_pairs AS (
+            SELECT p.doc_a, p.doc_b
+            FROM inter p
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b
+            WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM semb
+        ),
+        emb_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        ),
+        merged AS (
+            SELECT coalesce(t.doc_a, v.doc_a) AS doc_a,
+                   (t.doc_a IS NOT NULL) AS in_text,
+                   (v.doc_a IS NOT NULL) AS in_emb
+            FROM text_pairs t
+            FULL OUTER JOIN emb_pairs v
+                 ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+        )
+        SELECT CAST(sum(CASE WHEN in_text THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_text_pairs,
+               CAST(sum(CASE WHEN in_emb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_embedding_pairs,
+               CAST(sum(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(count(*) AS BIGINT) AS n_either,
+               floor(CAST(sum(CASE WHEN in_text AND in_emb THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS agreement
+        FROM merged
+    """,
+    description="Sampled cross-modality dedup audit — the scale path of "
+    "dedup_modality_agreement. Both exact tiers run over the SAME "
+    "portable FNV-1a hash cut of the id space (rate "
+    f"{_MODALITY_SAMPLE_RATE}), so the quadratic calibration cost drops "
+    "by rate^2 while the pair sample stays unbiased for the agreement "
+    "contingency (a pair survives iff both endpoints do, independent of "
+    "which tier flags it). The oracle replays the identical integer-"
+    "cutoff hash cut, so the sampled audit is itself fully "
+    "oracle-checked. At 100 TB: the exact variant is unrunnable by "
+    "construction; this one is tuned by rate alone.",
+)
+def dedup_modality_agreement_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fnv = _ph.fnv1a32_spark_sql
+    docs = load(spark, sf_dir, "documents").where(
+        F.expr(fnv("cast(doc_id as string)")) < F.lit(_MODALITY_CUT)
+    )
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.expr(fnv("cast(vec_id as string)")) < F.lit(_MODALITY_CUT)
+    )
+    tp = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_text"))
+    ep = similarity.cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"),
+        F.lit(True).alias("in_emb"),
+    )
+    merged = tp.join(ep, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_text"), F.lit(False)).alias("in_text"),
+        F.coalesce(F.col("in_emb"), F.lit(False)).alias("in_emb"),
+    )
+    both = F.sum((F.col("in_text") & F.col("in_emb")).cast("long"))
+    return merged.agg(
+        F.sum(F.col("in_text").cast("long")).alias("n_text_pairs"),
+        F.sum(F.col("in_emb").cast("long")).alias("n_embedding_pairs"),
+        both.alias("n_both"),
+        F.count(F.lit(1)).alias("n_either"),
+        (
+            F.floor(
+                both.cast("double") / F.count(F.lit(1)) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("agreement"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -881,15 +1011,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                'text/plain' AS mime,
                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-               list_transform(range(1, 9),
-                   i -> round(CAST(('0x' || substr(sha, 2*CAST(i AS INT)-1, 2))
-                              AS INT) / 255.0, 5)) AS feature_r,
+               CAST(i - 1 AS INT) AS feature_idx,
+               round(CAST(('0x' || substr(sha, 2*CAST(i AS INT)-1, 2))
+                     AS INT) / 255.0, 5) AS feature_val,
                'stub-fake' AS decoder
         FROM (
             SELECT doc_id, text,
                    sha256(text || repeat(chr(0), 4)) AS sha
             FROM documents
-        )
+        ), range(1, 9) t(i)
     """,
     description="Arrow-batched feature extraction over binary payloads "
     "(stub decode — codecs absent in container; the mapInPandas plumbing, "
@@ -897,20 +1027,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pseudo-decode is replayed in DuckDB byte-for-byte (digest of "
     "payload+counter, bytes/255), features rounded to 5 decimals on both "
     "sides — safe for every k/255 under float32→double promotion "
-    "(verified exhaustively; round-6 has three boundary collisions).",
+    "(verified exhaustively; round-6 has three boundary collisions). "
+    "Output is posexploded to (doc_id, feature_idx, feature_val) ROWS: the "
+    "driver comparator canonicalizes via pandas sort_values, which cannot "
+    "factorize list cells (r4 red row) — non-scalar output columns are "
+    "banned at the query edge (tools/check_oracle.py enforces).",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = multimodal.as_binary_payload(
         load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
     )
     out = multimodal.extract_features(df, id_col="doc_id", dim=8)
-    return out.select(
+    exploded = out.select(
         "doc_id",
         "mime",
         "n_bytes",
-        F.transform(
-            F.col("feature"), lambda x: F.round(x.cast("double"), 5)
-        ).alias("feature_r"),
+        "decoder",
+        F.posexplode("feature").alias("feature_idx", "feature_val"),
+    )
+    return exploded.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "feature_idx",
+        F.round(F.col("feature_val").cast("double"), 5).alias("feature_val"),
         "decoder",
     )
 

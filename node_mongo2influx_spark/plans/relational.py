@@ -908,10 +908,10 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "long (user, type, count) rows — the round trip of "
     "pivot_event_matrix. Spark's unpivot is a zero-shuffle Expand over "
     "the wide rows; output width is rows × value-columns, so at scale "
-    "unpivot the columns you need, not the whole matrix. (DuckDB's "
-    "UNPIVOT drops NULL cells, so counts stay un-defaulted tall only "
-    "for present combinations — both engines emit exactly the "
-    "rows-with-counts.)",
+    "unpivot the columns you need, not the whole matrix. Absent "
+    "(user, type) combos are 0 on BOTH engines: DuckDB's count(CASE) is "
+    "0 (never NULL) so its UNPIVOT keeps every cell, and the Spark side "
+    "na.fill(0)s its pivot NULLs to match — all users × 5 types.",
 )
 def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
@@ -919,15 +919,13 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
+        .na.fill(0)
     )
-    return (
-        wide.unpivot(
-            ids=["user_id"],
-            values=["click", "view", "purchase", "signup", "error"],
-            variableColumnName="event_type",
-            valueColumnName="n",
-        )
-        .where(F.col("n").isNotNull())
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "view", "purchase", "signup", "error"],
+        variableColumnName="event_type",
+        valueColumnName="n",
     )
 
 

@@ -114,11 +114,17 @@ class ParquetSink(Sink):
             tuple(r[c] for c in pcols)
             for r in delta.select(*pcols).distinct().collect()
         ]
+        if not touched:
+            # Empty delta (e.g. an empty CDC micro-batch): nothing to merge
+            # or rewrite — and the reduce() below has no identity element.
+            return 0
         target = str(self.path / series)
-        try:
-            existing = df_reader(target)
-        except Exception:
-            existing = None
+        # Probe store existence explicitly instead of catching read errors:
+        # a TRANSIENT read failure treated as "store absent" would
+        # dynamic-overwrite the touched partitions with delta rows only,
+        # silently dropping every non-delta key in them. Only a genuinely
+        # absent store may take the delta-only path; real errors propagate.
+        existing = df_reader(target) if (self.path / series).exists() else None
         if existing is not None:
             import functools
 

@@ -423,7 +423,17 @@ def cdc_apply_stream(
                 ),
             ).where(F.col("__rk") == 1).drop("__rk", order_col)
         else:
-            last = batch_df.dropDuplicates(list(keys))
+            # Deterministic reduction (dropDuplicates keeps a
+            # scheduling-dependent row, which would break replay
+            # idempotence): lexicographic max over a struct of every
+            # non-key column picks the same row however the batch was
+            # partitioned.
+            non_key = [c for c in batch_df.columns if c not in keys]
+            last = (
+                batch_df.groupBy(*keys)
+                .agg(F.max(F.struct(*non_key)).alias("__row"))
+                .select(*keys, *(F.col(f"__row.{c}").alias(c) for c in non_key))
+            )
         sink.upsert(
             lambda p: spark.read.parquet(p), last, series, keys=keys
         )

@@ -219,3 +219,16 @@ def test_cdc_boundaries_are_edit_local(spark):
     # all but the chunk(s) straddling the edit survive
     assert len(shared) >= len(chunks_a) - 2
     assert len(chunks_a) > 30  # the probe actually chunks
+
+
+def test_components_from_pairs_string_ids(spark):
+    # Non-integral ids take the dense-rank path: the int64 kernel runs on
+    # dictionary codes and the labels map back, with component_id = the
+    # lexicographically smallest member id.
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = dedup.components_from_pairs(pairs)
+    got = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert dict(out.dtypes) == {"doc_id": "string", "component_id": "string"}

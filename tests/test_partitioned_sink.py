@@ -439,3 +439,55 @@ def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "t")).collect()
         }
         assert got == model, f"divergence after step {step}"
+
+
+def test_upsert_empty_delta_is_a_noop(spark, tmp_path):
+    # An empty CDC micro-batch must not touch the store (and must not
+    # crash: reduce() over zero touched partitions has no identity).
+    sink = ParquetSink(str(tmp_path), partition_by=("day",), dynamic_overwrite=True)
+    base = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-02")],
+        "event_id long, value double, day string",
+    )
+    sink.write(base, "t")
+    before = sorted(
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    )
+    empty = spark.createDataFrame([], "event_id long, value double, day string")
+    n = sink.upsert(lambda p: spark.read.parquet(p), empty, "t", keys=("event_id",))
+    assert n == 0
+    after = sorted(
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    )
+    assert after == before
+
+
+def test_upsert_read_failure_propagates_instead_of_dropping_keys(spark, tmp_path):
+    # A transient read error over an EXISTING store must raise, never be
+    # treated as "store absent" (which would dynamic-overwrite the
+    # touched partitions with delta rows only — data loss).
+    import pytest as _pytest
+
+    sink = ParquetSink(str(tmp_path), partition_by=("day",), dynamic_overwrite=True)
+    base = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-01")],
+        "event_id long, value double, day string",
+    )
+    sink.write(base, "t")
+
+    def flaky_reader(path):
+        raise RuntimeError("transient storage error")
+
+    delta = spark.createDataFrame(
+        [(1, 9.0, "2024-01-01")], "event_id long, value double, day string"
+    )
+    with _pytest.raises(RuntimeError, match="transient"):
+        sink.upsert(flaky_reader, delta, "t", keys=("event_id",))
+    # store untouched: key 2 still present, key 1 not replaced
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0}

@@ -365,6 +365,7 @@ _SCALAR_CROSSJOIN_OK = {
     "hybrid_retrieval_rrf",   # bm25 1-row stats + knn broadcast (≤1-row query side)
     "bm25_multi_query_topk",  # 1-row (N, avgdl) stats record
     "dedup_modality_agreement",  # embeds the exact all-pairs cosine tier
+    "dedup_modality_agreement_sampled",  # same tiers over the rate^2 hash sample
     "dup_transitivity_audit",  # three 1-row aggregates (edges, wedges, triangles)
     "join_key_skew_report",   # two 1-row aggregates (key stats × top-10 sum)
 }

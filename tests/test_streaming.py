@@ -696,3 +696,43 @@ def test_cdc_apply_stream_converges_to_last_write_wins(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(store + "/t").collect()
     }
     assert got2 == expect
+
+
+def test_cdc_apply_stream_without_seq_reduces_deterministically(spark, tmp_path):
+    # No __seq column: in-batch duplicate keys must reduce via the
+    # documented lexicographic max over the struct of non-key columns —
+    # the same row wins however the batch was partitioned/scheduled
+    # (dropDuplicates would keep a scheduling-dependent row and break
+    # replay idempotence).
+    import os
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows = [
+        (12, 5.0, "2024-01-01"),
+        (12, 999.0, "2024-01-01"),  # struct (value, day) max -> wins
+        (12, 40.0, "2024-01-01"),
+        (13, 7.0, "2024-01-02"),
+    ]
+    schema = "event_id long, value double, day string"
+    spark.createDataFrame(rows, schema).repartition(3).write.parquet(src + "/.tmp")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(src + "/.tmp/*.parquet"))):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+    q = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema),
+        sink, "t", keys=("event_id",), checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    assert got == {12: 999.0, 13: 7.0}

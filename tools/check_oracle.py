@@ -140,6 +140,30 @@ def main() -> int:
                 f"binary output columns ({', '.join(bin_hazards)}) crash "
                 "the driver's pandas comparator — hex() them on both sides"
             )
+        # ARRAY/MAP/STRUCT output is the r4 recurrence of the same class:
+        # pandas sort_values cannot factorize list/dict cells either
+        # (multimodal_features crashed the r4 driver comparator). _norm()
+        # serializes lists so it false-passes locally — fail loudly: flatten
+        # at the query edge on BOTH sides (posexplode to rows, or
+        # concat_ws a string).
+        nonscalar = [
+            f"spark:{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if any(
+                f.dataType.simpleString().startswith(p)
+                for p in ("array", "map", "struct")
+            )
+        ] + [
+            f"oracle:{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if "[]" in t or t.startswith(("MAP", "STRUCT", "LIST"))
+        ]
+        if nonscalar:
+            problems.append(
+                f"non-scalar output columns ({', '.join(nonscalar)}) crash "
+                "the driver's pandas comparator — posexplode to rows or "
+                "concat_ws to a string on both sides"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
