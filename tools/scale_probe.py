@@ -28,10 +28,14 @@ FACTORS = (1, 4, 8)
 
 
 def main() -> None:
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from node_mongo2influx_spark.engine import Engine
-    from node_mongo2influx_spark.operators import dedup, sampling, text
+    from node_mongo2influx_spark.functions import phash
+    from node_mongo2influx_spark.operators import dedup, sampling, similarity, text
+    from node_mongo2influx_spark.sinks import ParquetSink
     from node_mongo2influx_spark.sources.parquet_compat import read_parquet
 
     eng = Engine.builder(
@@ -66,6 +70,87 @@ def main() -> None:
         for p in parts[1:]:
             out = out.unionAll(p)
         return out
+
+    def uniquified_embeddings(k: int):
+        df = read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+        parts = [
+            df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000_000))
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    def modality_agreement_sampled(k: int):
+        # The sampled calibration's scale knob: rate shrinks as 1/k so the
+        # sampled population r*n stays CONSTANT as the corpus grows k-fold
+        # — the quadratic tiers run over a fixed-size sample, so cost
+        # should stay ~flat (that is what makes the calibration runnable
+        # at 100 TB; the exact variant is unrunnable by construction).
+        cut = phash.cutoff32(0.5 / k)
+        fnv = phash.fnv1a32_spark_sql
+        docs = uniquified_docs(k).where(
+            F.expr(fnv("cast(doc_id as string)")) < F.lit(cut)
+        )
+        emb = uniquified_embeddings(k).where(
+            F.expr(fnv("cast(vec_id as string)")) < F.lit(cut)
+        )
+        tp = dedup.ngram_jaccard_pairs(
+            docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+        ).select("doc_a", "doc_b", F.lit(True).alias("in_text"))
+        ep = similarity.cosine_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+        ).select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            F.lit(True).alias("in_emb"),
+        )
+        return tp.join(ep, ["doc_a", "doc_b"], "full_outer").agg(
+            F.count(F.lit(1)).alias("n_either")
+        )
+
+    # Word pool for the query-count probe: fixed vocabulary, k scales the
+    # NUMBER of queries (data stays 1x) — probes the inverted-index
+    # restriction claim (postings pruned to query vocab pre-shuffle, cost
+    # ~ query-vocab postings, not corpus x queries).
+    _POOL = (
+        "join window hash stream merge sort filter shuffle spark parquet "
+        "index vector token batch schema"
+    ).split()
+
+    def bm25_multi_queries(k: int):
+        queries = {
+            q: tuple(_POOL[(q + j) % len(_POOL)] for j in range(3))
+            for q in range(2 * k)
+        }
+        return text.bm25_multi_topk(uniquified_docs(1), queries=queries)
+
+    # CDC upsert probe: a FIXED day-partitioned store built once (outside
+    # timing); fn(k) upserts a delta touching k days. Claimed cost is
+    # O(delta partitions), never O(table) — wall should track k and stay
+    # far under a full-store rewrite. Returns None (the upsert writes
+    # itself); repeated upserts replace the same keys so runs are
+    # comparable without restoring the store.
+    cdc_dir = tempfile.mkdtemp(prefix="scale_probe_cdc_")
+    cdc_sink = ParquetSink(cdc_dir, partition_by=("day",), dynamic_overwrite=True)
+    cdc_base = (
+        read_parquet(spark, f"{SF_DIR}/events.parquet")
+        .select("event_id", "value", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+    )
+    cdc_sink.write(cdc_base, "t")
+    cdc_days = sorted(
+        r["day"] for r in cdc_base.select("day").distinct().collect()
+    )
+
+    def cdc_upsert_delta(k: int):
+        days = cdc_days[:k]
+        delta = (
+            cdc_base.where(F.col("day").isin(days))
+            .withColumn("value", F.col("value") + 1.0)
+        )
+        cdc_sink.upsert(lambda p: spark.read.parquet(p), delta, "t", keys=("event_id",))
+        return None
 
     probes = {
         "agg_q1_shape": lambda k: at_scale("lineitem", k)
@@ -122,6 +207,10 @@ def main() -> None:
             .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
             .where(F.col("id") % 10 != 9),
         ),
+        # round-5 probes (VERDICT r4 #6)
+        "modality_agreement_sampled": modality_agreement_sampled,
+        "bm25_multi_qcount": bm25_multi_queries,
+        "cdc_upsert_delta": cdc_upsert_delta,
     }
 
     # warm up session + python workers
@@ -135,7 +224,9 @@ def main() -> None:
         times = []
         for k in FACTORS:
             t0 = time.monotonic()
-            fn(k).write.format("noop").mode("overwrite").save()
+            out = fn(k)
+            if out is not None:  # side-effecting probes write themselves
+                out.write.format("noop").mode("overwrite").save()
             times.append(round(time.monotonic() - t0, 3))
         base = max(times[0], 1e-9)
         report[name] = {
