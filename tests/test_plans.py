@@ -386,7 +386,8 @@ def test_registry_wide_plan_lint(spark, sf_dir, reg):
     for name, qd in reg.items():
         if name in _LINT_SKIP:
             continue
-        plan = _plan(qd.fn(spark, sf_dir))
+        df = qd.fn(spark, sf_dir)
+        plan = _plan(df)
         problems = []
         if "CartesianProduct" in plan:
             problems.append("CartesianProduct")
@@ -397,6 +398,25 @@ def test_registry_wide_plan_lint(spark, sf_dir, reg):
             and name not in _SCALAR_CROSSJOIN_OK
         ):
             problems.append("unexplained BroadcastNestedLoopJoin")
+        if qd.oracle is not None:
+            # Oracle queries are hash-compared by the driver through
+            # pandas sort_values, which cannot factorize bytes/list/dict
+            # cells — non-scalar output columns crashed the comparator in
+            # r3 (binary) AND r4 (array). Ban them at the query edge:
+            # posexplode to rows or concat_ws/hex to a string.
+            nonscalar = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if any(
+                    f.dataType.simpleString().startswith(p)
+                    for p in ("array", "map", "struct", "binary")
+                )
+            ]
+            if nonscalar:
+                problems.append(
+                    f"non-scalar output columns {nonscalar} crash the "
+                    "driver comparator"
+                )
         if problems:
             bad[name] = problems
     assert not bad, f"plan lint failures: {bad}"

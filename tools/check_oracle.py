@@ -52,6 +52,59 @@ def _norm(v):
     return str(v)
 
 
+def output_hazards(spark_fields, dcols: list[str], dtypes: list[str]) -> list[str]:
+    """Output-type hazards that false-pass locally but crash the DRIVER's
+    comparator (it canonicalizes through pandas/arrow; we don't).
+
+    - HUGEINT/DECIMAL: arrow round-trip stringifies "3" as "3.0" (r3).
+    - binary/BLOB: pandas sort_values can't factorize bytearray (r3).
+    - ARRAY/MAP/STRUCT/LIST: same crash on list/dict cells (r4).
+
+    ``spark_fields`` is ``df.schema.fields``; ``dcols``/``dtypes`` are the
+    DuckDB relation's column names and declared type strings.
+    """
+    problems = []
+    hazards = [
+        f"{c}:{t}"
+        for c, t in zip(dcols, dtypes)
+        if t == "HUGEINT" or t.startswith("DECIMAL")
+    ]
+    if hazards:
+        problems.append(
+            f"oracle emits arrow-hostile types ({', '.join(hazards)}) — "
+            "CAST to BIGINT/DOUBLE"
+        )
+    bin_hazards = [
+        f"spark:{f.name}:{f.dataType.simpleString()}"
+        for f in spark_fields
+        if "binary" in f.dataType.simpleString()
+    ] + [f"oracle:{c}:{t}" for c, t in zip(dcols, dtypes) if t == "BLOB"]
+    if bin_hazards:
+        problems.append(
+            f"binary output columns ({', '.join(bin_hazards)}) crash "
+            "the driver's pandas comparator — hex() them on both sides"
+        )
+    nonscalar = [
+        f"spark:{f.name}:{f.dataType.simpleString()}"
+        for f in spark_fields
+        if any(
+            f.dataType.simpleString().startswith(p)
+            for p in ("array", "map", "struct")
+        )
+    ] + [
+        f"oracle:{c}:{t}"
+        for c, t in zip(dcols, dtypes)
+        if "[]" in t or t.startswith(("MAP", "STRUCT", "LIST"))
+    ]
+    if nonscalar:
+        problems.append(
+            f"non-scalar output columns ({', '.join(nonscalar)}) crash "
+            "the driver's pandas comparator — posexplode to rows or "
+            "concat_ws to a string on both sides"
+        )
+    return problems
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
@@ -109,61 +162,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
-        problems = []
-        # The driver's comparator round-trips DuckDB results through
-        # arrow/pandas, where HUGEINT (int128, e.g. from integer sum())
-        # and DECIMAL become float/decimal and stringify as "3.0" vs
-        # Spark's "3". fetchall() hides that (plain Python ints), so gate
-        # on the declared type instead: cast to BIGINT/DOUBLE in the oracle.
-        hazards = [
-            f"{c}:{t}"
-            for c, t in zip(dcols, dtypes)
-            if t == "HUGEINT" or t.startswith("DECIMAL")
-        ]
-        if hazards:
-            problems.append(
-                f"oracle emits arrow-hostile types ({', '.join(hazards)}) — "
-                "CAST to BIGINT/DOUBLE"
-            )
-        # Binary output is the same driver-only-crash class: the driver
-        # canonicalizes through pandas sort_values, which cannot factorize
-        # bytearray (r3: multimodal_frame_sample crashed its comparator).
-        # _norm() here hexes bytes so it would false-pass locally — fail
-        # loudly instead: hex() at the query's output edge on both sides.
-        bin_hazards = [
-            f"spark:{f.name}:{f.dataType.simpleString()}"
-            for f in sdf.schema.fields
-            if "binary" in f.dataType.simpleString()
-        ] + [f"oracle:{c}:{t}" for c, t in zip(dcols, dtypes) if t == "BLOB"]
-        if bin_hazards:
-            problems.append(
-                f"binary output columns ({', '.join(bin_hazards)}) crash "
-                "the driver's pandas comparator — hex() them on both sides"
-            )
-        # ARRAY/MAP/STRUCT output is the r4 recurrence of the same class:
-        # pandas sort_values cannot factorize list/dict cells either
-        # (multimodal_features crashed the r4 driver comparator). _norm()
-        # serializes lists so it false-passes locally — fail loudly: flatten
-        # at the query edge on BOTH sides (posexplode to rows, or
-        # concat_ws a string).
-        nonscalar = [
-            f"spark:{f.name}:{f.dataType.simpleString()}"
-            for f in sdf.schema.fields
-            if any(
-                f.dataType.simpleString().startswith(p)
-                for p in ("array", "map", "struct")
-            )
-        ] + [
-            f"oracle:{c}:{t}"
-            for c, t in zip(dcols, dtypes)
-            if "[]" in t or t.startswith(("MAP", "STRUCT", "LIST"))
-        ]
-        if nonscalar:
-            problems.append(
-                f"non-scalar output columns ({', '.join(nonscalar)}) crash "
-                "the driver's pandas comparator — posexplode to rows or "
-                "concat_ws to a string on both sides"
-            )
+        problems = output_hazards(sdf.schema.fields, dcols, dtypes)
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
         if len(srows) != len(drows):
