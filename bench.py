@@ -143,6 +143,40 @@ def main() -> None:
     r5_times, r5_mins = run_set(EXTENDED_R5)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_min": mins,
+        "min_total": round(sum(mins.values()), 3),
+        "extended": ext_times,
+        "extended_min": ext_mins,
+        "extended_total": round(sum(ext_times.values()), 3),
+        "extended_r4": r4_times,
+        "extended_r4_min": r4_mins,
+        "extended_r4_total": round(sum(r4_times.values()), 3),
+        "extended_r4b": r4b_times,
+        "extended_r4b_min": r4b_mins,
+        "extended_r4b_total": round(sum(r4b_times.values()), 3),
+        "extended_r4c": r4c_times,
+        "extended_r4c_min": r4c_mins,
+        "extended_r4c_total": round(sum(r4c_times.values()), 3),
+        "extended_r5": r5_times,
+        "extended_r5_min": r5_mins,
+        "extended_r5_total": round(sum(r5_times.values()), 3),
+        "headline_reps": 7,
+        "sf": sf_val,
+    }
+    # Full per-query detail goes to a committed file; stdout carries a
+    # COMPACT line. The driver records only the last ~2000 chars of
+    # stdout and parses the JSON line out of it — r4's full line outgrew
+    # that window and the driver recorded parsed=None (BENCH_r04.json).
+    # Keep this line well under 2000 chars: headline medians+mins,
+    # per-section totals, and a pointer to the detail file.
+    detail_path = REPO / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     print(
         json.dumps(
             {
@@ -151,25 +185,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_min": mins,
-                "min_total": round(sum(mins.values()), 3),
-                "extended": ext_times,
-                "extended_min": ext_mins,
-                "extended_total": round(sum(ext_times.values()), 3),
-                "extended_r4": r4_times,
-                "extended_r4_min": r4_mins,
-                "extended_r4_total": round(sum(r4_times.values()), 3),
-                "extended_r4b": r4b_times,
-                "extended_r4b_min": r4b_mins,
-                "extended_r4b_total": round(sum(r4b_times.values()), 3),
-                "extended_r4c": r4c_times,
-                "extended_r4c_min": r4c_mins,
-                "extended_r4c_total": round(sum(r4c_times.values()), 3),
-                "extended_r5": r5_times,
-                "extended_r5_min": r5_mins,
-                "extended_r5_total": round(sum(r5_times.values()), 3),
+                "min_total": detail["min_total"],
+                "extended_total": detail["extended_total"],
+                "extended_r4_total": detail["extended_r4_total"],
+                "extended_r4b_total": detail["extended_r4b_total"],
+                "extended_r4c_total": detail["extended_r4c_total"],
+                "extended_r5_total": detail["extended_r5_total"],
                 "headline_reps": 7,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 
