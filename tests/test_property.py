@@ -211,3 +211,51 @@ def test_cdc_chunks_reassemble_and_are_edit_local(text):
         surviving = {c[3] for c in chunks[1:]}
         got = {c[3] for c in edited}
         assert surviving <= got
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_components_match_pure_python_union_find(spark, edges):
+    # Model-based check of the contraction components operator against a
+    # 20-line sequential union-find: same partition into components, and
+    # component_id is the smallest member id — for ANY random graph,
+    # including self-loops, duplicate and reversed edges.
+    from node_mongo2influx_spark.operators import dedup
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.components_from_pairs(pairs).collect()
+    }
+    assert got == expect
