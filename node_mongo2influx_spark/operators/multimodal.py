@@ -110,6 +110,76 @@ def extract_features(
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of the resize stage: fixed-size grayscale thumbnail as
+#: an opaque byte string (width*height bytes, row-major).
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, thumb binary, decoder string"
+)
+
+
+def _fake_thumb(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic pseudo-thumbnail (sha256 expansion of the payload) —
+    stands in for decode→resize so the Spark-side contract is testable."""
+    need = width * height
+    out = b""
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return out[:need]
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+    mode: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize to a fixed ``width x height`` grayscale
+    thumbnail — the decode+downsample stage of an image training
+    pipeline, as ``mapInPandas`` so payload bytes cross into Python once
+    per Arrow batch.
+
+    ``mode="real"`` is the PIL integration point (``Image.open(...)
+    .convert("L").resize((w, h))``) — deliberately NotImplemented in this
+    container (no codec libs). ``mode="fake"`` produces a deterministic
+    pseudo-thumbnail from the payload bytes, keeping schema, batch
+    iteration, null handling, and the fixed output size real and tested.
+
+    At 100 TB: map-only (zero shuffle), output is width*height bytes per
+    image regardless of input size — the scan reads (id, payload), the
+    projection after this stage carries only thumbnails.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError("mode must be 'fake' or 'real'")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "image codecs are not available in this container; "
+                    "plug PIL decode+resize here"
+                )
+            thumbs = [
+                None if p is None else _fake_thumb(bytes(p), width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "thumb": thumbs,
+                    "decoder": [f"stub-{mode}"] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

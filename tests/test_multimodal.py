@@ -154,3 +154,31 @@ def test_sniff_mime_magic_bytes(spark):
         7: "application/octet-stream",
         8: "application/octet-stream",
     }
+
+
+def test_resize_images_fake_mode(payloads, spark):
+    out = {r["doc_id"]: r for r in multimodal.resize_images(payloads, width=4, height=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (4, 3)
+        assert len(r["thumb"]) == 12  # fixed output size regardless of input
+        assert r["decoder"] == "stub-fake"
+    # deterministic: same payload -> same thumbnail bytes across runs
+    again = {r["doc_id"]: r for r in multimodal.resize_images(payloads, width=4, height=3).collect()}
+    assert all(bytes(out[k]["thumb"]) == bytes(again[k]["thumb"]) for k in out)
+    # null payloads pass through as null thumbs, not crashes
+    withnull = payloads.unionByName(
+        spark.createDataFrame([(9, None, "text/plain")], "doc_id long, payload binary, mime string")
+    )
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(withnull, width=2, height=2).collect()}
+    assert rows[9]["thumb"] is None
+
+
+def test_resize_images_real_mode_is_stubbed(payloads):
+    import pytest as _pytest
+
+    df = multimodal.resize_images(payloads, mode="real")
+    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
+        df.collect()
+    with _pytest.raises(ValueError):
+        multimodal.resize_images(payloads, mode="nope")
