@@ -237,6 +237,10 @@ def minhash_signatures(
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, hw in zip(pdf[id_col], pdf["hw"]):
+                if hw is None:
+                    # NULL text → NULL word array: no shingle set, same
+                    # omission rule as too-short docs below.
+                    continue
                 w = np.asarray(hw, dtype=np.int64).view(np.uint64)
                 n = w.size - shingle_n + 1
                 if n <= 0:

@@ -132,6 +132,15 @@ def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     )
 
 
+
+def _nn(pdf, col="vec"):
+    """Drop rows whose vector cell is NULL before a numpy kernel: a null
+    embedding has no bucket/cell/code (same omission rule as minhash's
+    null-text docs), and np.asarray over a ragged list crashes the whole
+    task — at 100 TB one null row must not kill the job. Runs inside the
+    kernel so the JVM plan (pinned by tests/test_plans.py) is unchanged."""
+    return pdf[pdf[col].notna()] if pdf[col].isna().any() else pdf
+
 def _srp_planes(n_tables: int, n_planes: int, dim: int, seed: int):
     """dim × (n_tables·n_planes) unit random hyperplane matrix + the bit
     weights used to pack sign patterns into per-table bucket ids."""
@@ -164,7 +173,10 @@ def _srp_bucket_table(
         import pandas as pd
 
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
             proj = mat @ planes_t
             bits = (proj > 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
             yield pd.DataFrame({"vid": pdf["vid"], "buckets": list(bits @ weights)})
@@ -467,6 +479,7 @@ def kmeans_centroids(
             .limit(target)
             .collect()
         )
+        rows = [r for r in rows if r["vec"] is not None]
         if not rows:
             raise ValueError("kmeans_centroids: empty training input")
         mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
@@ -500,6 +513,7 @@ def kmeans_centroids(
             .limit(n_cells)
             .collect()
         )
+        init_rows = [r for r in init_rows if r["vec"] is not None]
         cents = np.asarray([r["vec"] for r in init_rows], dtype=np.float64)
         cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
@@ -534,6 +548,7 @@ def _cell_partial_sums(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame
         acc = np.zeros((k, d), dtype=np.float64)
         cnt = np.zeros(k, dtype=np.int64)
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             if not len(mat):
                 continue
@@ -562,7 +577,10 @@ def _assign_cells(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             cell = ((mat / norms) @ cents.T).argmax(axis=1).astype(np.int32)
             yield pd.DataFrame({"vid": pdf["vid"], "cell": cell})
@@ -620,7 +638,10 @@ def knn_cosine_ivf(
         import pandas as pd
 
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = (mat / norms) @ cents.T
             # n_probe nearest cells per query, exploded pandas-side (the
@@ -683,7 +704,10 @@ def cosine_pairs_ivf(
         import pandas as pd
 
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             sims = (mat / norms) @ cents.T
             top = np.argsort(-sims, axis=1)[:, :n_assign_eff]
@@ -757,6 +781,7 @@ def pq_codebooks(
         .limit(target)
         .collect()
     )
+    rows = [r for r in rows if r["vec"] is not None]
     if not rows:
         raise ValueError("pq_codebooks: empty training input")
     mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
@@ -799,6 +824,7 @@ def pq_encode(
 
         m, k, dsub = bk.shape
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             if not len(mat):
                 continue
@@ -863,6 +889,7 @@ def knn_cosine_pq(
         )
         .collect()
     )
+    qrows = [r for r in qrows if r["qv"] is not None]
     qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
@@ -943,6 +970,7 @@ def ivfpq_encode(
 
         m, kk, dsub = bk.shape
         for pdf in batches:
+            pdf = _nn(pdf)
             mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             if not len(mat):
                 continue
@@ -1008,6 +1036,7 @@ def _pq_codebooks_residual(
         .limit(target)
         .collect()
     )
+    rows = [r for r in rows if r["vec"] is not None]
     if not rows:
         raise ValueError("_pq_codebooks_residual: empty training input")
     mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
@@ -1121,6 +1150,7 @@ def _ivfpq_candidates(
     qrows = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()
+    qrows = [r for r in qrows if r["qv"] is not None]
     qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
@@ -1498,6 +1528,7 @@ def knn_cosine_ivfpq_query(
             for r in queries.select(
                 _as_double(F.col(vec_col)).alias("qv")
             ).collect()
+            if r["qv"] is not None
         ],
         dtype=np.float64,
     )

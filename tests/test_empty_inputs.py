@@ -137,3 +137,73 @@ def test_incremental_exact_empty_base(spark):
         for r in dedup.incremental_exact(df, F.col("is_delta")).collect()
     }
     assert got == {1: "new", 2: "dup_delta", 3: "new"}
+
+
+# ---------------------------------------------------------------------------
+# NULL-cell robustness: a null text / null embedding row must be OMITTED
+# (no shingles / no bucket / no code — the operators' documented rule for
+# undefined inputs), never crash the Arrow kernel or the driver-side
+# trainer. At 100 TB one malformed row must not kill the job.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_with_null(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, None),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs_with_null(spark):
+    rows = [
+        (1, [1.0] * 8),
+        (2, None),
+        (3, [0.9, 0.1] + [0.0] * 6),
+        (4, [0.99] + [0.01] * 7),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_minhash_null_text_omitted(docs_with_null):
+    pairs = dedup.minhash_lsh_pairs(docs_with_null, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_cosine_lsh_null_vec_omitted(vecs_with_null):
+    from node_mongo2influx_spark.operators import similarity
+
+    pairs = similarity.cosine_pairs_lsh(
+        vecs_with_null, id_col="vec_id", vec_col="embedding",
+        threshold=0.5, dim=8,
+    ).collect()
+    ids = {i for r in pairs for i in (r["vec_a"], r["vec_b"])}
+    assert 2 not in ids and len(pairs) > 0
+
+
+def test_ivf_trainer_and_query_tolerate_null_vec(vecs_with_null):
+    from node_mongo2influx_spark.operators import similarity
+
+    q = vecs_with_null.where(F.col("vec_id").isin(1, 2))
+    out = similarity.knn_cosine_ivf(
+        vecs_with_null, q, id_col="vec_id", vec_col="embedding",
+        k=2, dim=8, n_cells=2,
+    ).collect()
+    # only the non-null query produces neighbors
+    assert {r["query_id"] for r in out} == {1}
+
+
+def test_pq_trainer_tolerates_null_vec(vecs_with_null):
+    from node_mongo2influx_spark.operators import similarity
+
+    q = vecs_with_null.where(F.col("vec_id") == 1)
+    out = similarity.knn_cosine_pq(
+        vecs_with_null, q, id_col="vec_id", vec_col="embedding",
+        k=2, dim=8, m=4,
+    ).collect()
+    assert len(out) == 2 and all(r["neighbor_id"] != 2 for r in out)
