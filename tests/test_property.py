@@ -259,3 +259,114 @@ def test_components_match_pure_python_union_find(spark, edges):
         for r in dedup.components_from_pairs(pairs).collect()
     }
     assert got == expect
+
+
+def _fnv1a32(codes):
+    a = 2166136261
+    for c in codes:
+        a = ((a ^ c) * 16777619) & 0xFFFFFFFF
+    return a
+
+
+def _model_cdc(text, w=4, d=64):
+    # sequential reimplementation of the cdc_chunks contract
+    import hashlib
+
+    n = len(text)
+    bounds = []
+    if n >= w:
+        for j in range(0, n - w + 1):
+            p = j + w  # 1-based position of the window's last char
+            if _fnv1a32([ord(c) for c in text[j:j + w]]) % d == 0 and p < n:
+                bounds.append(p)
+    starts = [1] + [b + 1 for b in bounds]
+    ends = bounds + [n]
+    return [
+        (i + 1, s, e - s + 1, hashlib.md5(text[s - 1:e].encode()).hexdigest())
+        for i, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cdc_chunks_match_sequential_model(spark, texts):
+    # The zip-of-shifted-slices rolling hash must equal a plain sequential
+    # FNV-1a chunker: same boundaries, spans, and fingerprints — and the
+    # spans must tile each document exactly.
+    from node_mongo2influx_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got: dict[int, list] = {}
+    for r in dedup.cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["chunk_start"], r["chunk_len"], r["chunk_md5"])
+        )
+    for i, text in enumerate(texts):
+        chunks = sorted(got.get(i, []))
+        assert chunks == _model_cdc(text), text
+        # tiling: contiguous, covering 1..len exactly
+        pos = 1
+        for _, s, ln, _h in chunks:
+            assert s == pos
+            pos += ln
+        assert pos - 1 == len(text)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=60),
+    ctx=st.sampled_from([128, 512, 2048]),
+    size_ordered=st.booleans(),
+)
+def test_pack_sequences_invariants(spark, lens, ctx, size_ordered):
+    # Packing layout invariants for any doc-length mix: every doc
+    # assigned exactly once; within a bucket the layout is the exact
+    # concatenate-and-chop prefix order (start_offset = running sum,
+    # bin = floor(start/ctx)); deterministic across runs.
+    from node_mongo2influx_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        list(enumerate(lens)), "doc_id long, n_tokens int"
+    )
+    out = sampling.pack_sequences(
+        df, ctx_len=ctx, n_buckets=4, size_ordered=size_ordered
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(lens)))
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rows in by_bucket.items():
+        key = (
+            (lambda r: (-r["n_tokens"], r["doc_id"]))
+            if size_ordered
+            else (lambda r: r["doc_id"])
+        )
+        rows = sorted(rows, key=key)
+        run = 0
+        for r in rows:
+            assert r["bucket"] == bucket == r["doc_id"] % 4
+            assert r["start_offset"] == run
+            assert r["bin"] == run // ctx
+            run += r["n_tokens"]
+    again = sampling.pack_sequences(
+        df, ctx_len=ctx, n_buckets=4, size_ordered=size_ordered
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
