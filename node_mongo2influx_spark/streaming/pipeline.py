@@ -429,11 +429,18 @@ def cdc_apply_stream(
             # non-key column picks the same row however the batch was
             # partitioned.
             non_key = [c for c in batch_df.columns if c not in keys]
-            last = (
-                batch_df.groupBy(*keys)
-                .agg(F.max(F.struct(*non_key)).alias("__row"))
-                .select(*keys, *(F.col(f"__row.{c}").alias(c) for c in non_key))
-            )
+            if non_key:
+                last = (
+                    batch_df.groupBy(*keys)
+                    .agg(F.max(F.struct(*non_key)).alias("__row"))
+                    .select(
+                        *keys, *(F.col(f"__row.{c}").alias(c) for c in non_key)
+                    )
+                )
+            else:
+                # key-only feed: every column is part of the key, so
+                # dropDuplicates IS deterministic here
+                last = batch_df.dropDuplicates(list(keys))
         sink.upsert(
             lambda p: spark.read.parquet(p), last, series, keys=keys
         )
