@@ -59,26 +59,52 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = tuple(sys.argv[2:]) or DEFAULT_QUERIES
 
-    eng = Engine.builder(app_name="query-metrics", master="local[32]")
+    from node_mongo2influx_spark.config import EngineConfig
+
+    # Bounded UI retention: the SQL tab retains up to 1000 executions WITH
+    # full plan strings (huge for iterative queries) — a full-registry
+    # sweep OOM'd the driver heap at ~100 queries before this. Stage
+    # accounting below is per-stage-id (new-stages-only), so stage
+    # eviction cannot corrupt the deltas either.
+    eng = Engine.builder(
+        app_name="query-metrics",
+        master="local[32]",
+        config=EngineConfig(
+            spark_conf={
+                "spark.sql.ui.retainedExecutions": "8",
+                "spark.ui.retainedJobs": "200",
+                "spark.ui.retainedStages": "1000",
+            }
+        ),
+    )
     spark = eng.spark
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_registry()
     ui = spark.sparkContext.uiWebUrl
     app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
 
-    def totals():
-        # completed stages only; a short settle wait lets the listener
-        # bus drain before reading
+    seen: set = set()
+
+    def new_stage_totals():
+        # Sum metrics of completed stages NOT yet counted (keyed by
+        # (stageId, attemptId)) — robust to UI stage eviction, unlike a
+        # cumulative-total delta, which silently under-counts once the
+        # retained-stages cap evicts earlier stages mid-sweep. A short
+        # settle wait lets the listener bus drain before reading.
         time.sleep(0.3)
         stages = json.load(
             urllib.request.urlopen(
                 f"{ui}/api/v1/applications/{app}/stages?status=complete"
             )
         )
+        fresh = [
+            s for s in stages if (s["stageId"], s["attemptId"]) not in seen
+        ]
+        seen.update((s["stageId"], s["attemptId"]) for s in fresh)
         return (
-            sum(s["inputBytes"] for s in stages),
-            sum(s["shuffleWriteBytes"] for s in stages),
-            sum(s["diskBytesSpilled"] for s in stages),
+            sum(s["inputBytes"] for s in fresh),
+            sum(s["shuffleWriteBytes"] for s in fresh),
+            sum(s["diskBytesSpilled"] for s in fresh),
         )
 
     # warm session + python workers so fixed startup doesn't pollute row 1
@@ -92,12 +118,11 @@ def main() -> None:
         if name not in reg:
             print(f"# skip unknown query {name}", file=sys.stderr)
             continue
-        before = totals()
+        new_stage_totals()  # absorb anything since the previous query
         t0 = time.monotonic()
         reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
-        after = totals()
-        inp, shw, spill = (a - b for a, b in zip(after, before))
+        inp, shw, spill = new_stage_totals()
         report[name] = {
             "input_mb": round(inp / 1e6, 2),
             "shuffle_write_mb": round(shw / 1e6, 3),
