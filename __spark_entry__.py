@@ -49,6 +49,8 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # round 5: ADVICE fix — sparse (user,type) combos now emit 0 on both
     # engines instead of being NULL-filtered on the Spark side only.
     ("unpivot_event_matrix", 5),
+    # round 5: pairs subtree persisted (was recomputed 5x — 77 MB spill).
+    ("dup_transitivity_audit", 5),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -97,6 +97,13 @@ class Engine:
         if master:
             b = b.master(master)
         defaults = {
+            # local-mode JVM heap: Spark's 1g default is sized for a
+            # driver that only coordinates, but in local[32] the SAME JVM
+            # runs all 32 executor threads — big shuffles hit GC-locker
+            # stalls and premature spill. Ignored when attaching to an
+            # existing session; on a real cluster the resource manager
+            # sets executor memory instead.
+            "spark.driver.memory": "8g",
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -344,10 +344,19 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from the degree aggregate, no joins.",
 )
 def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
-        n=3, threshold=0.5,
-    ).select("doc_a", "doc_b")
+    # The pair list is consumed FIVE times below (degree agg, the three
+    # triangle-join legs, the edge count); un-persisted, the whole
+    # shingle self-join pipeline recomputes per consumer — measured 124 MB
+    # of re-reads and 77 MB of spill at sf0.1 (tools/query_metrics.py).
+    # persist() is lazy, so composing the query stays job-free.
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id",
+            n=3, threshold=0.5,
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
