@@ -389,3 +389,42 @@ def length_bucket_padding(
         _r6(F.lit(1.0) - F.col("token_sum") / padded).alias("pad_frac"),
         _r6(F.lit(1.0) - F.col("token_sum") / padded_g).alias("pad_frac_global"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    splits=DEFAULT_SPLITS,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the split hash is taken over each document's near-dup
+    CLUSTER canonical id, not its own id, so every member of a duplicate
+    cluster lands in the same split. A plain per-doc hash split puts
+    ~(1 - Σ fᵢ²) of duplicate pairs in DIFFERENT splits — eval
+    contamination by construction at any duplication rate.
+
+    ``pairs`` is any near-dup pair set (MinHash-LSH, embedding cosine,
+    CDC — same shape the dedup pipeline produces). Composition:
+    connected components over the pairs (contraction operator, O(log d)
+    rounds), canonical = component id, singletons keep their own id
+    (left join + coalesce — docs with no pair cost nothing extra), then
+    the standard salted-hash split over the canonical. Cost beyond plain
+    assign_split: the components run over |pairs| edges + one broadcast-
+    friendly join of the (duplicates-only) component map.
+    """
+    from node_mongo2influx_spark.operators import dedup
+
+    comp = dedup.components_from_pairs(pairs, a_col=a_col, b_col=b_col)
+    comp = comp.select(
+        F.col("doc_id").alias(id_col), F.col("component_id").alias("__canon")
+    )
+    withc = df.join(comp, id_col, "left").withColumn(
+        "__canon", F.coalesce(F.col("__canon"), F.col(id_col))
+    )
+    return assign_split(
+        withc, id_col="__canon", splits=splits, salt=salt
+    ).drop("__canon")

@@ -813,3 +813,136 @@ def cooccurrence_pmi(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training + application (round 5)
+# ---------------------------------------------------------------------------
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n) distinct-word frequency table — the compressed corpus
+    representation subword-tokenizer training consumes. ONE aggregate
+    pass; at 100 TB this is the only stage that touches the corpus."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge list (classic Sennrich BPE).
+
+    Scale shape: tokenizer training must NEVER iterate over the corpus —
+    one distributed :func:`word_frequencies` aggregate compresses the
+    corpus to its vocab-sized (word, count) table (the same input
+    HF-tokenizers / subword-nmt train on), and the merge loop runs
+    driver-side over that dict. A 100 TB corpus and a 100 GB corpus with
+    the same vocabulary train in the same driver time after the one agg.
+
+    Deterministic: ties on pair count break lexicographically, so the
+    merge list is a pure function of the frequency table. Returns the
+    ordered merges ``[(left, right), ...]``; symbols are strings (chars,
+    then grown subwords; ``end_of_word`` marks word finals so suffixes
+    and prefixes tokenize differently, per the original BPE paper).
+    """
+    rows = word_frequencies(df, text_col).collect()
+    words: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(r["w"]) + ((end_of_word,) if end_of_word else ())
+        words[syms] = words.get(syms, 0) + r["n"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, n in words.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new: dict[tuple[str, ...], int] = {}
+        for syms, n in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + n
+        words = new
+    return merges
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a trained merge list to the corpus: (id, tokens, n_tokens).
+
+    Rank-based greedy encoding (always merge the lowest-rank adjacent
+    pair — the GPT-2 formulation), which reproduces the training-time
+    tokenization exactly. Runs as ``mapInPandas`` with a per-batch word
+    cache: each DISTINCT word in a batch is encoded once, so cost tracks
+    the vocabulary, not the token count. The merge list itself is
+    model-sized and ships inside the serialized kernel — no join, no
+    shuffle; tokenization happens at scan speed. NULL text yields NULL
+    tokens (same omission rule as the other kernels)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def kernel(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(wd: str) -> list[str]:
+            got = cache.get(wd)
+            if got is not None:
+                return got
+            syms = list(wd) + ([end_of_word] if end_of_word else [])
+            while len(syms) > 1:
+                best_i, best_r = -1, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_r is None or r < best_r):
+                        best_i, best_r = i, r
+                if best_r is None:
+                    break
+                syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            cache[wd] = syms
+            return syms
+
+        for pdf in batches:
+            toks = [
+                None
+                if t is None
+                else [s for wd in t.lower().split() for s in enc_word(wd)]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [None if x is None else len(x) for x in toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, tokens array<string>, n_tokens int"
+    )

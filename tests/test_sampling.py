@@ -197,3 +197,52 @@ def test_word_subsample_weights_matches_python(spark, sf_dir):
         keep = min(1.0, (math.sqrt(f / 1e-3) + 1) * (1e-3 / f))
         assert r["p_keep"] == pytest.approx(keep, abs=1e-6)
         assert r["freq"] == pytest.approx(f, abs=1e-6)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from node_mongo2influx_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # 40 near-dup pairs forming chains across arbitrary ids
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(40)] + [(5, 17), (17, 29)],
+        "doc_a long, doc_b long",
+    )
+    out = sampling.leakage_safe_split(docs, pairs)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == 200  # every doc assigned exactly once
+    for a, b in [(i, i + 100) for i in range(40)] + [(5, 17), (17, 29), (5, 29)]:
+        assert split_of[a] == split_of[b], (a, b)
+    # singletons are split by their own id -> identical to plain assign_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(docs).collect()
+    }
+    clustered = {i for i in range(40)} | {i + 100 for i in range(40)} | {5, 17, 29}
+    for i in set(range(200)) - clustered:
+        assert split_of[i] == plain[i]
+    # all three splits are populated at this size
+    assert {v for v in split_of.values()} == {"train", "val", "test"}
+
+
+def test_plain_split_does_leak_but_safe_split_does_not(spark):
+    # The motivating property: a per-doc hash split separates some dup
+    # pairs; the cluster split separates none.
+    from node_mongo2influx_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(300)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 150) for i in range(150)], "doc_a long, doc_b long"
+    )
+    plain = {r["doc_id"]: r["split"] for r in sampling.assign_split(docs).collect()}
+    leaked_plain = sum(1 for i in range(150) if plain[i] != plain[i + 150])
+    assert leaked_plain > 0  # the naive split does leak
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in sampling.leakage_safe_split(docs, pairs).collect()
+    }
+    assert all(safe[i] == safe[i + 150] for i in range(150))

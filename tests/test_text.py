@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.operators import text
 
@@ -191,3 +192,94 @@ def test_bm25_multi_agrees_with_fixed_query_path(spark, sf_dir):
         .collect()
     ]
     assert multi == fixed
+
+
+# ---------------------------------------------------------------------------
+# BPE train / tokenize (round 5)
+# ---------------------------------------------------------------------------
+def _naive_bpe_train(texts, n_merges, eow="</w>"):
+    # reference trainer over the RAW token stream (no freq-table
+    # compression) — proves word_frequencies-based training is lossless
+    stream = [list(w) + [eow] for t in texts for w in t.lower().split()]
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms in stream:
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + 1
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        nxt = []
+        for syms in stream:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append(out)
+        stream = nxt
+    return merges
+
+
+def test_bpe_train_matches_naive_stream_trainer(spark):
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest the the the the",
+        "lowest newest low wide wider the a a a",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = text.bpe_train(df, n_merges=20)
+    assert got == _naive_bpe_train(texts, 20)
+    assert len(got) == 20 and all(isinstance(a, str) and isinstance(b, str) for a, b in got)
+
+
+def test_bpe_tokenize_roundtrip_and_determinism(spark):
+    texts = ["low lower lowest", "the newest widest", None]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = text.bpe_train(df.where(F.col("text").isNotNull()), n_merges=15)
+    out = {r["doc_id"]: r for r in text.bpe_tokenize(df, merges).collect()}
+    # null text -> null tokens, not a crash
+    assert out[2]["tokens"] is None and out[2]["n_tokens"] is None
+    for i, t in enumerate(texts[:2]):
+        toks = out[i]["tokens"]
+        assert out[i]["n_tokens"] == len(toks)
+        # tokens reassemble the lowercased words exactly
+        rebuilt = "".join(toks).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(t.lower().split())
+        # every token is either a learned subword or a single char/eow
+        vocab = {a + b for a, b in merges}
+        for s in toks:
+            assert s in vocab or len(s.replace("</w>", "x")) <= 4
+
+
+def test_bpe_tokenize_agrees_with_training_segmentation(spark):
+    # rank-based greedy encoding must reproduce the segmentation the
+    # trainer ends with: re-encode each training word and compare token
+    # counts against a direct re-train at the same merge count.
+    texts = ["banana bandana ban banana", "an a ana banana band"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = text.bpe_train(df, n_merges=8)
+    # apply merges manually to each distinct word (training replay)
+    def replay(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+    out = {r["doc_id"]: r["tokens"] for r in text.bpe_tokenize(df, merges).collect()}
+    for i, t in enumerate(texts):
+        expect = [s for w in t.lower().split() for s in replay(w)]
+        assert out[i] == expect
