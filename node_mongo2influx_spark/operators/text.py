@@ -946,3 +946,38 @@ def bpe_tokenize(
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} long, tokens array<string>, n_tokens int"
     )
+
+
+def clean_lines_c4(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning as pure Column expressions: keep only
+    lines with >= ``min_words`` words that end in terminal punctuation
+    (period/!/?/quote), drop exact repeated lines within the document
+    (first occurrence wins — ``array_distinct`` preserves order), and
+    rejoin. Returns (id, clean_text, n_lines_in, n_lines_kept) so the
+    drop rate is observable without a second pass.
+
+    This is the TRANSFORM face of the quality suite (quality/gopher
+    flags only score): the standard boilerplate strip before dedup and
+    packing. Zero Python, zero shuffle — line filtering happens inside
+    whole-stage codegen at scan speed, which is the only acceptable cost
+    for a full-corpus rewrite at 100 TB.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+    kept = F.filter(
+        trimmed,
+        lambda l: (F.size(F.split(l, r"\s+")) >= min_words)
+        & l.rlike("[.!?\"']$"),
+    )
+    deduped = F.array_distinct(kept)
+    return df.select(
+        F.col(id_col),
+        F.array_join(deduped, "\n").alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines_in"),
+        F.size(deduped).cast("int").alias("n_lines_kept"),
+    )

@@ -283,3 +283,32 @@ def test_bpe_tokenize_agrees_with_training_segmentation(spark):
     for i, t in enumerate(texts):
         expect = [s for w in t.lower().split() for s in replay(w)]
         assert out[i] == expect
+
+
+def test_clean_lines_c4(spark):
+    doc = "\n".join(
+        [
+            "This is a good sentence.",       # kept
+            "short",                           # dropped: < 3 words
+            "no terminal punctuation here",    # dropped: no punctuation
+            "Another good line stays here!",   # kept
+            "This is a good sentence.",        # dropped: exact repeat
+            "  Padded but still a keeper.  ",  # kept (trimmed)
+            "Is this kept as well?",           # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.clean_lines_c4(df).collect()}
+    r = out[1]
+    assert r["clean_text"].split("\n") == [
+        "This is a good sentence.",
+        "Another good line stays here!",
+        "Padded but still a keeper.",
+        "Is this kept as well?",
+    ]
+    assert (r["n_lines_in"], r["n_lines_kept"]) == (7, 4)
+    # null text passes through as null, not a crash
+    assert out[2]["clean_text"] is None
+    # plan stays JVM-side (no Python eval)
+    plan = text.clean_lines_c4(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
