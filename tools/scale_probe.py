@@ -211,6 +211,13 @@ def main() -> None:
         "modality_agreement_sampled": modality_agreement_sampled,
         "bm25_multi_qcount": bm25_multi_queries,
         "cdc_upsert_delta": cdc_upsert_delta,
+        # round-5 library additions: BPE trains over the word-frequency
+        # aggregate (the only corpus pass — driver merge-loop time is
+        # corpus-size independent); the C4 cleaner is a map-only rewrite.
+        "bpe_word_frequencies": lambda k: text.word_frequencies(
+            uniquified_docs(k)
+        ),
+        "clean_lines_c4": lambda k: text.clean_lines_c4(uniquified_docs(k)),
     }
 
     # warm up session + python workers
