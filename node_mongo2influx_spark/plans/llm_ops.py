@@ -291,6 +291,117 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components_from_pairs(pairs)
 
 
+from node_mongo2influx_spark.operators.sampling import split_oracle_case_duckdb
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges(src, dst) AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY node
+        ),
+        canon AS (
+            SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cn
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id, {split_oracle_case_duckdb("cn")} AS split
+        FROM canon
+    """,
+    description="Leakage-safe train/val/test split: the split hash is "
+    "taken over each document's near-dup CLUSTER canonical id (connected "
+    "components over the exact 3-gram Jaccard pairs), so duplicate "
+    "clusters can never straddle splits — a per-doc hash split puts "
+    "~(1 - sum f_i^2) of duplicate pairs across different splits (eval "
+    "contamination by construction). Singletons fall back to their own "
+    "id, matching plain assign_split exactly. Oracle: recursive-CTE "
+    "components + the portable FNV-1a integer-cutoff split CASE.",
+)
+def leakage_safe_split_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+    return sampling.leakage_safe_split(docs, pairs).select("doc_id", "split")
+
+
+@query(
+    "clean_lines_c4",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        lined AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+                       i -> array_to_string(w[8*i+1:8*i+8], ' ') ||
+                            CASE WHEN i % 3 = 0 THEN '.'
+                                 WHEN i % 3 = 1 THEN '!'
+                                 ELSE '' END) AS lines
+            FROM base
+        ),
+        cleaned AS (
+            SELECT doc_id, len(lines) AS n_in,
+                   list_distinct(list_filter(
+                       list_transform(lines, l -> trim(l)),
+                       l -> len(string_split_regex(l, '\\s+')) >= 3
+                            AND regexp_matches(l, '[.!?"'']$'))) AS kept
+            FROM lined
+        )
+        SELECT doc_id,
+               CAST(n_in AS INT) AS n_lines_in,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               md5(array_to_string(list_sort(kept), chr(10))) AS clean_md5
+        FROM cleaned
+    """,
+    description="C4-style line-level cleaning over a deterministic "
+    "re-lining of the fixture word soup (8-word lines; line i gets '.', "
+    "'!', or no terminal punctuation by i%3 — so exactly the "
+    "unpunctuated third drops): min-words + terminal-punctuation filter, "
+    "in-doc exact-line dedup, drop-rate accounting. Both engines replay "
+    "the same synthesis; kept lines are md5'd in sorted order because "
+    "DuckDB's list_distinct does not preserve occurrence order (the "
+    "operator's own first-occurrence ordering is pinned in pytest). Pure "
+    "Column exprs — the full-corpus rewrite runs in whole-stage codegen.",
+)
+def clean_lines_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_lines = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * 8 + 1, 8), " "),
+            F.when(i % 3 == 0, F.lit("."))
+            .when(i % 3 == 1, F.lit("!"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    relined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = text.clean_lines_c4(relined)
+    kept_sorted = F.array_sort(F.split("clean_text", "\n"))
+    return out.select(
+        "doc_id",
+        "n_lines_in",
+        "n_lines_kept",
+        F.md5(F.array_join(kept_sorted, "\n")).alias("clean_md5"),
+    )
+
+
 @query(
     "dedup_clusters_lsh",
     oracle=None,  # approximate pair source; component logic oracle-checked
