@@ -403,6 +403,32 @@ def clean_lines_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_tokenize_corpus",
+    oracle=None,  # the merge list is trained at compose (driver-side over
+    # the word-frequency aggregate); DuckDB cannot replay the training
+    # loop. The train/apply logic is pinned instead by pytest equivalence
+    # with a raw-stream reference trainer and segmentation replay
+    # (tests/test_text.py), and the tokens round-trip to the input words.
+    description="End-to-end BPE tokenization of the corpus: train 64 "
+    "merges over the ONE-pass word-frequency aggregate (driver merge "
+    "loop is corpus-size independent), then rank-based greedy encoding "
+    "via mapInPandas with a per-batch word cache — cost tracks the "
+    "vocabulary, not the token count; the merge list ships in the "
+    "kernel (no join, no shuffle). Output: per-doc token count + md5 of "
+    "the token stream.",
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=64)
+    out = text.bpe_tokenize(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
+    )
+
+
+@query(
     "dedup_clusters_lsh",
     oracle=None,  # approximate pair source; component logic oracle-checked
     # via dedup_clusters, pair recall via dedup_minhash_lsh tests

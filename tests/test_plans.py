@@ -334,6 +334,7 @@ def test_shuffle_order_no_global_sort(spark, sf_dir, reg):
 _LINT_SKIP = {
     "dedup_clusters", "dedup_clusters_lsh", "dedup_filtered_corpus",
     "leakage_safe_split",  # components (iterative, eager) at compose
+    "bpe_tokenize_corpus",  # BPE training (eager aggregate) at compose
     "knn_cosine_ivf", "knn_cosine_pq", "knn_cosine_ivfpq",
     "embedding_neardup_ivf", "semantic_dedup_ivf",
     "embedding_pca_project",  # eager Gram collect (model-sized) at compose
