@@ -57,16 +57,23 @@ def payload_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _sha_expand(payload: bytes, need: int) -> bytes:
+    """First ``need`` bytes of sha256(payload || counter) counter-mode
+    expansion — the shared deterministic pseudo-decode behind the fake
+    feature and thumbnail kernels (and replayed byte-for-byte by the
+    multimodal_features DuckDB oracle)."""
+    out = b""
+    counter = 0
+    while len(out) < need:
+        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return out[:need]
+
+
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic pseudo-embedding from payload bytes (sha256 expansion)
     — stands in for a real decode+encode so tests exercise real shapes."""
-    out: list[float] = []
-    counter = 0
-    while len(out) < dim:
-        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
-        out.extend(b / 255.0 for b in h)
-        counter += 1
-    return out[:dim]
+    return [b / 255.0 for b in _sha_expand(payload, dim)]
 
 
 def extract_features(
@@ -120,13 +127,7 @@ RESIZE_SCHEMA = (
 def _fake_thumb(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic pseudo-thumbnail (sha256 expansion of the payload) —
     stands in for decode→resize so the Spark-side contract is testable."""
-    need = width * height
-    out = b""
-    counter = 0
-    while len(out) < need:
-        out += hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
-        counter += 1
-    return out[:need]
+    return _sha_expand(payload, width * height)
 
 
 def resize_images(
