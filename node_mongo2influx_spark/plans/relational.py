@@ -2649,9 +2649,14 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
     )
+    # Distribute the STREAMED side by block key: the per-pair Levenshtein
+    # scoring parallelizes over streamed-side partitions, and a
+    # single-split input file would otherwise put every within-block
+    # comparison on one core (n-row shuffle vs blocks x pairs work —
+    # the same lesson as the exact cosine tier's BNLJ repartition).
     a = c.select(
         F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"), "blk"
-    )
+    ).repartition("blk")
     b = c.select(
         F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"), "blk"
     )
