@@ -428,3 +428,80 @@ def leakage_safe_split(
     return assign_split(
         withc, id_col="__canon", splits=splits, salt=salt
     ).drop("__canon")
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    salt: str = "curriculum-v1",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic curriculum training order: easy → hard stages, each
+    stage internally pseudo-random — without a global sort.
+
+    1. stage = score quantile bucket (one n_stages-quantile aggregate =
+       a 1-row cutoff record broadcast back; stage 0 = lowest scores);
+    2. within a stage the order is the salted-hash shuffle, using
+       shuffle_order's bucketed prefix-sum layout generalized to the
+       (stage, bucket) composite — every window is stage×n_buckets-way
+       parallel, the offset table is stage×n_buckets rows (tiny);
+    3. pos = global training position: stages laid out consecutively.
+
+    Returns (id, stage, pos). pos is a contiguous 0..n-1 permutation;
+    equal scores tie-break by the hash (deterministic). Curriculum
+    learning's data side reduces to exactly this layout; swap the score
+    for any difficulty proxy (perplexity, length, quality).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    cuts = df.agg(
+        F.expr(
+            f"percentile({score_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("cuts")
+    )
+    width = HASH_SPACE // n_buckets
+    out = (
+        df.select(F.col(id_col), F.col(score_col).alias("__s"))
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("cuts"),
+                F.lit(0),
+                lambda acc, c: acc + (F.col("__s") > c).cast("int"),
+            ).alias("stage"),
+            split_hash(id_col, salt).alias("h"),
+        )
+        .withColumn("bucket", F.expr(f"h div {width}"))
+    )
+    local = F.row_number().over(
+        Window.partitionBy("stage", "bucket").orderBy("h", id_col)
+    )
+    counts = out.groupBy("stage", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("stage", "bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("stage", "bucket", "off")
+    return (
+        out.withColumn("local", local)
+        .join(offs, ["stage", "bucket"])
+        .select(
+            id_col,
+            "stage",
+            (F.col("off") + F.col("local") - 1).alias("pos"),
+        )
+    )

@@ -246,3 +246,41 @@ def test_plain_split_does_leak_but_safe_split_does_not(spark):
         for r in sampling.leakage_safe_split(docs, pairs).collect()
     }
     assert all(safe[i] == safe[i + 150] for i in range(150))
+
+
+def test_curriculum_order_layout(spark):
+    from node_mongo2influx_spark.operators import sampling
+
+    rows = [(i, float((i * 37) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = sampling.curriculum_order(df, "score", n_stages=4).collect()
+    assert sorted(r["pos"] for r in out) == list(range(400))  # permutation
+    score = dict(rows)
+    by_stage: dict[int, list] = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == {0, 1, 2, 3}
+    # monotone: a strictly lower score can never land in a later stage
+    for r1 in out:
+        for_stage = r1["stage"]
+        assert 0 <= for_stage <= 3
+    stages = {r["doc_id"]: r["stage"] for r in out}
+    import itertools
+
+    sample = list(itertools.islice(((a, b) for a in range(0, 400, 13)
+                                    for b in range(0, 400, 17)), 500))
+    for a, b in sample:
+        if score[a] < score[b]:
+            assert stages[a] <= stages[b]
+    # global positions: every pos in stage i precedes every pos in i+1
+    for i in range(3):
+        assert max(r["pos"] for r in by_stage[i]) < min(
+            r["pos"] for r in by_stage[i + 1]
+        )
+    # deterministic and n_buckets-invariant
+    again = sampling.curriculum_order(df, "score", n_stages=4, n_buckets=16)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        (r["doc_id"], r["stage"], r["pos"]) for r in out
+    )
+    with pytest.raises(ValueError):
+        sampling.curriculum_order(df, "score", n_stages=1)
