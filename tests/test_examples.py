@@ -53,3 +53,32 @@ def test_prepare_training_data_example(spark, sf_dir, tmp_path, capsys):
     assert {"chunk_id", "doc_id", "pos", "bucket", "bin", "split"} <= set(
         got.columns
     )
+
+
+def test_tokenize_and_order_example(spark, sf_dir, tmp_path, capsys):
+    import tokenize_and_order
+
+    old = sys.argv
+    sys.argv = ["tokenize_and_order.py", sf_dir, str(tmp_path / "out3")]
+    try:
+        tokenize_and_order.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "raw=500" in out and "merges=64" in out
+    got = spark.read.parquet(str(tmp_path / "out3"))
+    from pyspark.sql import functions as F
+
+    # every row tokenized; train rows carry a contiguous curriculum pos
+    assert got.where(F.col("n_tokens").isNull()).count() == 0
+    train = got.where(F.col("split") == "train").select("pos").collect()
+    poss = sorted(r["pos"] for r in train)
+    assert poss == list(range(len(poss)))
+    # leakage-safety: recompute pairs on the written corpus and check no
+    # pair straddles splits
+    from node_mongo2influx_spark.operators import dedup
+
+    splits = {r["doc_id"]: r["split"] for r in got.collect()}
+    docs = got.select("doc_id", F.concat_ws(" ", "tokens").alias("text"))
+    for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect():
+        assert splits[r["doc_a"]] == splits[r["doc_b"]]
