@@ -981,3 +981,66 @@ def clean_lines_c4(
         F.size(lines).cast("int").alias("n_lines_in"),
         F.size(deduped).cast("int").alias("n_lines_kept"),
     )
+
+
+def bpe_replace_chain(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+    guard: str = "§",
+) -> DataFrame:
+    """Fixed-merge-table BPE tokenization as a pure Column replace chain:
+    (id, n_tokens, tokens_md5) with ZERO Python and zero shuffle.
+
+    The document is rendered as a guarded symbol string — every symbol
+    flanked by a doubled ``guard`` character (``§§a§§b§§</w>§§``) — and
+    each merge ``(a, b)`` becomes one ``replace('§a§§b§' -> '§ab§')``:
+    the pattern consumes one guard from each side, so adjacent matches
+    never share characters and left-to-right replace-all reproduces the
+    non-overlapping merge semantics exactly. For a creation-ordered merge
+    list (every operand produced by a strictly earlier merge — what
+    :func:`bpe_train` emits) this sequential chain is provably equivalent
+    to the rank-greedy encoder in :func:`bpe_tokenize`, and
+    tests/test_text.py pins that equivalence corpus-wide.
+
+    Scale shape: this is the deployment face of a FIXED tokenizer — the
+    merge table is baked into the plan as string literals, so a 100 TB
+    corpus tokenizes inside whole-stage codegen at scan speed with no
+    join, no broadcast, no Python worker. Word boundaries cannot leak:
+    only word-final symbols contain ``end_of_word``, and no trained merge
+    has such a symbol on its LEFT side, so no pattern can span two words.
+    Output stays narrow (count + md5 of the space-joined token stream);
+    the full token array face is :func:`bpe_tokenize`.
+    """
+    g2 = guard * 2
+    words = F.filter(
+        F.split(
+            F.replace(F.lower(F.col(text_col)), F.lit(guard), F.lit("")),
+            r"\s+",
+        ),
+        lambda w: w != "",
+    )
+    rendered = F.transform(
+        words,
+        lambda w: F.concat(
+            F.array_join(F.split(w, ""), g2), F.lit(g2 + end_of_word)
+        ),
+    )
+    s = F.when(F.size(rendered) == 0, F.lit(g2)).otherwise(
+        F.concat(F.lit(g2), F.array_join(rendered, g2), F.lit(g2))
+    )
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{guard}{a}{g2}{b}{guard}"),
+            F.lit(f"{guard}{a}{b}{guard}"),
+        )
+    n_guard = F.length(s) - F.length(F.replace(s, F.lit(guard), F.lit("")))
+    canon = F.trim(F.replace(s, F.lit(g2), F.lit(" ")))
+    return df.select(
+        F.col(id_col),
+        (n_guard / 2 - 1).cast("int").alias("n_tokens"),
+        F.md5(canon).alias("tokens_md5"),
+    )

@@ -3777,3 +3777,182 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-merge BPE tokenization, curriculum order, sampled embedding
+# calibration (round 5)
+# ---------------------------------------------------------------------------
+#: Fixed BPE merge table for the oracle-checked tokenizer face. Trained
+#: once, reproducibly, by ``text.bpe_train(documents, n_merges=40)`` over
+#: the sf0.01 fixture (deterministic: tie-break is lexicographic), then
+#: frozen as a literal — exactly how a production tokenizer ships (the
+#: merge table is an artifact, not recomputed per run). Creation-ordered
+#: by construction, which is what makes the replace-chain encoding
+#: equivalent to rank-greedy (see operators/text.py:bpe_replace_chain).
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    chain = "s0"
+    for a, b in _BPE_FIXED_MERGES:
+        chain = f"replace({chain}, '§{a}§§{b}§', '§{a}{b}§')"
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(replace(lower(text), '§', ''),
+                                          '\\s+'),
+                       x -> x != '') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) = 0 THEN '§§'
+                        ELSE '§§' || array_to_string(
+                                 list_transform(words,
+                                     x -> array_to_string(
+                                              string_split(x, ''), '§§')
+                                          || '§§</w>'),
+                                 '§§') || '§§'
+                   END AS s0
+            FROM w
+        ),
+        m AS (SELECT doc_id, {chain} AS s FROM g)
+        SELECT doc_id,
+               CAST((length(s) - length(replace(s, '§', ''))) // 2 - 1
+                    AS INT) AS n_tokens,
+               md5(trim(replace(s, '§§', ' '))) AS tokens_md5
+        FROM m
+    """
+
+
+@query(
+    "bpe_tokenize_fixed",
+    oracle=_bpe_fixed_oracle(),
+    description="BPE tokenization with a FROZEN merge table as a pure "
+    "Column replace chain — the deployment face of a shipped tokenizer. "
+    "Each merge is one replace() over a guard-flanked symbol string, so "
+    "the whole tokenizer runs inside whole-stage codegen at scan speed: "
+    "no join, no broadcast, no Python worker, zero shuffle. Equivalence "
+    "with the rank-greedy mapInPandas encoder (bpe_tokenize) is pinned "
+    "corpus-wide in tests/test_text.py; here the SAME chain is the "
+    "DuckDB oracle, so tokenization is bit-for-bit cross-engine.",
+)
+def bpe_tokenize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_replace_chain(
+        load(spark, sf_dir, "documents"),
+        merges=_BPE_FIXED_MERGES,
+        text_col="text",
+        id_col="doc_id",
+    )
+
+
+def _curriculum_oracle() -> str:
+    h = _ph.fnv1a32_duckdb_sql(
+        "concat(CAST(doc_id AS VARCHAR), ':curriculum-v1')"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS s
+            FROM documents
+        ),
+        cuts AS (
+            SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS c FROM d
+        ),
+        st AS (
+            SELECT doc_id,
+                   len(list_filter((SELECT c FROM cuts), q -> s > q))
+                       AS stage,
+                   {h} AS h
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(stage AS INT) AS stage,
+               CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM st
+    """
+
+
+@query(
+    "curriculum_training_order",
+    oracle=_curriculum_oracle(),
+    description="Curriculum training order over a length-difficulty "
+    "proxy: 4 score-quantile stages (easy first), each stage internally "
+    "hash-shuffled, pos = contiguous global position — WITHOUT a global "
+    "sort. Stage cutoffs are one 1-row exact-percentile aggregate "
+    "broadcast back; in-stage order reuses the bucketed prefix-sum "
+    "layout ((stage, bucket) windows, stage×64-way parallel; the offset "
+    "table is stage×64 rows). The oracle's row_number() OVER (ORDER BY "
+    "stage, hash) is the single-threaded semantic spec that the layout "
+    "avoids. Exact integer scores + binary-fraction quantiles make the "
+    "interpolated cutoffs bit-identical across engines.",
+)
+def curriculum_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("__nw")
+    )
+    return sampling.curriculum_order(
+        docs, score_col="__nw", id_col="doc_id", n_stages=4,
+        salt="curriculum-v1", n_buckets=64,
+    )
+
+
+#: Hash-sample rate for the sampled embedding-calibration tier (same
+#: reasoning as _MODALITY_SAMPLE_RATE: both endpoints survive with
+#: prob r², so the surviving pair set is an unbiased sample of the
+#: exact all-pairs result — the only calibration shape runnable at
+#: 100 TB, where the unsampled cross product does not exist).
+_NEARDUP_SAMPLE_RATE = 0.5
+_NEARDUP_CUT = _ph.cutoff32(_NEARDUP_SAMPLE_RATE)
+
+
+@query(
+    "embedding_neardup_sampled",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+            WHERE {_ph.fnv1a32_duckdb_sql("CAST(vec_id AS VARCHAR)")}
+                  < {_NEARDUP_CUT}
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+    """,
+    description="Sampled exact-cosine calibration tier: the scale path "
+    "of embedding_neardup_pairs. Both sides of the all-pairs join are "
+    "restricted to the SAME portable FNV-1a hash cut of the id space "
+    f"(rate {_NEARDUP_SAMPLE_RATE}), turning the O(n²) yardstick into "
+    "O((rn)²) while the surviving pairs remain an unbiased sample of "
+    "the full pair set (endpoint survival is independent of similarity). "
+    "The oracle replays the identical integer-cutoff hash cut. Together "
+    "with dedup_modality_agreement_sampled this closes the class: every "
+    "exact quadratic calibration tier now has a rate-tunable sampled "
+    "variant runnable at any corpus size.",
+)
+def embedding_neardup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.expr(_ph.fnv1a32_spark_sql("cast(vec_id as string)"))
+        < F.lit(_NEARDUP_CUT)
+    )
+    return similarity.cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )

@@ -370,6 +370,8 @@ _SCALAR_CROSSJOIN_OK = {
     "dedup_modality_agreement_sampled",  # same tiers over the rate^2 hash sample
     "dup_transitivity_audit",  # three 1-row aggregates (edges, wedges, triangles)
     "join_key_skew_report",   # two 1-row aggregates (key stats × top-10 sum)
+    "curriculum_training_order",  # 1-row quantile-cutoff record × docs
+    "embedding_neardup_sampled",  # exact tier over the rate^2 hash sample
 }
 
 #: Queries whose Python-eval node is the deliverable itself.

@@ -312,3 +312,55 @@ def test_clean_lines_c4(spark):
     # plan stays JVM-side (no Python eval)
     plan = text.clean_lines_c4(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_replace_chain_matches_greedy_encoder(spark, sf_dir):
+    # The replace-chain (fixed-merge, pure-Column) tokenizer must agree
+    # with the rank-greedy mapInPandas encoder corpus-wide: same token
+    # count and same md5 of the space-joined token stream for every doc.
+    # This is the equivalence the bpe_tokenize_fixed oracle leans on.
+    from node_mongo2influx_spark.plans.llm_ops import _BPE_FIXED_MERGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chain = {
+        r["doc_id"]: r
+        for r in text.bpe_replace_chain(
+            docs, merges=_BPE_FIXED_MERGES
+        ).collect()
+    }
+    greedy = (
+        text.bpe_tokenize(docs, merges=_BPE_FIXED_MERGES)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
+        )
+        .collect()
+    )
+    assert len(chain) == len(greedy) > 0
+    for r in greedy:
+        c = chain[r["doc_id"]]
+        assert c["n_tokens"] == r["n_tokens"], r["doc_id"]
+        assert c["tokens_md5"] == r["tokens_md5"], r["doc_id"]
+
+
+def test_bpe_replace_chain_edge_inputs(spark):
+    # Guard chars in text are stripped pre-render (cannot forge symbol
+    # boundaries); empty/whitespace-only text tokenizes to zero tokens.
+    from node_mongo2influx_spark.plans.llm_ops import _BPE_FIXED_MERGES
+
+    df = spark.createDataFrame(
+        [(0, "low§er lower"), (1, ""), (2, "   "), (3, "er er er")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.bpe_replace_chain(
+            df, merges=_BPE_FIXED_MERGES
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    # '§' stripped: 'low§er' tokenizes as 'lower'
+    assert out[0]["n_tokens"] > 0
+    # 'er' + '</w>' is merge ('er','</w>') -> one token per word
+    assert out[3]["n_tokens"] == 3
