@@ -35,22 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Queries whose IMPLEMENTATION or oracle changed after their most recent
 #: driver-green row — the per-round maintenance hook the automatic
-#: ordering below cannot infer. Each entry is ``(name, round_changed)``:
-#: add ``(name, CURRENT_ROUND)`` when editing an already-green query; the
-#: entry self-expires once a green driver row lands in a round >=
-#: ``round_changed`` (no manual pruning).
+#: ordering below cannot infer. Each entry is ``(name, round_changed)``
+#: where ``round_changed`` is the round of the NEXT driver run (a change
+#: made mid-round-N is only witnessed by round N's END-of-round snapshot,
+#: so an entry numbered with an already-recorded round would expire
+#: against a green row that PRECEDED the change); the entry self-expires
+#: once a green driver row lands in a round >= ``round_changed``.
 _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
-    # round-4 session 3: the components rewrite touches every clusters
-    # query; the cosine_pairs repartition touches the exact embedding tier.
-    ("dedup_clusters", 4),
-    ("dedup_clusters_lsh", 4),
-    ("dedup_filtered_corpus", 4),
-    ("embedding_neardup_pairs", 4),
+    # round-4 session 3 (witness lands in the r5 snapshot): the
+    # components rewrite touches every clusters query; the cosine_pairs
+    # repartition touches the exact embedding tier.
+    ("dedup_clusters", 5),
+    ("dedup_clusters_lsh", 5),
+    ("dedup_filtered_corpus", 5),
+    ("embedding_neardup_pairs", 5),
     # round 5: ADVICE fix — sparse (user,type) combos now emit 0 on both
     # engines instead of being NULL-filtered on the Spark side only.
     ("unpivot_event_matrix", 5),
     # round 5: pairs subtree persisted (was recomputed 5x — 77 MB spill).
     ("dup_transitivity_audit", 5),
+    # round 5: minhash kernel + IVF/LSH candidate tiers gained
+    # conditional kernel-width spreading and the blocked cell self-join
+    # (values identical — re-verified vs oracle — but the code changed).
+    ("dedup_minhash_lsh", 5),
+    ("semantic_dedup_ivf", 5),
+    ("embedding_neardup_ivf", 5),
+    ("embedding_neardup_lsh", 5),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

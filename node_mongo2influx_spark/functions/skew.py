@@ -78,3 +78,22 @@ def salted_sum(
         .agg(F.sum(value_col).alias("__partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("__partial").alias(sum_col))
+
+
+def ensure_min_partitions(df, target: int):
+    """Round-robin repartition ``df`` to ``target`` partitions — but ONLY
+    if it currently has fewer than ``max(2, target // 2)``.
+
+    For an Arrow kernel (``mapInPandas``) the input partitioning IS the
+    parallelism: a small table arriving as one parquet split runs the
+    whole kernel in a single Python worker, while at real scale the scan
+    already has hundreds of splits and an unconditional repartition would
+    insert a pointless full-corpus shuffle in front of a map-only stage.
+    The gate keeps both regimes honest: narrow sources get spread, wide
+    sources pass through untouched. ``getNumPartitions`` inspects the
+    physical RDD lineage without running a job, so composition stays
+    lazy/job-free (gated in tests/test_similarity.py).
+    """
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df

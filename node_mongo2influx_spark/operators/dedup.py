@@ -264,7 +264,16 @@ def minhash_signatures(
                 }
             )
 
-    return hashed.mapInPandas(kernel, schema=f"{id_col} long, sig array<long>")
+    # Narrow sources (one parquet split) would run the signature kernel
+    # in a single Python worker; wide scans pass through shuffle-free.
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
+
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
+    )
+    return ensure_min_partitions(hashed, n_shuffle).mapInPandas(
+        kernel, schema=f"{id_col} long, sig array<long>"
+    )
 
 
 def minhash_lsh_pairs(
