@@ -54,11 +54,17 @@ def main() -> None:
     )
     relined = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
     cleaned = text.clean_lines_c4(relined).where(F.col("n_lines_kept") > 0)
-    corpus = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    # corpus feeds the pair generator, the split, and the summary count.
+    corpus = cleaned.select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).persist()
 
-    # 2. near-dup pairs -> leakage-safe split
+    # 2. near-dup pairs -> leakage-safe split. split_df feeds THREE
+    # consumers below (trainer collect, tokenizer, split join) — persist
+    # so the LSH pair generation + component contraction run once, not
+    # per consumer (the multi-consumer recompute class CLAUDE.md flags).
     pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
-    split_df = sampling.leakage_safe_split(corpus, pairs)
+    split_df = sampling.leakage_safe_split(corpus, pairs).persist()
 
     # 3. BPE: train on the train split ONLY, apply everywhere
     train_corpus = split_df.where(F.col("split") == "train")

@@ -82,18 +82,30 @@ def salted_sum(
 
 def ensure_min_partitions(df, target: int):
     """Round-robin repartition ``df`` to ``target`` partitions — but ONLY
-    if it currently has fewer than ``max(2, target // 2)``.
+    if it is a narrow (few-split) scan-shaped frame.
 
     For an Arrow kernel (``mapInPandas``) the input partitioning IS the
     parallelism: a small table arriving as one parquet split runs the
     whole kernel in a single Python worker, while at real scale the scan
     already has hundreds of splits and an unconditional repartition would
     insert a pointless full-corpus shuffle in front of a map-only stage.
-    The gate keeps both regimes honest: narrow sources get spread, wide
-    sources pass through untouched. ``getNumPartitions`` inspects the
-    physical RDD lineage without running a job, so composition stays
-    lazy/job-free (gated in tests/test_similarity.py).
+
+    Job-freedom caveat: ``df.rdd.getNumPartitions()`` is only free on
+    shuffle-free plans — under AQE, converting a frame WITH an Exchange
+    in its lineage to an RDD materializes the upstream query stages
+    (real jobs, the caller's pipeline executed twice). So frames whose
+    physical plan already contains an Exchange are returned untouched
+    WITHOUT probing: their width is already the configured shuffle
+    width, which is exactly ``target``. Only exchange-free (scan/project)
+    plans are probed, where ``getNumPartitions`` runs no job.
+    Composition staying job-free is gated in tests/test_similarity.py.
     """
+    jvm = df.sparkSession._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df

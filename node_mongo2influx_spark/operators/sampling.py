@@ -449,7 +449,9 @@ def curriculum_order(
        parallel, the offset table is stage×n_buckets rows (tiny);
     3. pos = global training position: stages laid out consecutively.
 
-    Returns (id, stage, pos). pos is a contiguous 0..n-1 permutation;
+    Returns (id, stage, pos); rows with a NULL score are omitted (a
+    difficulty proxy that is undefined for a document cannot place it in
+    the curriculum). pos is a contiguous 0..n-1 permutation;
     equal scores tie-break by the hash (deterministic). Curriculum
     learning's data side reduces to exactly this layout; swap the score
     for any difficulty proxy (perplexity, length, quality).
@@ -461,6 +463,11 @@ def curriculum_order(
     if n_stages < 2:
         raise ValueError(f"n_stages must be >= 2, got {n_stages}")
     qs = [i / n_stages for i in range(1, n_stages)]
+    # NULL scores are OMITTED (same rule as null text in the kernels): a
+    # NULL-score row would get a NULL stage, silently vanish in the
+    # offset join AFTER being counted into the offsets — breaking the
+    # contiguous 0..n-1 pos contract for every surviving row.
+    df = df.where(F.col(score_col).isNotNull())
     cuts = df.agg(
         F.expr(
             f"percentile({score_col}, array({', '.join(str(q) for q in qs)}))"
@@ -480,6 +487,11 @@ def curriculum_order(
             split_hash(id_col, salt).alias("h"),
         )
         .withColumn("bucket", F.expr(f"h div {width}"))
+        # consumed twice (count table + windowed join) downstream of the
+        # corpus scan ⊗ percentile aggregate — persist so the expensive
+        # subtree runs once per action, not twice (the narrow projection
+        # is 3 longs + an int per row).
+        .persist()
     )
     local = F.row_number().over(
         Window.partitionBy("stage", "bucket").orderBy("h", id_col)

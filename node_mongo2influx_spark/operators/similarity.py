@@ -938,6 +938,13 @@ def knn_cosine_pq(
         .collect()
     )
     qrows = [r for r in qrows if r["qv"] is not None]
+    if not qrows:
+        # Every query vector NULL (or no queries): no neighbors by
+        # definition — an empty result, not an AxisError from
+        # np.linalg.norm over a (0,)-shaped array.
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
@@ -1199,6 +1206,12 @@ def _ivfpq_candidates(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()
     qrows = [r for r in qrows if r["qv"] is not None]
+    if not qrows:
+        # All-NULL / empty query set — empty candidate frame (same guard
+        # as knn_cosine_pq; np.linalg.norm would AxisError on (0,)).
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long"
+        )
     qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)

@@ -907,7 +907,16 @@ def bpe_tokenize(
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def kernel(batches):
+        import re
+
         import pandas as pd
+
+        # ASCII-\s split to match the JVM side EXACTLY: word_frequencies
+        # (training) and bpe_replace_chain (the fixed-table face) split
+        # on Java regex \s+, which is ASCII-only — Python's str.split()
+        # also breaks on Unicode whitespace (U+00A0 etc.), which would
+        # make the encoder see words the trainer never counted.
+        ws = re.compile(r"\s+", re.ASCII)
 
         cache: dict[str, list[str]] = {}
 
@@ -932,7 +941,12 @@ def bpe_tokenize(
             toks = [
                 None
                 if t is None
-                else [s for wd in t.lower().split() for s in enc_word(wd)]
+                else [
+                    s
+                    for wd in ws.split(t.lower())
+                    if wd
+                    for s in enc_word(wd)
+                ]
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame(

@@ -3867,6 +3867,7 @@ def _curriculum_oracle() -> str:
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS DOUBLE) AS s
             FROM documents
+            WHERE text IS NOT NULL
         ),
         cuts AS (
             SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS c FROM d

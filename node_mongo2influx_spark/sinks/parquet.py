@@ -124,7 +124,17 @@ class ParquetSink(Sink):
         # dynamic-overwrite the touched partitions with delta rows only,
         # silently dropping every non-delta key in them. Only a genuinely
         # absent store may take the delta-only path; real errors propagate.
-        existing = df_reader(target) if (self.path / series).exists() else None
+        # "Exists" means HAS DATA FILES: a directory holding only
+        # _SUCCESS / metadata (an empty prior write, or a crashed one)
+        # is unreadable (UNABLE_TO_INFER_SCHEMA) and would otherwise
+        # wedge every future upsert — an empty store IS an absent store.
+        store_dir = self.path / series
+        has_data = store_dir.exists() and any(
+            f.suffix == ".parquet" or f.name.startswith("part-")
+            for f in store_dir.rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+        existing = df_reader(target) if has_data else None
         if existing is not None:
             import functools
 

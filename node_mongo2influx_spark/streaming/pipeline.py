@@ -429,6 +429,24 @@ def cdc_apply_stream(
             # non-key column picks the same row however the batch was
             # partitioned.
             non_key = [c for c in batch_df.columns if c not in keys]
+            # struct-max needs ORDERABLE types; a map column would fail
+            # analysis inside foreachBatch and kill the stream on its
+            # first batch. Fail at once with an actionable message
+            # instead (an __seq column sidesteps the whole reduction).
+            from pyspark.sql.types import MapType
+
+            unorderable = [
+                f.name
+                for f in batch_df.schema.fields
+                if f.name in non_key and isinstance(f.dataType, MapType)
+            ]
+            if unorderable:
+                raise ValueError(
+                    "cdc_apply_stream: deterministic struct-max fallback "
+                    f"cannot order map columns {unorderable}; add a "
+                    "monotonic __seq column to the feed (or drop/serialize "
+                    "the map columns)"
+                )
             if non_key:
                 last = (
                     batch_df.groupBy(*keys)

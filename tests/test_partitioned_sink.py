@@ -491,3 +491,33 @@ def test_upsert_read_failure_propagates_instead_of_dropping_keys(spark, tmp_path
         for r in spark.read.parquet(str(tmp_path / "t")).collect()
     }
     assert got == {1: 1.0, 2: 2.0}
+
+
+def test_upsert_self_heals_fileless_store_dir(spark, tmp_path):
+    # A store directory containing no data files (empty prior write, or
+    # a crashed one) must be treated as ABSENT — not "existing but
+    # unreadable", which would wedge every subsequent upsert with
+    # UNABLE_TO_INFER_SCHEMA forever.
+    sink = ParquetSink(str(tmp_path), partition_by=("day",), dynamic_overwrite=True)
+    store = tmp_path / "t"
+    store.mkdir()
+    (store / "_SUCCESS").touch()  # metadata only, no part files
+    delta = spark.createDataFrame(
+        [(1, 9.0, "2024-01-01")], "event_id long, value double, day string"
+    )
+    n = sink.upsert(lambda p: spark.read.parquet(p), delta, "t", keys=("event_id",))
+    assert n == 1
+    got = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(str(store)).collect()
+    }
+    assert got == {(1, 9.0, "2024-01-01")}
+    # and a second upsert over the now-real store merges normally
+    delta2 = spark.createDataFrame(
+        [(2, 5.0, "2024-01-01")], "event_id long, value double, day string"
+    )
+    assert sink.upsert(
+        lambda p: spark.read.parquet(p), delta2, "t", keys=("event_id",)
+    ) == 1
+    got = {r["event_id"] for r in spark.read.parquet(str(store)).collect()}
+    assert got == {1, 2}

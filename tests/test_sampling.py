@@ -284,3 +284,18 @@ def test_curriculum_order_layout(spark):
     )
     with pytest.raises(ValueError):
         sampling.curriculum_order(df, "score", n_stages=1)
+
+
+def test_curriculum_order_omits_null_scores_keeps_pos_contiguous(spark):
+    # NULL-score docs are omitted, and the omission must NOT leave holes
+    # in pos: a NULL stage silently dropped by the offset join AFTER
+    # being counted into the offsets would start pos at k, not 0.
+    from node_mongo2influx_spark.operators import sampling
+
+    rows = [(i, float(i % 50) if i % 7 else None) for i in range(140)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = sampling.curriculum_order(df, "score", n_stages=4).collect()
+    kept = [i for i, s in rows if s is not None]
+    assert len(out) == len(kept)
+    assert sorted(r["pos"] for r in out) == list(range(len(kept)))
+    assert {r["doc_id"] for r in out} == set(kept)

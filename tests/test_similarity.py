@@ -499,3 +499,29 @@ def test_ivfpq_index_incremental_append(spark, emb, tmp_path):
         gs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(es[q] & gs.get(q, set())) / 10 for q in es]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_paths_handle_all_null_query_sets(spark):
+    # Every query vector NULL (or an empty query frame) must yield an
+    # EMPTY result, not an AxisError from np.linalg.norm over a
+    # (0,)-shaped array on the driver.
+    corpus = spark.createDataFrame(
+        [(i, [float((i * j) % 7) for j in range(16)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    null_q = spark.createDataFrame(
+        [(100, None), (101, None)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.knn_cosine_pq(
+        corpus, null_q, id_col="vec_id", vec_col="embedding",
+        k=3, m=4, n_codes=8, dim=16,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine",
+    ]
+    out2 = similarity.knn_cosine_ivfpq(
+        corpus, null_q, id_col="vec_id", vec_col="embedding",
+        k=3, m=4, n_codes=8, dim=16, n_cells=4,
+    )
+    assert out2.count() == 0

@@ -736,3 +736,30 @@ def test_cdc_apply_stream_without_seq_reduces_deterministically(spark, tmp_path)
         for r in spark.read.parquet(store + "/t").collect()
     }
     assert got == {12: 999.0, 13: 7.0}
+
+
+def test_cdc_apply_stream_without_seq_rejects_map_columns(spark, tmp_path):
+    # The deterministic struct-max fallback cannot order MAP columns; the
+    # stream must fail its first batch with an actionable message (add a
+    # __seq column), not an opaque AnalysisException mid-foreachBatch.
+    import os
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, {"a": "b"}, "2024-01-01")],
+        "event_id long, props map<string,string>, day string",
+    ).coalesce(1).write.parquet(src)
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+    q = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema),
+        sink, "t", keys=("event_id",), checkpoint_dir=str(tmp_path / "ck"),
+    )
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="__seq"):
+        q.awaitTermination(120)

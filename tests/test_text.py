@@ -364,3 +364,32 @@ def test_bpe_replace_chain_edge_inputs(spark):
     assert out[0]["n_tokens"] > 0
     # 'er' + '</w>' is merge ('er','</w>') -> one token per word
     assert out[3]["n_tokens"] == 3
+
+
+def test_bpe_tokenize_ascii_whitespace_matches_jvm_split(spark):
+    # Unicode whitespace (U+00A0 — ubiquitous in scraped web text) must
+    # NOT split words in bpe_tokenize: training (word_frequencies) and
+    # the fixed-table face (bpe_replace_chain) split on Java \s+, which
+    # is ASCII-only, and the three surfaces must agree on what a word is.
+    from node_mongo2influx_spark.plans.llm_ops import _BPE_FIXED_MERGES
+
+    df = spark.createDataFrame(
+        [(0, "low\u00a0er lower"), (1, "er er er")],
+        "doc_id long, text string",
+    )
+    chain = {
+        r["doc_id"]: r
+        for r in text.bpe_replace_chain(df, merges=_BPE_FIXED_MERGES).collect()
+    }
+    greedy = (
+        text.bpe_tokenize(df, merges=_BPE_FIXED_MERGES)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
+        )
+        .collect()
+    )
+    for r in greedy:
+        assert chain[r["doc_id"]]["n_tokens"] == r["n_tokens"], r["doc_id"]
+        assert chain[r["doc_id"]]["tokens_md5"] == r["tokens_md5"], r["doc_id"]

@@ -35,6 +35,7 @@ def main() -> None:
     from node_mongo2influx_spark.engine import Engine
     from node_mongo2influx_spark.functions import phash
     from node_mongo2influx_spark.operators import dedup, sampling, similarity, text
+    from node_mongo2influx_spark.plans.llm_ops import _BPE_FIXED_MERGES
     from node_mongo2influx_spark.sinks import ParquetSink
     from node_mongo2influx_spark.sources.parquet_compat import read_parquet
 
@@ -218,6 +219,31 @@ def main() -> None:
             uniquified_docs(k)
         ),
         "clean_lines_c4": lambda k: text.clean_lines_c4(uniquified_docs(k)),
+        # round-5 second wave: the blocked within-cell IVF self-join.
+        # n_cells scales with the corpus (constant expected cell
+        # population) — the documented IVF posture; a FIXED cell count
+        # under k x data grows within-cell pairs k^2-fold by
+        # construction, which would probe the configuration, not the
+        # operator.
+        "cosine_pairs_ivf_blocked": lambda k: similarity.cosine_pairs_ivf(
+            uniquified_embeddings(k),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.4,
+            n_cells=16 * k,
+            n_assign=3,
+            dim=64,
+        ),
+        # fixed-merge tokenizer: map-only full-corpus rewrite.
+        "bpe_replace_chain": lambda k: text.bpe_replace_chain(
+            uniquified_docs(k), merges=_BPE_FIXED_MERGES
+        ),
+        "curriculum_order": lambda k: sampling.curriculum_order(
+            uniquified_docs(k).select(
+                "doc_id", F.size(F.split("text", " ")).alias("s")
+            ),
+            score_col="s",
+        ),
     }
 
     # warm up session + python workers

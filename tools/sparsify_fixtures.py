@@ -15,9 +15,12 @@ Usage:
     PYTHONPATH=/root/repo python tools/check_oracle.py <dst_dir>
 
 Rates are primes/denominators chosen so no two related tables keep the
-same subset; DuckDB hash() is stable within a run of this script (the
-dirs it writes are what both engines then read, so cross-engine hash
-stability is NOT required).
+same subset. The cut is a plain key-modulo (``(key % mod) IN (...)``),
+not a hash: subsets of sequential ids are therefore PERIODIC, which is
+fine for the missing-combination coverage this tool exists to create
+(what matters is that related tables keep different, partially
+overlapping subsets — the differing moduli guarantee that), and the cut
+is trivially reproducible on both engines.
 """
 
 from __future__ import annotations
