@@ -360,6 +360,7 @@ def components_from_pairs(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    driver_finish_edges: int = 1 << 16,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, component_id),
     component_id = the smallest doc id in the component.
@@ -388,6 +389,18 @@ def components_from_pairs(
     by a bulk kernel + mapping-table doubling instead of O(log d)
     edge-join rounds: total cost is ~2× one pass over the edges, vs. a
     fixed 3-join + action round PER pointer-jumping iteration.
+
+    **Driver endgame**: once the residual shrinks to at most
+    ``driver_finish_edges`` edges (a bounded ≤ 1 MB collect at the
+    default 2^16 — the same driver-holds-model budget as a centroid
+    matrix), the remaining graph is resolved by ONE in-driver union-find
+    instead of further distributed rounds. Contraction shrinks the
+    residual geometrically, so at ANY corpus size the last rounds are
+    tiny — the endgame removes their fixed per-round job overhead
+    (measured: the sf0.1 dedup pipelines skip every distributed round
+    but the implicit round-0 union-find... the candidate pair sets fit
+    the bound outright). Set ``driver_finish_edges=0`` to force the
+    all-distributed path (the property tests exercise both).
 
     Raises RuntimeError if the budget is exhausted before the residual
     empties (silent mis-clustering is worse than failing). The returned
@@ -434,7 +447,9 @@ def components_from_pairs(
             )
             .select(F.col("__na").alias(a_col), F.col("__nb").alias(b_col))
         )
-        comp = components_from_pairs(enc, a_col, b_col, max_iterations)
+        comp = components_from_pairs(
+            enc, a_col, b_col, max_iterations, driver_finish_edges
+        )
         return (
             comp.join(
                 dic.select(F.col("nid").alias("doc_id"), F.col("orig").alias("__d")),
@@ -451,19 +466,9 @@ def components_from_pairs(
             )
         )
 
-    def uf_kernel(batches):
-        import pandas as pd
-
-        srcs: list[np.ndarray] = []
-        dsts: list[np.ndarray] = []
-        for pdf in batches:
-            if len(pdf):
-                srcs.append(pdf["src"].to_numpy(dtype=np.int64))
-                dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
-        if not srcs:
-            return
-        a = np.concatenate(srcs)
-        b = np.concatenate(dsts)
+    def _uf_labels(a: np.ndarray, b: np.ndarray):
+        """Array-backed union-find over one edge list: (ids, labels),
+        labels fully closed, each label the component's minimum id."""
         ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
         ia, ib = inv[: len(a)], inv[len(a) :]
         parent = np.arange(len(ids), dtype=np.int64)
@@ -484,19 +489,38 @@ def components_from_pairs(
                 else:
                     parent[rx] = ry
         roots = np.asarray([find(i) for i in range(len(ids))], dtype=np.int64)
-        yield pd.DataFrame({"node": ids, "label": ids[roots]})
+        return ids, ids[roots]
+
+    def uf_kernel(batches):
+        import pandas as pd
+
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf):
+                srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+                dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        if not srcs:
+            return
+        ids, labels = _uf_labels(np.concatenate(srcs), np.concatenate(dsts))
+        yield pd.DataFrame({"node": ids, "label": labels})
 
     from pyspark.sql import Observation
 
+    robs0 = Observation()
     residual = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         # consumed twice per round (contraction kernel + relabel join);
         # checkpointing truncates the candidate-pipeline lineage so it
-        # never replays, and blocks free on GC of the reference
+        # never replays, and blocks free on GC of the reference. The edge
+        # count rides the same job as an observe metric (free) to arm
+        # the driver-endgame check below.
+        .observe(robs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_res = int(robs0.get["n"] or 0)
     def close_mapping(d: DataFrame, budget: int = 30) -> DataFrame:
         # Pointer doubling to fixpoint: label ← label-of-label while any
         # label is itself a mapped node with a smaller label. Labels
@@ -536,6 +560,42 @@ def components_from_pairs(
     mapping = None  # node -> current best (in-component) label
     converged = False
     for _ in range(max_iterations):
+        if 0 < n_res <= driver_finish_edges:
+            # Driver endgame: the residual is BOUNDED-small (≤ 16 bytes ×
+            # driver_finish_edges — the same driver-holds-model budget as
+            # a centroid matrix), so one collect + in-driver union-find
+            # resolves it completely, replacing the remaining distributed
+            # rounds (each ~4 fixed-overhead jobs). At scale this is the
+            # normal ENDGAME, not a small-data special case: contraction
+            # shrinks the residual geometrically, so whatever the corpus
+            # size, the last rounds are tiny — finishing them driver-side
+            # removes the per-round job floor from every dedup pipeline.
+            rows = residual.collect()
+            a = np.asarray([r["src"] for r in rows], dtype=np.int64)
+            b = np.asarray([r["dst"] for r in rows], dtype=np.int64)
+            ids, labels = _uf_labels(a, b)
+            d = residual.sparkSession.createDataFrame(
+                [(int(n), int(lb)) for n, lb in zip(ids, labels)],
+                "node long, label long",
+            )
+            if mapping is None:
+                mapping = d
+            else:
+                upd = d.select(
+                    F.col("node").alias("u_node"), F.col("label").alias("u_label")
+                )
+                mapping = (
+                    mapping.join(upd, mapping.label == upd.u_node, "left")
+                    .select(
+                        "node",
+                        F.coalesce(F.col("u_label"), F.col("label")).alias(
+                            "label"
+                        ),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            converged = True
+            break
         # d: residual-node -> smallest in-component id seen in any
         # partition this round, transitively closed. The groupBy-min
         # reconciles nodes whose edges straddle partitions.
@@ -577,7 +637,8 @@ def components_from_pairs(
             .observe(robs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if (robs.get["n"] or 0) == 0:
+        n_res = int(robs.get["n"] or 0)
+        if n_res == 0:
             converged = True
             break
     if not converged:

@@ -254,11 +254,21 @@ def test_components_match_pure_python_union_find(spark, edges):
     expect = {n: find(n) for n in parent}
 
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # Both execution paths must match the model: the driver endgame
+    # (default — these graphs are far under the edge bound) and the
+    # all-distributed contraction rounds (forced via bound 0).
     got = {
         r["doc_id"]: r["component_id"]
         for r in dedup.components_from_pairs(pairs).collect()
     }
     assert got == expect
+    distributed = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.components_from_pairs(
+            pairs, driver_finish_edges=0
+        ).collect()
+    }
+    assert distributed == expect
 
 
 def _fnv1a32(codes):
