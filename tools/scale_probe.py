@@ -203,10 +203,14 @@ def main() -> None:
         # the contraction operator itself. (Feeding it the exact-Jaccard
         # tier over replicated docs would create k^2 pairs by
         # construction — that tests the data, not the operator.)
+        # driver_finish_edges=0: probe the DISTRIBUTED contraction rounds
+        # themselves (the default driver endgame would absorb the 1x run
+        # and make the 8x factor compare different code paths).
         "components_contraction": lambda k: dedup.components_from_pairs(
             spark.range(50_000 * k)
             .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
             .where(F.col("id") % 10 != 9),
+            driver_finish_edges=0,
         ),
         # round-5 probes (VERDICT r4 #6)
         "modality_agreement_sampled": modality_agreement_sampled,
