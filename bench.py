@@ -84,9 +84,13 @@ EXTENDED_R4C = (
 
 #: Round-5 additions: the sampled (scale-path) cross-modality audit —
 #: benchmarked next to its exact twin in EXTENDED_R4C so the rate^2 cost
-#: drop is visible in the same JSON.
+#: drop is visible in the same JSON — plus the round-5 second wave
+#: (fixed-merge tokenizer, curriculum layout, sampled embedding tier).
 EXTENDED_R5 = (
     "dedup_modality_agreement_sampled",
+    "bpe_tokenize_fixed",
+    "curriculum_training_order",
+    "embedding_neardup_sampled",
 )
 
 

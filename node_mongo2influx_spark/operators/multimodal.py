@@ -6,11 +6,15 @@ next to typed metadata (mime, byte size, checksum). Spark never interprets
 the bytes; decode/resize/frame-sample run as ``mapInPandas`` stages so the
 bytes cross into Python once per Arrow batch, not per row.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed: ``mode="fake"`` produces deterministic
-pseudo-features from the bytes (so the plumbing — schema, batching,
-partitioning — is fully testable); ``mode="real"`` raises
-NotImplementedError at the exact point a codec would be called.
+Codec posture (round 5): PNG and WAV-PCM16 decode REALLY happens, with
+the stdlib only — PNG is zlib inflate + the 5-filter unfilter pass
+(:func:`decode_png`), WAV is a RIFF chunk walk (:func:`decode_wav_pcm16`)
+— so ``mode="real"`` produces true pixel/sample features and thumbnails
+for those formats. Formats that genuinely need a codec library
+(JPEG's DCT entropy decoding, video) remain honestly stubbed PER ROW:
+``feature/thumb = None`` with the sniffed type in ``decoder``, never a
+task failure. ``mode="fake"`` keeps the deterministic sha-expansion
+pseudo-decode — the oracle-checkable tier the registry queries use.
 """
 
 from __future__ import annotations
@@ -84,33 +88,42 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``mode="real"`` is the integration point for PIL/ffmpeg/librosa —
-    deliberately NotImplemented in this container. ``mode="fake"`` keeps the
-    full Spark-side contract (schema, batch iteration, null payloads) real.
+    ``mode="real"`` REALLY decodes PNG (stdlib zlib + unfilter) and WAV
+    PCM16 (RIFF walk) payloads — see :func:`_real_feature` for the
+    feature layout; payload types that genuinely need a codec library
+    (JPEG, video) yield ``feature=None`` with ``decoder=
+    "unsupported:<type>"`` so one undecodable payload marks its row
+    instead of killing the job. ``mode="fake"`` keeps the deterministic
+    sha-expansion pseudo-features (the oracle-checkable tier).
     """
     if mode not in ("fake", "real"):
         raise ValueError("mode must be 'fake' or 'real'")
+    if mode == "real" and dim < 8:
+        raise ValueError("real feature layout needs dim >= 8")
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "image/audio codecs are not available in this container; "
-                    "plug PIL/ffmpeg decode here"
-                )
-            feats = [
-                None if p is None else _fake_feature(bytes(p), dim)
-                for p in pdf["payload"]
-            ]
+            feats, decoders = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    decoders.append("null")
+                elif mode == "fake":
+                    feats.append(_fake_feature(bytes(p), dim))
+                    decoders.append("stub-fake")
+                else:
+                    f, label = _real_feature(bytes(p), dim)
+                    feats.append(f)
+                    decoders.append(label)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "mime": pdf["mime"],
                     "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
                     "feature": feats,
-                    "decoder": f"stub-{mode}",
+                    "decoder": decoders,
                 }
             )
 
@@ -142,11 +155,12 @@ def resize_images(
     pipeline, as ``mapInPandas`` so payload bytes cross into Python once
     per Arrow batch.
 
-    ``mode="real"`` is the PIL integration point (``Image.open(...)
-    .convert("L").resize((w, h))``) — deliberately NotImplemented in this
-    container (no codec libs). ``mode="fake"`` produces a deterministic
-    pseudo-thumbnail from the payload bytes, keeping schema, batch
-    iteration, null handling, and the fixed output size real and tested.
+    ``mode="real"`` REALLY decodes PNG payloads (stdlib zlib + unfilter,
+    :func:`decode_png`), converts to grayscale luminance, and
+    nearest-neighbor resamples to the fixed size; non-PNG payloads yield
+    ``thumb=None`` with ``decoder="unsupported"`` (JPEG needs a codec —
+    the honest remaining boundary, now per-row instead of per-mode).
+    ``mode="fake"`` keeps the deterministic pseudo-thumbnail.
 
     At 100 TB: map-only (zero shuffle), output is width*height bytes per
     image regardless of input size — the scan reads (id, payload), the
@@ -159,22 +173,28 @@ def resize_images(
         import pandas as pd
 
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "image codecs are not available in this container; "
-                    "plug PIL decode+resize here"
-                )
-            thumbs = [
-                None if p is None else _fake_thumb(bytes(p), width, height)
-                for p in pdf["payload"]
-            ]
+            thumbs, decoders = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    thumbs.append(None)
+                    decoders.append("null")
+                elif mode == "fake":
+                    thumbs.append(_fake_thumb(bytes(p), width, height))
+                    decoders.append("stub-fake")
+                else:
+                    try:
+                        thumbs.append(_real_thumb(bytes(p), width, height))
+                        decoders.append("stdlib-png")
+                    except (ValueError, NotImplementedError):
+                        thumbs.append(None)
+                        decoders.append("unsupported")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "thumb": thumbs,
-                    "decoder": [f"stub-{mode}"] * len(pdf),
+                    "decoder": decoders,
                 }
             )
 
@@ -408,3 +428,182 @@ def audio_meta(
         F.when(is_wav, data_size).otherwise(null).alias("data_size"),
         F.when(is_wav, duration_ms).otherwise(null).alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib-only decoders (round 5). "No codec libs in the container"
+# turns out to be a weaker constraint than it sounds: PNG is zlib (stdlib)
+# + a 5-filter unfilter pass, and WAV PCM16 is a RIFF chunk walk +
+# frombuffer — so those two formats get REAL pixel/sample decoding with
+# zero dependencies. JPEG/video stay honestly stubbed (a DCT entropy
+# decoder is a codec); unsupported payloads yield feature=None with the
+# sniffed type in `decoder`, never a task failure (one bad payload must
+# not kill a 100 TB job).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> channel count (8-bit, non-interlaced support).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes):
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA)
+    with the stdlib only: chunk walk, concatenated-IDAT zlib inflate, and
+    the per-scanline unfilter pass (None/Sub/Up/Average/Paeth).
+
+    Returns ``(height, width, channels, pixels)`` with ``pixels`` the
+    row-major H×W×C bytes. Raises ValueError for non-PNG bytes and
+    NotImplementedError for 16-bit / palette / interlaced variants (the
+    honest remaining boundary)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, header = 8, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = header
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}): stdlib decoder covers 8-bit "
+            "non-interlaced gray/RGB/GA/RGBA"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return h, w, ch, bytes(out)
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Decode a PCM16 WAV with the stdlib only: RIFF/WAVE chunk walk for
+    ``fmt `` and ``data``. Returns ``(sample_rate, n_channels, samples)``
+    with ``samples`` an int16 ndarray of shape (n_frames, n_channels).
+    Raises ValueError for non-WAV bytes, NotImplementedError for
+    non-PCM16 encodings (ADPCM/float/24-bit — the honest boundary)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if typ == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV encoding not supported (format={audio_format}, "
+            f"bits={bits}): stdlib decoder covers PCM16"
+        )
+    n = len(data) // (2 * n_ch) * (2 * n_ch)
+    samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, n_ch)
+    return rate, n_ch, samples
+
+
+def _real_feature(payload: bytes, dim: int):
+    """Dispatch a REAL decode by magic bytes -> (feature, decoder_label).
+    Feature layout (all float32, length ``dim``, dim >= 8):
+
+    * PNG:  [h, w, channels, lum_mean, lum_std] + (dim-5)-bin luminance
+      histogram (fractions).
+    * WAV:  [rate, channels, duration_s, rms, peak] + (dim-5)-bin
+      amplitude histogram (fractions).
+    * anything else: (None, "unsupported:<sniff>") — JPEG/video need a
+      real codec; a row-level stub marker, never a task failure.
+    """
+    import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        try:
+            h, w, ch, px = decode_png(payload)
+        except NotImplementedError:
+            return None, "unsupported:png-variant"
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        lum = arr[:, :, : 3 if ch >= 3 else 1].mean(axis=2) / 255.0
+        hist, _ = np.histogram(lum, bins=dim - 5, range=(0.0, 1.0))
+        hist = hist / max(lum.size, 1)
+        feat = [float(h), float(w), float(ch),
+                float(lum.mean()), float(lum.std())] + hist.tolist()
+        return [float(np.float32(v)) for v in feat], "stdlib-png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            rate, n_ch, samples = decode_wav_pcm16(payload)
+        except NotImplementedError:
+            return None, "unsupported:wav-variant"
+        x = samples.astype(np.float64) / 32768.0
+        mono = x.mean(axis=1) if x.size else np.zeros(1)
+        hist, _ = np.histogram(mono, bins=dim - 5, range=(-1.0, 1.0))
+        hist = hist / max(mono.size, 1)
+        feat = [float(rate), float(n_ch), float(len(mono) / rate),
+                float(np.sqrt((mono ** 2).mean())),
+                float(np.abs(mono).max() if mono.size else 0.0)] + hist.tolist()
+        return [float(np.float32(v)) for v in feat], "stdlib-wav"
+    sniff = "jpeg" if payload[:2] == b"\xff\xd8" else "unknown"
+    return None, f"unsupported:{sniff}"
+
+
+def _real_thumb(payload: bytes, width: int, height: int):
+    """Real decode -> grayscale -> nearest-neighbor resample to
+    width x height bytes. PNG only (the decodable image format)."""
+    import numpy as np
+
+    h, w, ch, px = decode_png(payload)  # raises for non-PNG
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    lum = arr[:, :, : 3 if ch >= 3 else 1].mean(axis=2)
+    ys = np.round(np.linspace(0, h - 1, height)).astype(int)
+    xs = np.round(np.linspace(0, w - 1, width)).astype(int)
+    return lum[ys][:, xs].astype(np.uint8).tobytes()

@@ -36,14 +36,18 @@ def test_extract_features_fake_mode(payloads):
     assert again[1]["feature"] == rows[1]["feature"]
 
 
-def test_extract_features_real_mode_is_stubbed(payloads):
-    from py4j.protocol import Py4JJavaError
-
-    with pytest.raises(Exception) as exc:
-        multimodal.extract_features(payloads, mode="real").collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
-    )
+def test_extract_features_real_mode_marks_undecodable_rows(payloads):
+    # Since round 5, mode="real" actually decodes PNG/WAV (stdlib-only);
+    # payloads that still need a codec (these fixtures are raw text
+    # bytes) are MARKED per row instead of failing the task.
+    rows = multimodal.extract_features(payloads, mode="real").collect()
+    assert rows
+    for r in rows:
+        if r["n_bytes"] == 0:
+            assert r["decoder"] == "null"
+        else:
+            assert r["decoder"].startswith("unsupported:")
+            assert r["feature"] is None
 
 
 def test_sample_frames(payloads):
@@ -174,11 +178,178 @@ def test_resize_images_fake_mode(payloads, spark):
     assert rows[9]["thumb"] is None
 
 
-def test_resize_images_real_mode_is_stubbed(payloads):
+def test_resize_images_real_mode_marks_undecodable_rows(payloads):
     import pytest as _pytest
 
-    df = multimodal.resize_images(payloads, mode="real")
-    with _pytest.raises(Exception, match="NotImplementedError|codecs"):
-        df.collect()
+    rows = multimodal.resize_images(payloads, mode="real").collect()
+    assert rows and all(
+        r["decoder"] in ("null", "unsupported") and r["thumb"] is None
+        for r in rows
+    )  # text payloads aren't PNGs; the job survives and says so per row
     with _pytest.raises(ValueError):
         multimodal.resize_images(payloads, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# Round 5: REAL stdlib decoders (PNG zlib+unfilter, WAV PCM16)
+# ---------------------------------------------------------------------------
+def _encode_png(arr, filters):
+    """Minimal PNG encoder for tests: 8-bit non-interlaced, one explicit
+    filter type per row (applies the FORWARD filter, so decode must
+    invert every filter path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        row = arr[y].astype(np.int16)
+        f = filters[y % len(filters)]
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        prev_left = np.zeros_like(prev)
+        prev_left[1:] = prev[:-1]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left + prev) >> 1)
+        else:  # paeth
+            p = left + prev - prev_left
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - prev_left)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, prev_left)
+            )
+            enc = row - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_all_filters():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        payload = _encode_png(arr, filters=[0, 1, 2, 3, 4])
+        h, w, c, px = multimodal.decode_png(payload)
+        assert (h, w, c) == (11, 7, ch)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+        assert (got == arr).all(), f"filter roundtrip failed for ch={ch}"
+
+
+def test_decode_wav_pcm16_matches_stdlib_writer():
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(8000) / 8000.0
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(mono.tobytes())
+    rate, n_ch, samples = multimodal.decode_wav_pcm16(buf.getvalue())
+    assert (rate, n_ch) == (8000, 1)
+    assert (samples[:, 0] == mono).all()
+
+
+def test_extract_features_real_decodes_png_and_wav(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    png = _encode_png(img, filters=[4, 3, 2, 1, 0])
+    t = np.arange(4000) / 8000.0
+    mono = (0.25 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(mono.tobytes())
+    wav = buf.getvalue()
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+
+    df = spark.createDataFrame(
+        [(0, bytearray(png), "image/png"),
+         (1, bytearray(wav), "audio/wav"),
+         (2, bytearray(jpeg), "image/jpeg"),
+         (3, None, "image/png")],
+        "doc_id long, payload binary, mime string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(df, dim=16, mode="real").collect()
+    }
+    # PNG row: real luminance stats
+    lum = img.mean(axis=2) / 255.0
+    assert out[0]["decoder"] == "stdlib-png"
+    f = out[0]["feature"]
+    assert f[:3] == [9.0, 9.0, 3.0]
+    assert abs(f[3] - lum.mean()) < 1e-5 and abs(f[4] - lum.std()) < 1e-5
+    assert abs(sum(f[5:]) - 1.0) < 1e-5  # histogram fractions
+    # WAV row: real sample stats
+    x = mono.astype(np.float64) / 32768.0
+    g = out[1]["feature"]
+    assert out[1]["decoder"] == "stdlib-wav"
+    assert g[:3] == [8000.0, 1.0, 0.5]
+    assert abs(g[3] - np.sqrt((x ** 2).mean())) < 1e-5
+    # JPEG: honest per-row stub marker, job alive
+    assert out[2]["decoder"] == "unsupported:jpeg" and out[2]["feature"] is None
+    assert out[3]["decoder"] == "null" and out[3]["feature"] is None
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    import numpy as np
+
+    grad = np.tile(
+        np.linspace(0, 255, 16, dtype=np.uint8)[None, :, None], (16, 1, 1)
+    )
+    png = _encode_png(grad, filters=[0, 2])
+    df = spark.createDataFrame(
+        [(0, bytearray(png), "image/png"), (1, bytearray(b"nope"), "text/plain")],
+        "doc_id long, payload binary, mime string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(df, width=4, height=4, mode="real").collect()
+    }
+    lum = grad.mean(axis=2)
+    ys = np.round(np.linspace(0, 15, 4)).astype(int)
+    expect = lum[ys][:, ys].astype(np.uint8).tobytes()
+    assert bytes(out[0]["thumb"]) == expect
+    assert out[0]["decoder"] == "stdlib-png"
+    assert out[1]["thumb"] is None and out[1]["decoder"] == "unsupported"
