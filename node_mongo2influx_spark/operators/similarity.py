@@ -680,6 +680,95 @@ def knn_cosine_ivf(
     return _score_candidates_topk(cand, corpus, queries, id_col, vec_col, k, round_to)
 
 
+def two_level_index(
+    cents: np.ndarray, k1: int | None = None, n_iters: int = 8
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Cluster the IVF centroids THEMSELVES into ~sqrt(n_cells) L1 groups
+    — the hierarchical coarse quantizer's routing table.
+
+    Pure driver-side numpy over the (n_cells × dim) centroid matrix
+    (model-sized by definition); deterministic: init = evenly-strided
+    centroid rows, Lloyd on unit vectors, empty groups dropped. Returns
+    ``(c1, children)`` — unit L1 centroids and, per L1 group, the array
+    of member cell ids."""
+    n = len(cents)
+    if k1 is None:
+        k1 = max(2, int(np.ceil(np.sqrt(n))))
+    k1 = min(k1, n)
+    unit = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    c1 = unit[:: max(1, n // k1)][:k1].copy()
+    for _ in range(n_iters):
+        assign = (unit @ c1.T).argmax(axis=1)
+        for g in range(len(c1)):
+            members = unit[assign == g]
+            if len(members):
+                s = members.sum(axis=0)
+                nrm = np.linalg.norm(s)
+                if nrm > 1e-12:
+                    c1[g] = s / nrm
+    assign = (unit @ c1.T).argmax(axis=1)
+    keep = [g for g in range(len(c1)) if (assign == g).any()]
+    children = [np.nonzero(assign == g)[0] for g in keep]
+    return c1[keep], children
+
+
+def _top_cells(
+    unit_rows: np.ndarray,
+    cents: np.ndarray,
+    n_assign: int,
+    tl_index: tuple[np.ndarray, list[np.ndarray]] | None,
+    p1: int = 2,
+) -> np.ndarray:
+    """Top-``n_assign`` IVF cells per (unit) row — flat matmul, or
+    two-level routing (probe the top-``p1`` L1 groups, score only their
+    children) when ``tl_index`` is given. Returns (n, n_assign) cell ids;
+    rows whose probed children are fewer than n_assign pad with their
+    best cell (duplicates are harmless — the candidate join dedups)."""
+    n = len(unit_rows)
+    if tl_index is None:
+        sims = unit_rows @ cents.T
+        return np.argsort(-sims, axis=1)[:, :n_assign]
+    c1, children = tl_index
+    p1 = min(p1, len(c1))
+    s1 = unit_rows @ c1.T
+    top1 = np.argsort(-s1, axis=1)[:, :p1]
+    rows_acc, cells_acc, sims_acc = [], [], []
+    for g in range(len(c1)):
+        mask = (top1 == g).any(axis=1)
+        ridx = np.nonzero(mask)[0]
+        if not len(ridx):
+            continue
+        ch = children[g]
+        sub = unit_rows[ridx] @ cents[ch].T  # (rows, |children|)
+        rows_acc.append(np.repeat(ridx, len(ch)))
+        cells_acc.append(np.tile(ch, len(ridx)))
+        sims_acc.append(sub.ravel())
+    rows = np.concatenate(rows_acc)
+    cells = np.concatenate(cells_acc)
+    sims = np.concatenate(sims_acc)
+    order = np.lexsort((-sims, rows))
+    rows, cells = rows[order], cells[order]
+    # first n_assign per row group (rows sorted, sims descending inside)
+    starts = np.searchsorted(rows, np.arange(n))
+    counts = np.diff(np.append(starts, len(rows)))
+    if (counts >= n_assign).all():
+        # vectorized gather — the normal case (every row probed >=
+        # n_assign candidate cells)
+        idx = starts[:, None] + np.arange(n_assign)[None, :]
+        return cells[idx]
+    out = np.empty((n, n_assign), dtype=np.int64)
+    for i in range(n):  # rare: a row probed fewer children than n_assign
+        sel = cells[starts[i] : starts[i] + min(counts[i], n_assign)]
+        if len(sel) < n_assign:
+            sel = np.concatenate(
+                [sel, np.full(n_assign - len(sel), sel[0] if len(sel) else 0)]
+            )
+        out[i] = sel
+    return out
+
+
 def cosine_pairs_ivf(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -691,6 +780,7 @@ def cosine_pairs_ivf(
     round_to: int = 4,
     dim: int | None = None,
     centroids: np.ndarray | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs via IVF cells — the data-adaptive
     alternative to :func:`cosine_pairs_lsh` (same contract, same exact
@@ -712,6 +802,22 @@ def cosine_pairs_ivf(
         )
     cents = centroids
     n_assign_eff = min(n_assign, len(cents))
+    # Two-level (hierarchical) coarse assignment: the flat n·n_cells·dim
+    # assignment matmul is the ONE super-linear term when n_cells scales
+    # with the corpus (SCALE.md §4b). Routing through ~sqrt(n_cells) L1
+    # groups first (probe the top-2, score only their children) cuts it
+    # to n·(k1 + 2·n_cells/k1)·dim — the standard FAISS two-level coarse
+    # quantizer; measured 4.6× at n_cells=1024 (driver microbench).
+    # PAIR recall is preserved by CO-ROUTING, not flat-agreement:
+    # near-identical vectors produce near-identical L1 scores, take the
+    # same route, and land in the same children — so they still collide
+    # even where the routed argmax differs from the flat argmax (which
+    # it does on unstructured data with many near-ties; recall gates in
+    # tests/test_similarity.py check the thing that matters). Auto at
+    # n_cells >= 128; below that flat is cheaper AND exact.
+    if two_level is None:
+        two_level = len(cents) >= 128
+    tl_index = two_level_index(cents) if two_level else None
 
     def kernel(batches):
         import pandas as pd
@@ -722,8 +828,7 @@ def cosine_pairs_ivf(
             if not len(mat):
                 continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = (mat / norms) @ cents.T
-            top = np.argsort(-sims, axis=1)[:, :n_assign_eff]
+            top = _top_cells(mat / norms, cents, n_assign_eff, tl_index)
             yield pd.DataFrame(
                 {
                     "vid": np.repeat(pdf["vid"].to_numpy(), n_assign_eff),

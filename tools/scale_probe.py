@@ -237,6 +237,19 @@ def main() -> None:
             n_cells=16 * k,
             n_assign=3,
             dim=64,
+            two_level=False,
+        ),
+        # same growth with the hierarchical coarse quantizer ON: the
+        # n·n_cells assignment term drops to n·(k1 + 2·n_cells/k1).
+        "cosine_pairs_ivf_two_level": lambda k: similarity.cosine_pairs_ivf(
+            uniquified_embeddings(k),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.4,
+            n_cells=16 * k,
+            n_assign=3,
+            dim=64,
+            two_level=True,
         ),
         # fixed-merge tokenizer: map-only full-corpus rewrite.
         "bpe_replace_chain": lambda k: text.bpe_replace_chain(
