@@ -583,8 +583,11 @@ def _cell_partial_sums(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame
 
 def _assign_cells(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame:
     """(vid, cell): nearest-centroid assignment by cosine, one matmul per
-    Arrow batch. Ids only — nothing data-sized rides the candidate join."""
+    Arrow batch. Ids only — nothing data-sized rides the candidate join.
+    At n_cells >= 128 the assignment routes through the two-level coarse
+    quantizer (same co-routing recall argument as cosine_pairs_ivf)."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
+    tl_index = two_level_index(cents) if len(cents) >= 128 else None
 
     def kernel(batches):
         import pandas as pd
@@ -595,7 +598,9 @@ def _assign_cells(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame:
             if not len(mat):
                 continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            cell = ((mat / norms) @ cents.T).argmax(axis=1).astype(np.int32)
+            cell = _top_cells(mat / norms, cents, 1, tl_index)[:, 0].astype(
+                np.int32
+            )
             yield pd.DataFrame({"vid": pdf["vid"], "cell": cell})
 
     return base.mapInPandas(kernel, schema="vid long, cell int")
@@ -729,6 +734,8 @@ def _top_cells(
     n = len(unit_rows)
     if tl_index is None:
         sims = unit_rows @ cents.T
+        if n_assign == 1:
+            return sims.argmax(axis=1)[:, None]
         return np.argsort(-sims, axis=1)[:, :n_assign]
     c1, children = tl_index
     p1 = min(p1, len(c1))
