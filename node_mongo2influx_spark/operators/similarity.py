@@ -724,13 +724,18 @@ def _top_cells(
     cents: np.ndarray,
     n_assign: int,
     tl_index: tuple[np.ndarray, list[np.ndarray]] | None,
-    p1: int = 2,
+    p1: int = 4,
 ) -> np.ndarray:
     """Top-``n_assign`` IVF cells per (unit) row — flat matmul, or
     two-level routing (probe the top-``p1`` L1 groups, score only their
-    children) when ``tl_index`` is given. Returns (n, n_assign) cell ids;
-    rows whose probed children are fewer than n_assign pad with their
-    best cell (duplicates are harmless — the candidate join dedups)."""
+    children) when ``tl_index`` is given. ``p1`` is the recall/cost
+    knob: measured on sf0.1 at 128 cells / n_assign 6, pair recall vs
+    flat is 0.60 / 0.73 / 0.76 / 0.82 (of flat's 0.86) at p1 2/3/4/6 —
+    4 keeps ~88% of flat's recall at a cost that still shrinks
+    relative to flat as n_cells grows (k1 + p1·n_cells/k1 vs n_cells).
+    Returns (n, n_assign) cell ids; rows whose probed children are
+    fewer than n_assign pad with their best cell (duplicates are
+    harmless — the candidate join dedups)."""
     n = len(unit_rows)
     if tl_index is None:
         sims = unit_rows @ cents.T
