@@ -557,6 +557,25 @@ def components_from_pairs(
             f"in {budget} doubling steps"
         )
 
+    def _chase(mapping: DataFrame, d: DataFrame) -> DataFrame:
+        # Chase one level: a mapping label that was merged this round
+        # appears as a node of d (residual edges run between current
+        # labels, and d is transitively closed). Labels d never saw
+        # belong to already-resolved components and stay put. Shared by
+        # the distributed rounds and the driver endgame — the two paths
+        # must stay join-identical.
+        upd = d.select(
+            F.col("node").alias("u_node"), F.col("label").alias("u_label")
+        )
+        return (
+            mapping.join(upd, mapping.label == upd.u_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("u_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
     mapping = None  # node -> current best (in-component) label
     converged = False
     for _ in range(max_iterations):
@@ -578,22 +597,7 @@ def components_from_pairs(
                 [(int(n), int(lb)) for n, lb in zip(ids, labels)],
                 "node long, label long",
             )
-            if mapping is None:
-                mapping = d
-            else:
-                upd = d.select(
-                    F.col("node").alias("u_node"), F.col("label").alias("u_label")
-                )
-                mapping = (
-                    mapping.join(upd, mapping.label == upd.u_node, "left")
-                    .select(
-                        "node",
-                        F.coalesce(F.col("u_label"), F.col("label")).alias(
-                            "label"
-                        ),
-                    )
-                    .localCheckpoint(eager=True)
-                )
+            mapping = d if mapping is None else _chase(mapping, d)
             converged = True
             break
         # d: residual-node -> smallest in-component id seen in any
@@ -608,21 +612,7 @@ def components_from_pairs(
         if mapping is None:
             mapping = d
         else:
-            # Chase one level: a mapping label that was merged this round
-            # appears as a node of d (residual edges run between current
-            # labels). Labels d never saw belong to already-resolved
-            # components and stay put.
-            upd = d.select(
-                F.col("node").alias("u_node"), F.col("label").alias("u_label")
-            )
-            mapping = (
-                mapping.join(upd, mapping.label == upd.u_node, "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("u_label"), F.col("label")).alias("label"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            mapping = _chase(mapping, d)
         da = d.select(F.col("node").alias("d_src"), F.col("label").alias("la"))
         db = d.select(F.col("node").alias("d_dst"), F.col("label").alias("lb"))
         # The row count rides the checkpoint job as an observe metric —

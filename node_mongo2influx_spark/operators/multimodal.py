@@ -185,7 +185,10 @@ def resize_images(
                     try:
                         thumbs.append(_real_thumb(bytes(p), width, height))
                         decoders.append("stdlib-png")
-                    except (ValueError, NotImplementedError):
+                    except Exception:
+                        # not a PNG, unsupported variant, OR corrupt
+                        # bytes behind a valid signature (zlib.error,
+                        # struct.error, ...): mark the row, keep the job.
                         thumbs.append(None)
                         decoders.append("unsupported")
             yield pd.DataFrame(
@@ -481,42 +484,60 @@ def decode_png(payload: bytes):
             f"interlace={interlace}): stdlib decoder covers 8-bit "
             "non-interlaced gray/RGB/GA/RGBA"
         )
+    import numpy as np
+
     ch = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
     for y in range(h):
         f = raw[pos]
-        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        row = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).copy()
         pos += 1 + stride
+        # None/Sub/Up vectorize (Sub is a per-channel-lane prefix sum —
+        # addition is associative mod 256); Average and Paeth keep the
+        # per-byte scan: each byte's predictor needs the ALREADY
+        # reconstructed left neighbor through a floor/branch, which
+        # doesn't reassociate.
         if f == 1:  # Sub
-            for x in range(ch, stride):
-                row[x] = (row[x] + row[x - ch]) & 0xFF
+            lanes = row.reshape(w, ch).astype(np.uint32)
+            row = (
+                (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+            )
         elif f == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
+            row = row + prev  # uint8 wraps mod 256
+        elif f in (3, 4):
+            rb = bytearray(row.tobytes())
+            pb = prev.tobytes()
+            if f == 3:  # Average
+                for x in range(stride):
+                    left = rb[x - ch] if x >= ch else 0
+                    rb[x] = (rb[x] + ((left + pb[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = rb[x - ch] if x >= ch else 0
+                    b = pb[x]
+                    c = pb[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pbd, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if (pa <= pbd and pa <= pc)
+                        else (b if pbd <= pc else c)
+                    )
+                    rb[x] = (rb[x] + pred) & 0xFF
+            row = np.frombuffer(bytes(rb), dtype=np.uint8)
         elif f != 0:
             raise ValueError(f"unknown PNG filter {f}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = row
-    return h, w, ch, bytes(out)
+        out[y] = row
+        prev = out[y]
+    return h, w, ch, out.tobytes()
 
 
 def decode_wav_pcm16(payload: bytes):
@@ -564,15 +585,23 @@ def _real_feature(payload: bytes, dim: int):
       amplitude histogram (fractions).
     * anything else: (None, "unsupported:<sniff>") — JPEG/video need a
       real codec; a row-level stub marker, never a task failure.
+
+    ANY decode failure — unsupported variant, truncated chunks
+    (ValueError/struct.error), corrupt deflate bytes (zlib.error),
+    degenerate headers — downgrades to the unsupported marker: scraped
+    corpora contain arbitrarily malformed bytes behind valid magic
+    numbers, and one of them must mark its row, not kill the job.
     """
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
         try:
             h, w, ch, px = decode_png(payload)
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
         except NotImplementedError:
             return None, "unsupported:png-variant"
-        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        except Exception:
+            return None, "unsupported:png-corrupt"
         lum = arr[:, :, : 3 if ch >= 3 else 1].mean(axis=2) / 255.0
         hist, _ = np.histogram(lum, bins=dim - 5, range=(0.0, 1.0))
         hist = hist / max(lum.size, 1)
@@ -582,15 +611,27 @@ def _real_feature(payload: bytes, dim: int):
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             rate, n_ch, samples = decode_wav_pcm16(payload)
+            if rate <= 0 or n_ch <= 0:
+                raise ValueError("degenerate WAV header")
         except NotImplementedError:
             return None, "unsupported:wav-variant"
+        except Exception:
+            return None, "unsupported:wav-corrupt"
         x = samples.astype(np.float64) / 32768.0
-        mono = x.mean(axis=1) if x.size else np.zeros(1)
-        hist, _ = np.histogram(mono, bins=dim - 5, range=(-1.0, 1.0))
-        hist = hist / max(mono.size, 1)
-        feat = [float(rate), float(n_ch), float(len(mono) / rate),
-                float(np.sqrt((mono ** 2).mean())),
-                float(np.abs(mono).max() if mono.size else 0.0)] + hist.tolist()
+        n_frames = len(x)
+        if n_frames:
+            mono = x.mean(axis=1)
+            hist, _ = np.histogram(mono, bins=dim - 5, range=(-1.0, 1.0))
+            hist = hist / mono.size
+            rms, peak = float(np.sqrt((mono ** 2).mean())), float(
+                np.abs(mono).max()
+            )
+        else:
+            # empty data chunk: an EMPTY clip, not a phantom one-sample one
+            hist = np.zeros(dim - 5)
+            rms = peak = 0.0
+        feat = [float(rate), float(n_ch), float(n_frames / rate),
+                rms, peak] + hist.tolist()
         return [float(np.float32(v)) for v in feat], "stdlib-wav"
     sniff = "jpeg" if payload[:2] == b"\xff\xd8" else "unknown"
     return None, f"unsupported:{sniff}"

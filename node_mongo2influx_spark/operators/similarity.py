@@ -581,13 +581,18 @@ def _cell_partial_sums(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame
     return base.mapInPandas(kernel, schema="cell int, n long, s array<double>")
 
 
-def _assign_cells(base: DataFrame, centroids_unit: np.ndarray) -> DataFrame:
+def _assign_cells(
+    base: DataFrame,
+    centroids_unit: np.ndarray,
+    tl_index: tuple[np.ndarray, list[np.ndarray]] | None = None,
+) -> DataFrame:
     """(vid, cell): nearest-centroid assignment by cosine, one matmul per
     Arrow batch. Ids only — nothing data-sized rides the candidate join.
-    At n_cells >= 128 the assignment routes through the two-level coarse
-    quantizer (same co-routing recall argument as cosine_pairs_ivf)."""
+    ``tl_index`` routes through the two-level coarse quantizer; the
+    CALLER decides, because corpus assignment and query probing must use
+    the SAME quantizer — mismatched routing silently loses neighbors
+    whose routed cell isn't in the flat probe set."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
-    tl_index = two_level_index(cents) if len(cents) >= 128 else None
 
     def kernel(batches):
         import pandas as pd
@@ -642,12 +647,17 @@ def knn_cosine_ivf(
             corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, dim=d
         )
     cents = centroids
+    # ONE quantizer for both sides: corpus assignment and query probing
+    # must route identically or co-location breaks (a corpus vector's
+    # routed cell may not be in a flat probe set).
+    tl_index = two_level_index(cents) if len(cents) >= 128 else None
 
     c = _assign_cells(
         corpus.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
         ),
         cents,
+        tl_index,
     ).select(F.col("vid").alias("neighbor_id"), "cell")
 
     n_probe_eff = min(n_probe, len(cents))
@@ -661,10 +671,10 @@ def knn_cosine_ivf(
             if not len(mat):
                 continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = (mat / norms) @ cents.T
             # n_probe nearest cells per query, exploded pandas-side (the
-            # probe table is queries × n_probe rows — broadcast-sized).
-            top = np.argsort(-sims, axis=1)[:, :n_probe_eff]
+            # probe table is queries × n_probe rows — broadcast-sized);
+            # SAME routing as the corpus side.
+            top = _top_cells(mat / norms, cents, n_probe_eff, tl_index)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(pdf["vid"].to_numpy(), n_probe_eff),
@@ -817,7 +827,7 @@ def cosine_pairs_ivf(
     # Two-level (hierarchical) coarse assignment: the flat n·n_cells·dim
     # assignment matmul is the ONE super-linear term when n_cells scales
     # with the corpus (SCALE.md §4b). Routing through ~sqrt(n_cells) L1
-    # groups first (probe the top-2, score only their children) cuts it
+    # groups first (probe the top-p1, score only their children) cuts it
     # to n·(k1 + 2·n_cells/k1)·dim — the standard FAISS two-level coarse
     # quantizer; measured 4.6× at n_cells=1024 (driver microbench).
     # PAIR recall is preserved by CO-ROUTING, not flat-agreement:

@@ -353,3 +353,67 @@ def test_resize_images_real_nearest_neighbor(spark):
     assert bytes(out[0]["thumb"]) == expect
     assert out[0]["decoder"] == "stdlib-png"
     assert out[1]["thumb"] is None and out[1]["decoder"] == "unsupported"
+
+
+def test_real_mode_survives_corrupt_payloads(spark):
+    # Malformed bytes BEHIND valid magic numbers — the scraped-corpus
+    # reality: truncated PNG (signature only), corrupt deflate in IDAT,
+    # WAV with an empty data chunk, WAV with a degenerate fmt. Every row
+    # must be marked, none may kill the task.
+    import io
+    import struct
+    import wave
+    import zlib
+
+    import numpy as np
+
+    sig_only = b"\x89PNG\r\n\x1a\n"
+    # valid IHDR, garbage IDAT bytes
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+    bad_idat = (
+        sig_only
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00notdeflate")
+        + chunk(b"IEND", b"")
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"")  # EMPTY data chunk
+    empty_wav = buf.getvalue()
+    degenerate_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 0, 0, 0, 0, 16)  # n_ch=0, rate=0
+        + b"data" + struct.pack("<I", 0)
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(sig_only), "image/png"),
+         (1, bytearray(bad_idat), "image/png"),
+         (2, bytearray(empty_wav), "audio/wav"),
+         (3, bytearray(degenerate_wav), "audio/wav")],
+        "doc_id long, payload binary, mime string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(df, dim=16, mode="real").collect()
+    }
+    assert out[0]["decoder"] == "unsupported:png-corrupt"
+    assert out[1]["decoder"] == "unsupported:png-corrupt"
+    # empty data chunk is a VALID empty clip: duration 0, rms 0, all-zero histogram
+    assert out[2]["decoder"] == "stdlib-wav"
+    f = out[2]["feature"]
+    assert f[2] == 0.0 and f[3] == 0.0 and sum(f[5:]) == 0.0
+    assert out[3]["decoder"] == "unsupported:wav-corrupt"
+    # resize survives the same payloads
+    thumbs = {
+        r["doc_id"]: r["decoder"]
+        for r in multimodal.resize_images(df, mode="real").collect()
+    }
+    assert thumbs[0] == "unsupported" and thumbs[1] == "unsupported"
