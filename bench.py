@@ -93,6 +93,15 @@ EXTENDED_R5 = (
     "embedding_neardup_sampled",
 )
 
+#: Round-6 additions: the fused-backend IVF tier, the distributed
+#: query-batch ANN path, and the two new oracle-exact recall probes.
+EXTENDED_R6 = (
+    "embedding_neardup_ivf",
+    "knn_cosine_ivfpq_batch",
+    "lsh_recall_probe",
+    "pq_recall_probe",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -145,6 +154,7 @@ def main() -> None:
     r4b_times, r4b_mins = run_set(EXTENDED_R4B)
     r4c_times, r4c_mins = run_set(EXTENDED_R4C)
     r5_times, r5_mins = run_set(EXTENDED_R5)
+    r6_times, r6_mins = run_set(EXTENDED_R6)
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -170,6 +180,9 @@ def main() -> None:
         "extended_r5": r5_times,
         "extended_r5_min": r5_mins,
         "extended_r5_total": round(sum(r5_times.values()), 3),
+        "extended_r6": r6_times,
+        "extended_r6_min": r6_mins,
+        "extended_r6_total": round(sum(r6_times.values()), 3),
         "headline_reps": 7,
         "sf": sf_val,
     }
@@ -195,6 +208,7 @@ def main() -> None:
                 "extended_r4b_total": detail["extended_r4b_total"],
                 "extended_r4c_total": detail["extended_r4c_total"],
                 "extended_r5_total": detail["extended_r5_total"],
+                "extended_r6_total": detail["extended_r6_total"],
                 "headline_reps": 7,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,

@@ -396,10 +396,14 @@ def _score_candidates_topk(
     vec_col: str,
     k: int,
     round_to: int,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact-cosine scoring + per-query top-k over a (query_id, neighbor_id)
     candidate table. Corpus vectors arrive via one hash join on id, query
-    vectors via one broadcast join — candidates are the only rows scored."""
+    vectors via one broadcast join — candidates are the only rows scored.
+    ``broadcast_queries=False`` drops the broadcast hint for LARGE query
+    batches (the batch ANN path): the query side then hash-joins like any
+    fact table, and AQE picks the strategy from real sizes."""
     from pyspark.sql import Window
 
     cfeat = _features(corpus, id_col, vec_col).select(
@@ -412,7 +416,8 @@ def _score_candidates_topk(
         F.col("v").alias("qvec"),
         F.col("nrm").alias("qnorm"),
     )
-    j = cand.join(cfeat, "neighbor_id").join(F.broadcast(qfeat), "query_id")
+    qside = F.broadcast(qfeat) if broadcast_queries else qfeat
+    j = cand.join(cfeat, "neighbor_id").join(qside, "query_id")
     cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
     scored = j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
     w = Window.partitionBy("query_id").orderBy(
@@ -482,7 +487,11 @@ def kmeans_centroids(
     if train_fraction is None:
         # Bounded sample: ONE top-k collect, then driver-side Lloyd.
         target = train_rows if train_rows is not None else 64 * n_cells
-        rows = (
+        # Arrow collect (toPandas), not Row collect: the sample is
+        # train_rows × dim doubles and row-based pickling was the
+        # dominant kmeans cost at larger n_cells (measured 1.0 s vs
+        # 0.2 s at 8k sample rows).
+        pdf = (
             base.select(
                 "vid",
                 "vec",
@@ -490,17 +499,16 @@ def kmeans_centroids(
             )
             .orderBy(salted)
             .limit(target)
-            .collect()
+            .toPandas()
         )
-        rows = [r for r in rows if r["vec"] is not None]
-        if not rows:
+        pdf = pdf[pdf["vec"].notna()]
+        if not len(pdf):
             raise ValueError("kmeans_centroids: empty training input")
-        mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+        mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         unit = mat / norms
         init_order = np.argsort(
-            np.asarray([r["__init_h"] for r in rows], dtype=np.int64),
-            kind="stable",
+            pdf["__init_h"].to_numpy(dtype=np.int64), kind="stable"
         )[:n_cells]
         cents = mat[init_order]
         cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
@@ -791,6 +799,91 @@ def _top_cells(
     return out
 
 
+def _fused_cell_pairs(
+    cells: DataFrame,
+    threshold: float,
+    round_to: int,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Per-cell all-pairs cosine, candidate generation FUSED with scoring:
+    ``cells`` is (cell, vid, vec) — the n_assign-replicated assignment
+    table WITH vectors — and each cell group scores its members in one
+    numpy matmul chain, emitting only pairs >= threshold.
+
+    Why this beats the id-pair join (the r5 "blocked self-join" path):
+    the pair table there is O(Σ|cell|²) 16-byte rows shuffled, then TWO
+    dim-wide feature joins and a per-pair ``zip_with`` dot — the measured
+    dominant cost of the IVF tier at 8× scale. Here the only shuffle is
+    the group-by-cell exchange of n·n_assign vector rows (O(n·dim), the
+    same order as the corpus scan itself), the dot products run as BLAS
+    matmuls over Arrow batches, and nothing pair-sized ever hits the
+    wire — the kernel's OUTPUT is the threshold-filtered edge list.
+
+    Determinism: rows are sorted by vid inside the kernel (group order
+    after a shuffle is not stable), so the matmul layout — and hence
+    every per-pair float — is identical at any partition count; a pair
+    sharing two cells yields bit-identical scores in both, so the
+    post-kernel dropDuplicates is safe. Memory is bounded by
+    ``block_rows × |cell| × 8 B`` per task (row-blocked upper-triangle);
+    a pathologically oversized cell (skewed corpus region) should use
+    the "blocked" backend instead, whose (cell, block_a, block_b) salt
+    spreads one cell over n_blocks² tasks.
+    """
+    thr = float(threshold)
+
+    def kernel(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cos_raw": np.array([], dtype=np.float64),
+            }
+        )
+        pdf = _nn(pdf)
+        # padding in _top_cells can duplicate (vid, cell); keep one copy,
+        # then fix the layout: sorted vids make iu < ju imply vid_a < vid_b
+        # AND make the BLAS operand layout partition-invariant.
+        pdf = pdf.drop_duplicates(subset=["vid"]).sort_values("vid")
+        n = len(pdf)
+        if n < 2:
+            return empty
+        vids = pdf["vid"].to_numpy()
+        mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        unit = mat / norms
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n - 1, block_rows):
+            i1 = min(i0 + block_rows, n)
+            # columns start at i0: only j >= i0 can satisfy j > i here
+            sub = unit[i0:i1] @ unit[i0:].T
+            ii, jj = np.nonzero(sub >= thr)
+            ig, jg = ii + i0, jj + i0
+            keep = jg > ig
+            if keep.any():
+                out_a.append(vids[ig[keep]])
+                out_b.append(vids[jg[keep]])
+                out_s.append(sub[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_s),
+            }
+        )
+
+    edges = cells.groupBy("cell").applyInPandas(
+        kernel, schema="vec_a long, vec_b long, cos_raw double"
+    )
+    return (
+        edges.dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", F.round("cos_raw", round_to).alias("cosine"))
+    )
+
+
 def cosine_pairs_ivf(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -803,6 +896,7 @@ def cosine_pairs_ivf(
     dim: int | None = None,
     centroids: np.ndarray | None = None,
     two_level: bool | None = None,
+    pair_backend: str = "fused",
 ) -> DataFrame:
     """Approximate cosine near-dup pairs via IVF cells — the data-adaptive
     alternative to :func:`cosine_pairs_lsh` (same contract, same exact
@@ -810,12 +904,23 @@ def cosine_pairs_ivf(
 
     Each vector soft-assigns to its ``n_assign`` nearest cells so pairs
     straddling a cell boundary still collide somewhere; candidates are the
-    within-cell pairs (equi-join on cell). Expected candidate volume is
-    Σ|cell|² — k-means balances cells on real (clustered) embedding
-    distributions, where fixed hyperplanes over- and under-fill buckets.
-    The cell table carries (id, cell) only; vectors rejoin candidates by id
-    (:func:`_score_pairs`). Recall vs :func:`cosine_pairs` is asserted in
-    tests.
+    within-cell pairs. Expected candidate volume is Σ|cell|² — k-means
+    balances cells on real (clustered) embedding distributions, where
+    fixed hyperplanes over- and under-fill buckets. Recall vs
+    :func:`cosine_pairs` is asserted in tests.
+
+    ``pair_backend`` picks the within-cell pair strategy:
+
+    * ``"fused"`` (default): candidate generation + exact scoring in ONE
+      ``applyInPandas`` per cell (:func:`_fused_cell_pairs`) — vectors
+      ride the cell shuffle once (O(n·n_assign·dim), same order as the
+      scan), pair scoring is a BLAS matmul, nothing pair-sized is ever
+      shuffled. Measured ~3× faster than "blocked" at sf0.1×8.
+    * ``"blocked"``: the id-only (cell, block_a, block_b) salted
+      self-join + :func:`_score_pairs` feature rejoin. Keeps per-task
+      memory flat even for a pathologically oversized cell (one cell
+      spreads over n_blocks² tasks) — the fallback for heavily skewed
+      corpora where one region swallows a constant fraction of rows.
     """
     d = _vec_dim(df, vec_col, dim)
     if centroids is None:
@@ -840,6 +945,7 @@ def cosine_pairs_ivf(
     if two_level is None:
         two_level = len(cents) >= 128
     tl_index = two_level_index(cents) if two_level else None
+    fused = pair_backend == "fused"
 
     def kernel(batches):
         import pandas as pd
@@ -851,12 +957,17 @@ def cosine_pairs_ivf(
                 continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             top = _top_cells(mat / norms, cents, n_assign_eff, tl_index)
-            yield pd.DataFrame(
-                {
-                    "vid": np.repeat(pdf["vid"].to_numpy(), n_assign_eff),
-                    "cell": top.ravel().astype(np.int32),
-                }
-            )
+            out = {
+                "vid": np.repeat(pdf["vid"].to_numpy(), n_assign_eff),
+                "cell": top.ravel().astype(np.int32),
+            }
+            if fused:
+                # the fused backend scores inside the cell groups, so the
+                # vector must ride the (single) cell shuffle
+                out["vec"] = np.repeat(
+                    pdf["vec"].to_numpy(), n_assign_eff
+                )
+            yield pd.DataFrame(out)
 
     # Spread the Arrow kernel if (and only if) the source is narrow: a
     # single-split parquet table would run the whole assignment matmul in
@@ -868,12 +979,18 @@ def cosine_pairs_ivf(
     n_shuffle = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
     )
+    cell_schema = (
+        "vid long, cell int, vec array<double>" if fused else "vid long, cell int"
+    )
     cellt = ensure_min_partitions(
         df.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
         ),
         n_shuffle,
-    ).mapInPandas(kernel, schema="vid long, cell int")
+    ).mapInPandas(kernel, schema=cell_schema)
+
+    if fused:
+        return _fused_cell_pairs(cellt, threshold, round_to)
 
     # Block-salted within-cell self-join: a bare join on `cell` has at
     # most n_cells distinct keys, so however wide the cluster, the pair
@@ -946,7 +1063,10 @@ def pq_codebooks(
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("pq-train"))
     target = train_rows if train_rows is not None else 64 * n_codes
-    rows = (
+    # Arrow collect, same rationale as kmeans_centroids: the sample is
+    # model-budget-sized but row-based pickling of dim-wide lists was
+    # the dominant training cost.
+    pdf = (
         base.select(
             "vid",
             "vec",
@@ -954,15 +1074,14 @@ def pq_codebooks(
         )
         .orderBy(salted)
         .limit(target)
-        .collect()
+        .toPandas()
     )
-    rows = [r for r in rows if r["vec"] is not None]
-    if not rows:
+    pdf = pdf[pdf["vec"].notna()]
+    if not len(pdf):
         raise ValueError("pq_codebooks: empty training input")
-    mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     init_order = np.argsort(
-        np.asarray([r["__init_h"] for r in rows], dtype=np.int64),
-        kind="stable",
+        pdf["__init_h"].to_numpy(dtype=np.int64), kind="stable"
     )[:n_codes]
     init = mat[init_order]
     # (m, n_codes, dsub): subspace j starts from the init rows' j-th slice
@@ -1208,7 +1327,8 @@ def _pq_codebooks_residual(
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("ivfpq-train"))
     target = train_rows if train_rows is not None else 64 * n_codes
-    rows = (
+    # Arrow collect, same rationale as kmeans_centroids.
+    pdf = (
         base.select(
             "vid",
             "vec",
@@ -1216,12 +1336,12 @@ def _pq_codebooks_residual(
         )
         .orderBy(salted)
         .limit(target)
-        .collect()
+        .toPandas()
     )
-    rows = [r for r in rows if r["vec"] is not None]
-    if not rows:
+    pdf = pdf[pdf["vec"].notna()]
+    if not len(pdf):
         raise ValueError("_pq_codebooks_residual: empty training input")
-    mat = np.asarray([r["vec"] for r in rows], dtype=np.float64)
+    mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     cell = ((mat / norms) @ cents.T).argmax(axis=1)
 
@@ -1237,8 +1357,7 @@ def _pq_codebooks_residual(
 
     resid = mat - anchors[cell]
     init_order = np.argsort(
-        np.asarray([r["__init_h"] for r in rows], dtype=np.int64),
-        kind="stable",
+        pdf["__init_h"].to_numpy(dtype=np.int64), kind="stable"
     )[:n_codes]
     resid0 = resid[init_order]
     books = np.stack(
@@ -1398,6 +1517,170 @@ def _ivfpq_candidates(
     )
 
 
+def knn_cosine_ivfpq_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int | None = None,
+    round_to: int = 4,
+    centroids: np.ndarray | None = None,
+    model: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """IVFPQ top-k for a LARGE query batch — the fully distributed twin of
+    :func:`knn_cosine_ivfpq`.
+
+    The per-query paths collect the query vectors to the driver and build
+    ADC lookup tables there — fine for a bounded top-k use case, a scale
+    wall for a million-query batch (the same wall bm25_multi_query_topk
+    hit for lexical retrieval, fixed the same way). Here NOTHING
+    query-sized touches the driver:
+
+    * queries stay a DataFrame; an Arrow kernel assigns each query row
+      its ``n_probe`` nearest cells (same coarse quantizer as the corpus
+      side — one model, both sides), emitting a (query_id, cell, qvec)
+      probe table;
+    * the encoded corpus (vid, cell, codes, nrm — PQ codes, never
+      vectors) COGROUPS with the probe table on ``cell``: one
+      ``applyInPandas`` per cell builds the ADC LUTs for just the
+      queries probing that cell, scores the cell's codes as one numpy
+      gather, and emits each query's within-cell shortlist;
+    * a per-query rank window trims to the global shortlist, and the
+      exact rerank joins vectors by id — with the query side HASH-joined
+      (no broadcast: the batch is allowed to be huge).
+
+    Each corpus row lives in exactly one cell, so (query, neighbor)
+    candidates are unique by construction — no dedup shuffle. Driver
+    state: centroids + codebooks + anchors (model-sized). Wall-clock is
+    ~flat in query count until the probed-cell work itself dominates
+    (scale probe: tools/scale_probe.py ``ivfpq_batch_qcount``).
+
+    Pass ``centroids``/``model`` (books, anchors) to reuse a trained
+    index across batches; recall vs :func:`knn_cosine` is gated in
+    tests/test_similarity.py.
+    """
+    from pyspark.sql import Window
+
+    short = shortlist if shortlist is not None else 4 * k
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+        )
+    )
+    if model is not None:
+        books, anchors = model
+    else:
+        books, anchors = _pq_codebooks_residual(
+            corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
+        )
+    codes = ivfpq_encode(
+        corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
+    )
+    n_probe_eff = min(n_probe, len(cents))
+    mm, _, dsub = books.shape
+
+    def probe_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = _nn(pdf)
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            qn = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-((mat / qn) @ cents.T), axis=1)[:, :n_probe_eff]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vid"].to_numpy(), n_probe_eff),
+                    "cell": top.ravel().astype(np.int32),
+                    "qvec": np.repeat(pdf["vec"].to_numpy(), n_probe_eff),
+                }
+            )
+
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
+
+    n_shuffle = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
+    )
+    qprobe = ensure_min_partitions(
+        queries.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        ),
+        n_shuffle,
+    ).mapInPandas(
+        probe_kernel, schema="query_id long, cell int, qvec array<double>"
+    )
+
+    def adc_cogroup(code_pdf, q_pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "adc": np.array([], dtype=np.float64),
+            }
+        )
+        if not len(code_pdf) or not len(q_pdf):
+            return empty
+        cell_id = int(code_pdf["cell"].iloc[0])
+        cds = np.asarray(code_pdf["codes"].tolist(), dtype=np.int64)
+        nrm = np.maximum(code_pdf["nrm"].to_numpy(), 1e-12)
+        vids = code_pdf["vid"].to_numpy()
+        # deterministic query layout (cogroup order is not stable)
+        q_pdf = q_pdf.sort_values("query_id")
+        qids = q_pdf["query_id"].to_numpy()
+        qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=np.float64)
+        qn = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+        # ADC: dot(q, anchor[cell]) + Σ_j LUT[j, code_j], LUTs built for
+        # JUST the queries probing this cell
+        approx = np.tile(
+            (qmat @ anchors[cell_id])[:, None], (1, len(vids))
+        )
+        for j in range(mm):
+            lut = qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T  # (q, n_codes)
+            approx += lut[:, cds[:, j]]
+        score = approx / (qn[:, None] * nrm[None, :])
+        n_keep = min(short, len(vids))
+        # within-cell shortlist per query (argsort row-wise, top n_keep)
+        order = np.argsort(-score, axis=1)[:, :n_keep]
+        out_q = np.repeat(qids, n_keep)
+        out_v = vids[order.ravel()]
+        out_s = np.take_along_axis(score, order, axis=1).ravel()
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_v, "adc": out_s}
+        )
+
+    local = (
+        codes.groupBy("cell")
+        .cogroup(qprobe.groupBy("cell"))
+        .applyInPandas(
+            adc_cogroup, schema="query_id long, neighbor_id long, adc double"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= short)
+        .select("query_id", "neighbor_id")
+    )
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to,
+        broadcast_queries=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed linear algebra over embedding columns (round 4)
 # ---------------------------------------------------------------------------
@@ -1530,9 +1813,10 @@ def semantic_dedup(
     dropped by the exact all-pairs dedup (precision 1 structurally —
     asserted in tests along with recall ≥ 0.7 of the exact drop set).
 
-    Scale shape: candidates are within-cell equi-joins (never all-pairs),
-    components move (id, label) pairs only, and the drop list is
-    O(duplicates) — broadcastable by construction.
+    Scale shape: candidates are within-cell only (never all-pairs; the
+    default fused backend scores them inside the cell groups), components
+    move (id, label) pairs only, and the drop list is O(duplicates) —
+    broadcastable by construction.
     """
     from node_mongo2influx_spark.operators.dedup import components_from_pairs
 

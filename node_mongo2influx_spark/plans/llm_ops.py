@@ -1590,10 +1590,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_ivf",
     oracle=None,  # approximate candidate source; exact tier is the oracle
     description="Embedding near-dup pairs via IVF cells (soft-assigned to 2 "
-    "nearest k-means cells, within-cell pair join, exact cosine on "
-    "candidates) — the data-adaptive twin of embedding_neardup_lsh. "
-    "Candidates never carry vectors; recall vs the exact all-pairs tier "
-    "asserted in tests/test_similarity.py.",
+    "nearest k-means cells) — the data-adaptive twin of "
+    "embedding_neardup_lsh. Candidate generation and exact scoring are "
+    "FUSED per cell (one applyInPandas, BLAS matmul, nothing pair-sized "
+    "shuffled); recall vs the exact all-pairs tier asserted in "
+    "tests/test_similarity.py.",
 )
 def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -2019,6 +2020,385 @@ def ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vcell") == F.col("cell"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
+    )
+    approx_r = approx.select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    return (
+        exact.join(
+            approx_r,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("a_neighbor").cast("double") / 10.0, 2).alias(
+                "recall"
+            )
+        )
+    )
+
+
+# --- deterministic recall probes for the approximate ANN families --------
+# (VERDICT r5 #3: clone ann_recall_probe's pattern — a DETERMINISTIC index
+# both engines can replay makes recall itself oracle-checkable, giving the
+# rows-only LSH/PQ tiers a hash-green driver witness.)
+#
+# Shared building blocks: the fmix32-derived ±1 sign matrix (already the
+# JL projection's replayable randomness) doubles as SRP hyperplanes; dot
+# products are bit-identical across engines (ann_recall_probe proves the
+# zip_with fold ≡ list_dot_product equivalence on these fixtures).
+
+#: 4 LSH tables × 4 signed planes each — rows of the JL sign matrix.
+_LSH_PROBE_TABLES, _LSH_PROBE_PLANES = 4, 4
+_LSH_PROBE_SIGNS = None  # filled lazily below (import-order safety)
+
+
+def _lsh_probe_signs():
+    global _LSH_PROBE_SIGNS
+    if _LSH_PROBE_SIGNS is None:
+        _LSH_PROBE_SIGNS = similarity.jl_sign_matrix(
+            64, _LSH_PROBE_TABLES * _LSH_PROBE_PLANES
+        )
+    return _LSH_PROBE_SIGNS
+
+
+def _lsh_probe_bucket_sql(t: int, emb: str, spark_side: bool) -> str:
+    """One table's SRP bucket id as engine SQL: bit j set iff
+    dot(emb, plane_{t,j}) > 0. Same text shape both engines; only the
+    dot-product spelling differs."""
+    signs = _lsh_probe_signs()
+    bits = []
+    for j in range(_LSH_PROBE_PLANES):
+        row = signs[t * _LSH_PROBE_PLANES + j]
+        if spark_side:
+            lit = "array(" + ", ".join(f"{s:.1f}D" for s in row) + ")"
+            dot = (
+                f"aggregate(zip_with({emb}, {lit}, (x, s) -> x * s), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+            )
+        else:
+            lit = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
+            dot = f"list_dot_product({emb}, {lit})"
+        bits.append(
+            f"(CASE WHEN {dot} > CAST(0.0 AS DOUBLE) THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _lsh_probe_oracle() -> str:
+    buckets = "\n            UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS t, "
+        f"{_lsh_probe_bucket_sql(t, 'emb', spark_side=False)} AS bucket "
+        "FROM e"
+        for t in range(_LSH_PROBE_TABLES)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        b AS (
+            {buckets}
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+            FROM b q JOIN b v ON v.t = q.t AND v.bucket = q.bucket
+                              AND v.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.emb, v.emb)
+                                    / (sqrt(list_dot_product(q.emb, q.emb))
+                                       * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM e q JOIN e v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 10
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY list_dot_product(q.emb, v.emb)
+                                    / (sqrt(list_dot_product(q.emb, q.emb))
+                                       * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                    c.neighbor_id
+                       ) AS rn
+                FROM cand c
+                JOIN e q ON q.vec_id = c.query_id
+                JOIN e v ON v.vec_id = c.neighbor_id
+            ) WHERE rn <= 10
+        )
+        SELECT e.query_id,
+               round(CAST(count(a.neighbor_id) AS DOUBLE) / 10.0, 2) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+@query(
+    "lsh_recall_probe",
+    oracle=_lsh_probe_oracle(),
+    description="Self-auditing SRP-LSH recall with a FULL oracle: 4 hash "
+    "tables of 4 DERIVED ±1 hyperplanes (fmix32 sign matrix — the JL "
+    "matrix's replayable randomness, so the index needs no training and "
+    "no side table), candidates = pairs sharing any (table, bucket), "
+    "exact-cosine top-10 over candidates vs the true top-10, per-query "
+    "recall@10. Both engines build the identical index from integer "
+    "arithmetic and identical IEEE dots, so recall matches bit-for-bit — "
+    "the production knn_cosine_lsh tier's monitoring harness, "
+    "oracle-checked end to end.",
+)
+def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = similarity._dot
+    bt = emb.select(
+        "vec_id",
+        "emb",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_lsh_probe_bucket_sql(t, "emb", spark_side=True))
+                    for t in range(_LSH_PROBE_TABLES)
+                ]
+            )
+        ).alias("t", "bucket"),
+    )
+    # ids-only candidate distinct (the production LSH shuffle discipline),
+    # vectors rejoin below for scoring
+    cand = (
+        bt.where("vec_id < 10")
+        .select(F.col("vec_id").alias("query_id"), "t", "bucket")
+        .join(
+            bt.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket"),
+            ["t", "bucket"],
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    cos = dot(F.col("qemb"), F.col("vemb")) / (
+        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
+        * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(cos.desc(), "neighbor_id")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 10")
+            .select("query_id", "neighbor_id")
+        )
+
+    qfeat = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    vfeat = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("vemb")
+    )
+    exact = topk(
+        F.broadcast(qfeat).join(
+            vfeat, F.col("neighbor_id") != F.col("query_id")
+        )
+    )
+    approx = topk(
+        cand.join(vfeat, "neighbor_id").join(F.broadcast(qfeat), "query_id")
+    )
+    approx_r = approx.select(
+        F.col("query_id").alias("a_query"),
+        F.col("neighbor_id").alias("a_neighbor"),
+    )
+    return (
+        exact.join(
+            approx_r,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("a_neighbor").cast("double") / 10.0, 2).alias(
+                "recall"
+            )
+        )
+    )
+
+
+def _pq_probe_oracle() -> str:
+    return """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        grid AS (SELECT unnest(range(0, 8)) AS j),
+        cb AS (
+            SELECT c.vec_id AS code, g.j,
+                   c.emb[g.j * 8 + 1 : g.j * 8 + 8] AS sub
+            FROM e c CROSS JOIN grid g WHERE c.vec_id < 16
+        ),
+        xs AS (
+            SELECT v.vec_id, g.j, v.emb[g.j * 8 + 1 : g.j * 8 + 8] AS x
+            FROM e v CROSS JOIN grid g
+        ),
+        assign AS (
+            SELECT vec_id, j, sub FROM (
+                SELECT xs.vec_id, xs.j, cb.sub,
+                       row_number() OVER (
+                           PARTITION BY xs.vec_id, xs.j
+                           ORDER BY list_dot_product(xs.x, cb.sub)
+                                    - 0.5 * list_dot_product(cb.sub, cb.sub)
+                                    DESC,
+                                    cb.code
+                       ) AS rn
+                FROM xs JOIN cb ON cb.j = xs.j
+            ) WHERE rn = 1
+        ),
+        recon AS (
+            SELECT vec_id, flatten(list(sub ORDER BY j)) AS rvec
+            FROM assign GROUP BY vec_id
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.emb, v.emb)
+                                    / (sqrt(list_dot_product(q.emb, q.emb))
+                                       * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                    v.vec_id
+                       ) AS rn
+                FROM e q JOIN e v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 10
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.emb, r.rvec)
+                                    / (sqrt(list_dot_product(q.emb, q.emb))
+                                       * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+                                    r.vec_id
+                       ) AS rn
+                FROM e q
+                JOIN recon r ON r.vec_id <> q.vec_id
+                JOIN e v ON v.vec_id = r.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 10
+        )
+        SELECT e.query_id,
+               round(CAST(count(a.neighbor_id) AS DOUBLE) / 10.0, 2) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+@query(
+    "pq_recall_probe",
+    oracle=_pq_probe_oracle(),
+    description="Self-auditing PQ (asymmetric-distance) recall with a "
+    "FULL oracle: a deterministic codebook — subspace j's 16 "
+    "sub-centroids are the j-th 8-dim slices of the first 16 vectors — "
+    "encodes every vector by nearest sub-centroid (argmax x·c − ‖c‖²/2, "
+    "code-id tie-break) and reconstructs it as the concatenation of its "
+    "chosen sub-centroids; ADC ranking is dot(q, reconstruction) over "
+    "the EXACT norms, compared against the true top-10 for per-query "
+    "recall@10. Identical IEEE arithmetic both engines → bit-for-bit "
+    "recall. The knn_cosine_pq tier's monitoring harness, oracle-checked "
+    "end to end.",
+)
+def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = similarity._dot
+    m, dsub = 8, 8
+    subs = F.posexplode(
+        F.array(*[F.slice("emb", j * dsub + 1, dsub) for j in range(m)])
+    )
+    cb = emb.where("vec_id < 16").select(
+        F.col("vec_id").alias("code"), subs.alias("j", "sub")
+    )
+    xs = emb.select("vec_id", subs.alias("j", "x"))
+    score = dot(F.col("x"), F.col("sub")) - 0.5 * dot(
+        F.col("sub"), F.col("sub")
+    )
+    w_assign = Window.partitionBy("vec_id", "j").orderBy(
+        score.desc(), "code"
+    )
+    assign = (
+        xs.join(F.broadcast(cb), "j")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select("vec_id", "j", "sub")
+    )
+    recon = assign.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "sub"))),
+                lambda s: s["sub"],
+            )
+        ).alias("rvec")
+    )
+
+    def topk(pairs: DataFrame, score_col) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            score_col.desc(), "neighbor_id"
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where("rn <= 10")
+            .select("query_id", "neighbor_id")
+        )
+
+    qfeat = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    vfeat = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("vemb")
+    )
+    cos_exact = dot(F.col("qemb"), F.col("vemb")) / (
+        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
+        * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
+    )
+    exact = topk(
+        F.broadcast(qfeat).join(
+            vfeat, F.col("neighbor_id") != F.col("query_id")
+        ),
+        cos_exact,
+    )
+    # ADC: approx dot against the reconstruction, EXACT corpus norms
+    rfeat = recon.select(
+        F.col("vec_id").alias("neighbor_id"), "rvec"
+    ).join(vfeat, "neighbor_id")
+    cos_adc = dot(F.col("qemb"), F.col("rvec")) / (
+        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
+        * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
+    )
+    approx = topk(
+        F.broadcast(qfeat).join(
+            rfeat, F.col("neighbor_id") != F.col("query_id")
+        ),
+        cos_adc,
     )
     approx_r = approx.select(
         F.col("query_id").alias("a_query"),
@@ -2760,6 +3140,29 @@ def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.knn_cosine_ivfpq(
         emb, emb.where("vec_id < 5"), id_col="vec_id", vec_col="embedding",
+        k=10, n_cells=16, n_probe=8, m=16, n_codes=16, dim=64, shortlist=80,
+    )
+
+
+@query(
+    "knn_cosine_ivfpq_batch",
+    oracle=None,  # approximate (trained index); recall gate in tests
+    description="IVFPQ top-k for a LARGE query batch — the fully "
+    "distributed twin of knn_cosine_ivfpq (VERDICT r5 #2). The per-query "
+    "paths collect query vectors to the driver to build ADC LUTs; here "
+    "queries stay a DataFrame end-to-end: an Arrow kernel assigns each "
+    "query its n_probe cells, the encoded corpus COGROUPS with that "
+    "probe table on cell (one applyInPandas per cell builds LUTs for "
+    "just its probing queries and scores the cell's codes as one numpy "
+    "gather), a rank window trims to the shortlist, and the exact "
+    "rerank hash-joins the query side (no broadcast — the batch may be "
+    "huge). Wall ~flat in query count (scale probe ivfpq_batch_qcount); "
+    "recall gated in tests/test_similarity.py.",
+)
+def knn_cosine_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_cosine_ivfpq_batch(
+        emb, emb.where("vec_id < 50"), id_col="vec_id", vec_col="embedding",
         k=10, n_cells=16, n_probe=8, m=16, n_codes=16, dim=64, shortlist=80,
     )
 

@@ -336,6 +336,7 @@ _LINT_SKIP = {
     "leakage_safe_split",  # components (iterative, eager) at compose
     "bpe_tokenize_corpus",  # BPE training (eager aggregate) at compose
     "knn_cosine_ivf", "knn_cosine_pq", "knn_cosine_ivfpq",
+    "knn_cosine_ivfpq_batch",  # kmeans + codebook training at compose
     "embedding_neardup_ivf", "semantic_dedup_ivf",
     "embedding_pca_project",  # eager Gram collect (model-sized) at compose
 }
@@ -353,6 +354,8 @@ _SCALAR_CROSSJOIN_OK = {
     "q11_important_stock",    # nation-total scalar
     "label_centroid_cosine",  # k-row centroid table
     "ann_recall_probe",       # 16-row fixed centroid table
+    "lsh_recall_probe",       # ≤10-row broadcast query side (exact yardstick)
+    "pq_recall_probe",        # ≤10-row broadcast query side (exact yardstick)
     "q14_promo_revenue_pct",  # scalar ratio
     "q8_market_share",        # scalar shares
     "knn_cosine_bruteforce",  # exact tier: broadcast query side (≤5 rows)

@@ -134,6 +134,32 @@ def test_cosine_pairs_ivf_recall(emb):
         assert len(approx & exact) / len(exact) >= 0.5, (len(approx), len(exact))
 
 
+def test_cosine_pairs_ivf_fused_equals_blocked(emb):
+    # The fused per-cell scorer (applyInPandas + BLAS matmul) and the
+    # id-pair blocked self-join + feature rejoin must produce the SAME
+    # edge set with the SAME rounded scores when given the same
+    # centroids — they are two physical strategies for one operator.
+    # (Per-pair dots are order-stable: dot(a, b) sums over the vector
+    # axis in fixed element order regardless of row layout.)
+    cents = similarity.kmeans_centroids(emb, n_cells=8, n_iters=2, dim=64)
+    kw = dict(threshold=0.4, n_cells=8, n_assign=3, dim=64,
+              centroids=cents, two_level=False)
+    fused = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_pairs_ivf(
+            emb, pair_backend="fused", **kw
+        ).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_pairs_ivf(
+            emb, pair_backend="blocked", **kw
+        ).collect()
+    }
+    assert fused == blocked
+    assert fused  # non-degenerate: the fixture has near-dup pairs
+
+
 def test_building_similarity_plans_triggers_zero_jobs(spark, emb):
     # Composing the LSH / brute-force operators must stay lazy: no eager
     # driver action (count/first) mid-build. Jobs run under a dedicated
@@ -277,6 +303,48 @@ def test_ivfpq_recall_vs_bruteforce(emb):
     # IVF pruning (8 of 16 cells) stacked on PQ residual codes: 0.83
     # observed; gate at 0.7 so either tier regressing fails loudly
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_batch_recall_vs_bruteforce(emb):
+    # The distributed-query-batch path must match the driver-LUT path's
+    # recall (same candidate semantics: same quantizer, same ADC math,
+    # same shortlist) — and never touch the driver with query vectors.
+    k = 10
+    queries = emb.where("vec_id < 10")
+    exact = similarity.knn_cosine(emb, queries, k=k).collect()
+    approx = similarity.knn_cosine_ivfpq_batch(
+        emb, queries, k=k, n_cells=16, n_probe=8, m=16, n_codes=16,
+        dim=64, shortlist=8 * k,
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_batch_handles_full_corpus_as_queries(emb):
+    # A batch as large as the corpus itself (the wall the driver-collect
+    # paths hit): every query must come back with exactly k rows.
+    from pyspark.sql import functions as F
+
+    k = 5
+    out = similarity.knn_cosine_ivfpq_batch(
+        emb, emb, k=k, n_cells=8, n_probe=4, m=8, n_codes=8, dim=64
+    )
+    per_q = out.groupBy("query_id").count().agg(
+        F.count(F.lit(1)).alias("nq"), F.min("count"), F.max("count")
+    ).first()
+    n = emb.count()
+    assert per_q["nq"] == n
+    assert per_q["max(count)"] == k
+    # probing 4 of 8 cells can under-fill a rare query's shortlist, but
+    # the bulk must be full
+    assert per_q["min(count)"] >= 1
 
 
 def test_ivfpq_residual_reconstruction_beats_raw_pq(emb):

@@ -10,6 +10,11 @@ amortizes); a quadratic one blows past it.
 
 Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [sf_dir]
 Prints one JSON line: {"probe": {...}, "sf": ..., "factors": [1, 4, 8]}.
+
+Env knobs (VERDICT r5 #5 — push heavy operators to 64×, where fixed
+stage overhead no longer masks the exponent):
+  SCALE_PROBE_FACTORS=1,8,64   comma-separated replication factors
+  SCALE_PROBE_ONLY=a,b         run only the named probes
 """
 
 from __future__ import annotations
@@ -24,7 +29,13 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-FACTORS = (1, 4, 8)
+FACTORS = tuple(
+    int(x)
+    for x in os.environ.get("SCALE_PROBE_FACTORS", "1,4,8").split(",")
+)
+ONLY = frozenset(
+    x for x in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if x
+)
 
 
 def main() -> None:
@@ -110,6 +121,23 @@ def main() -> None:
         return tp.join(ep, ["doc_a", "doc_b"], "full_outer").agg(
             F.count(F.lit(1)).alias("n_either")
         )
+
+    def _bpe_vocab_probe(k: int):
+        # deterministic synthetic vocabulary: 5000·k words, 200·k merges
+        import random
+
+        from node_mongo2influx_spark.operators.text import _bpe_merge_loop
+
+        rng = random.Random(7)
+        vocab: dict = {}
+        for _ in range(5000 * k):
+            w = tuple(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(3, 10))
+            ) + ("</w>",)
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 1000)
+        _bpe_merge_loop(vocab, 200 * k)
+        return None
 
     # Word pool for the query-count probe: fixed vocabulary, k scales the
     # NUMBER of queries (data stays 1x) — probes the inverted-index
@@ -238,6 +266,7 @@ def main() -> None:
             n_assign=3,
             dim=64,
             two_level=False,
+            pair_backend="blocked",
         ),
         # same growth with the hierarchical coarse quantizer ON: the
         # n·n_cells assignment term drops to n·(k1 + 2·n_cells/k1).
@@ -250,6 +279,50 @@ def main() -> None:
             n_assign=3,
             dim=64,
             two_level=True,
+            pair_backend="blocked",
+        ),
+        # round-6: the FUSED backend (default) — candidate generation +
+        # exact scoring in one applyInPandas per cell; the pair table
+        # (the r5 rows' dominant term) never exists. Flat and two-level
+        # quantizer variants.
+        "cosine_pairs_ivf_fused": lambda k: similarity.cosine_pairs_ivf(
+            uniquified_embeddings(k),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.4,
+            n_cells=16 * k,
+            n_assign=3,
+            dim=64,
+            two_level=False,
+            pair_backend="fused",
+        ),
+        "cosine_pairs_ivf_fused_two_level": lambda k: similarity.cosine_pairs_ivf(
+            uniquified_embeddings(k),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.4,
+            n_cells=16 * k,
+            n_assign=3,
+            dim=64,
+            two_level=True,
+            pair_backend="fused",
+        ),
+        # round-6: batch ANN — data fixed at 1x, k scales the QUERY
+        # count (25·k queries). Claimed ~flat: per-cell cogroup work is
+        # corpus-bounded and the ADC gather amortizes across the
+        # queries probing the cell (the BM25 multi-query posture for
+        # vector retrieval).
+        "ivfpq_batch_qcount": lambda k: similarity.knn_cosine_ivfpq_batch(
+            uniquified_embeddings(1),
+            uniquified_embeddings(1).where(F.col("vec_id") < 25 * k),
+            id_col="vec_id",
+            vec_col="embedding",
+            k=10,
+            n_cells=16,
+            n_probe=8,
+            m=16,
+            n_codes=16,
+            dim=64,
         ),
         # fixed-merge tokenizer: map-only full-corpus rewrite.
         "bpe_replace_chain": lambda k: text.bpe_replace_chain(
@@ -261,6 +334,13 @@ def main() -> None:
             ),
             score_col="s",
         ),
+        # round-6 (VERDICT r5 #6): the BPE merge loop at k× vocab AND k×
+        # merges — pure driver work on a synthetic Zipf-ish vocabulary
+        # (the parquet fixtures have a ~31-word vocab, useless for this).
+        # The incremental heap/inverted-index loop should stay
+        # ~linear-ish; the naive full-rescan reference is quadratic-class
+        # (measured 18× wall at 4×).
+        "bpe_merge_loop_vocab": lambda k: _bpe_vocab_probe(k),
     }
 
     # warm up session + python workers
@@ -271,6 +351,8 @@ def main() -> None:
 
     report = {}
     for name, fn in probes.items():
+        if ONLY and name not in ONLY:
+            continue
         times = []
         for k in FACTORS:
             t0 = time.monotonic()
@@ -279,12 +361,16 @@ def main() -> None:
                 out.write.format("noop").mode("overwrite").save()
             times.append(round(time.monotonic() - t0, 3))
         base = max(times[0], 1e-9)
+        last = FACTORS[-1]
         report[name] = {
             "sec": times,
-            "scaling_8x": round(times[-1] / base, 2),
+            f"scaling_{last}x": round(times[-1] / base, 2),
         }
-        print(f"# {name}: {times} (8x factor {report[name]['scaling_8x']})",
-              file=sys.stderr)
+        print(
+            f"# {name}: {times} ({last}x factor "
+            f"{report[name][f'scaling_{last}x']})",
+            file=sys.stderr,
+        )
 
     print(json.dumps({"probe": report, "sf_dir": SF_DIR, "factors": list(FACTORS)}))
 
