@@ -98,9 +98,9 @@ class ParquetSink(Sink):
         union), and rewritten — every other partition is untouched, so
         the cost is O(touched partitions), not O(table). The delta must
         carry its partition columns; a key that MOVES partitions leaves
-        the old row in the old partition (that is CDC-delete territory —
-        pair with a tombstone sweep if keys can migrate). Returns the
-        number of touched partitions.
+        the old row in the old partition — run :meth:`sweep_moved_keys`
+        after the upsert when keys can migrate (``cdc_apply_stream``
+        wires both). Returns the number of touched partitions.
 
         This is the continuous-load companion to the reference's
         truncate-then-load (index.js:328): the reference rewrites the
@@ -170,6 +170,150 @@ class ParquetSink(Sink):
         # on the replaced files.
         delta.sparkSession.catalog.refreshByPath(target)
         return len(touched)
+
+    def sweep_moved_keys(
+        self,
+        df_reader,
+        delta: DataFrame,
+        series: str,
+        keys: tuple[str, ...],
+        prev_cols: tuple[str, ...] | None = None,
+    ) -> int:
+        """Tombstone sweep for MIGRATING keys — the delete companion to
+        :meth:`upsert`. Upsert replaces a key wherever the delta's row
+        lands, but a key whose PARTITION VALUE changed (a record moved
+        from day A to day B) leaves its stale copy in the old partition
+        if the delta didn't also touch it. This sweep removes those
+        stale copies; run it after upsert (``cdc_apply_stream`` wires
+        both). Returns the number of stale partitions rewritten/dropped.
+
+        Two cost tiers for FINDING the stale partitions:
+
+        * ``prev_cols`` (CDC before-image: the feed carries the key's
+          OLD partition values, Debezium-style — e.g. ``__prev_day``
+          aligned with ``partition_by``): the stale set is read straight
+          off the delta, O(delta) total — the 100 TB path.
+        * no before-image: a column-pruned scan of (keys × partition
+          columns) over the store locates surviving copies — O(table)
+          scan but only a few bytes/row of a wide table, and the
+          REWRITE still touches only the stale partitions.
+
+        Idempotent: a replayed sweep finds no surviving copies (or
+        rewrites identical rows) and changes nothing. Partitions left
+        EMPTY by the sweep are deleted as directories (dynamic
+        overwrite cannot express an empty partition) — same mechanism
+        as :meth:`retention_sweep`, with partition values rendered via
+        ``str()`` (simple scalar partition values, the layout this sink
+        writes).
+        """
+        if not self.dynamic_overwrite:
+            raise ValueError(
+                "sweep_moved_keys requires dynamic_overwrite (and partition_by)"
+            )
+        pcols = list(self.partition_by)
+        store_dir = self.path / series
+        has_data = store_dir.exists() and any(
+            f.suffix == ".parquet" or f.name.startswith("part-")
+            for f in store_dir.rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+        if not has_data:
+            return 0
+        target = str(store_dir)
+        spark = delta.sparkSession
+        # the delta's OWN partition footprint was already cleaned by
+        # upsert's left_anti — sweep only partitions outside it
+        new_parts = {
+            tuple(str(r[c]) for c in pcols)
+            for r in delta.select(*pcols).distinct().collect()
+        }
+        dkeys = delta.select(*keys).distinct()
+        # partition tuples keyed by their STRING form (read-back types
+        # differ from delta types — day=2024-01-01 comes back DATE) but
+        # carrying NATIVE values for the pruning predicate: a cast() on
+        # the partition column in the filter would defeat partition
+        # pruning, turning the O(stale partitions) rewrite into a scan.
+        if prev_cols is not None:
+            if len(prev_cols) != len(pcols):
+                raise ValueError(
+                    "prev_cols must align 1:1 with partition_by"
+                )
+            cand = {
+                tuple(str(r[c]) for c in prev_cols): tuple(
+                    r[c] for c in prev_cols
+                )
+                for r in delta.select(*prev_cols).distinct().collect()
+                if all(r[c] is not None for c in prev_cols)
+            }
+        else:
+            locs = (
+                df_reader(target)
+                .select(*keys, *pcols)
+                .join(F.broadcast(dkeys), list(keys), "left_semi")
+                .select(*pcols)
+                .distinct()
+                .collect()
+            )
+            cand = {
+                tuple(str(r[c]) for c in pcols): tuple(r[c] for c in pcols)
+                for r in locs
+            }
+        def on_disk(t: tuple[str, ...]) -> bool:
+            d = store_dir
+            for c, v in zip(pcols, t):
+                d = d / f"{c}={v}"
+            return d.exists()
+
+        # drop before-image partitions already swept (or never written):
+        # keeps the replay a true no-op and the return value honest
+        stale = sorted(t for t in set(cand) - new_parts if on_disk(t))
+        if not stale:
+            return 0
+        import functools
+        import shutil
+
+        pred = functools.reduce(
+            lambda a, b: a | b,
+            (
+                functools.reduce(
+                    lambda x, y: x & y,
+                    (
+                        F.col(c) == F.lit(v)
+                        for c, v in zip(pcols, cand[t])
+                    ),
+                )
+                for t in stale
+            ),
+        )
+        kept = (
+            df_reader(target)
+            .where(pred)
+            .join(F.broadcast(dkeys), list(keys), "left_anti")
+            .localCheckpoint(eager=True)  # lineage reads what we rewrite
+        )
+        survivors = {
+            tuple(str(r[c]) for c in pcols)
+            for r in kept.select(*pcols).distinct().collect()
+        }
+        if survivors:
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+                .parquet(target)
+            )
+        # partitions with no survivors: dynamic overwrite writes nothing
+        # for them — drop the directories (retention_sweep's mechanism)
+        for t in stale:
+            if t in survivors:
+                continue
+            d = store_dir
+            for c, v in zip(pcols, t):
+                d = d / f"{c}={v}"
+            if d.exists():
+                shutil.rmtree(d)
+        spark.catalog.refreshByPath(target)
+        return len(stale)
 
     def retention_sweep(self, series: str, keep_from: str) -> list[str]:
         """Drop whole partitions older than ``keep_from`` — the InfluxDB

@@ -388,6 +388,8 @@ def cdc_apply_stream(
     series: str,
     keys: tuple[str, ...],
     checkpoint_dir: str,
+    sweep_moved_keys: bool = False,
+    prev_cols: tuple[str, ...] | None = None,
 ) -> StreamingQuery:
     """Apply a change feed to a partitioned parquet store: each
     micro-batch of (key, new values) rows MERGEs via
@@ -401,6 +403,16 @@ def cdc_apply_stream(
     re-replaces the same keys with the same values, leaving the store
     byte-equal (last-write-wins per key per batch; cross-batch order is
     the stream's batch order, which the checkpoint serializes).
+
+    ``sweep_moved_keys=True`` additionally runs
+    ``ParquetSink.sweep_moved_keys`` after each upsert, deleting stale
+    copies of keys whose PARTITION VALUE changed (a record that moved
+    from day A to day B leaves its old row in A otherwise). Pass
+    ``prev_cols`` when the feed carries a before-image of the partition
+    columns (e.g. ``__prev_day``) — the sweep is then O(delta); without
+    it, a column-pruned key-location scan finds the stale partitions.
+    Before-image columns are dropped from the stored rows. The sweep is
+    idempotent, so replay semantics are unchanged.
 
     ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
     delta must carry the sink's partition columns.
@@ -459,9 +471,19 @@ def cdc_apply_stream(
                 # key-only feed: every column is part of the key, so
                 # dropDuplicates IS deterministic here
                 last = batch_df.dropDuplicates(list(keys))
+        # before-image columns ride the sweep, never the store
+        stored = last.drop(*prev_cols) if prev_cols else last
         sink.upsert(
-            lambda p: spark.read.parquet(p), last, series, keys=keys
+            lambda p: spark.read.parquet(p), stored, series, keys=keys
         )
+        if sweep_moved_keys:
+            sink.sweep_moved_keys(
+                lambda p: spark.read.parquet(p),
+                last,
+                series,
+                keys=keys,
+                prev_cols=prev_cols,
+            )
 
     return (
         source.writeStream.foreachBatch(write_batch)

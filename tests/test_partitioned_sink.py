@@ -393,6 +393,92 @@ def test_upsert_replaces_keys_and_touches_only_delta_partitions(
     assert after_mtimes == before_mtimes
 
 
+def _mk_day_store(spark, tmp_path, rows):
+    sink = ParquetSink(
+        str(tmp_path / "sweep"), partition_by=("day",), dynamic_overwrite=True
+    )
+    df = spark.createDataFrame(rows, "event_id long, value double, day string")
+    sink.write(df, "t")
+    return sink, str(tmp_path / "sweep" / "t")
+
+
+def test_sweep_moved_keys_scan_path_removes_stale_copy(spark, tmp_path):
+    # A key that MOVES partitions: upsert writes the new-day row but the
+    # old-day copy survives; sweep_moved_keys (no before-image → key
+    # location scan) must delete it, leaving exactly one row per key.
+    sink, target = _mk_day_store(
+        spark,
+        tmp_path,
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-01"), (3, 3.0, "2024-01-02")],
+    )
+    delta = spark.createDataFrame(
+        [(1, 10.0, "2024-01-02")], "event_id long, value double, day string"
+    )
+    rd = lambda p: spark.read.parquet(p)  # noqa: E731
+    sink.upsert(rd, delta, "t", keys=("event_id",))
+    # stale copy present before the sweep (documents the hazard)
+    assert rd(target).where("event_id = 1").count() == 2
+    n = sink.sweep_moved_keys(rd, delta, "t", keys=("event_id",))
+    assert n == 1
+    got = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in rd(target).collect()
+    }
+    assert got == {
+        (1, 10.0, "2024-01-02"),
+        (2, 2.0, "2024-01-01"),
+        (3, 3.0, "2024-01-02"),
+    }
+    # idempotent: replaying upsert + sweep changes nothing
+    sink.upsert(rd, delta, "t", keys=("event_id",))
+    assert sink.sweep_moved_keys(rd, delta, "t", keys=("event_id",)) == 0
+    got2 = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in rd(target).collect()
+    }
+    assert got2 == got
+
+
+def test_sweep_moved_keys_prev_cols_path_and_empty_partition(spark, tmp_path):
+    # Before-image path (O(delta)): the feed carries __prev_day. Key 1 is
+    # the ONLY row of its old day — the sweep must drop the now-empty
+    # partition directory, not leave stale files dynamic overwrite can't
+    # replace.
+    import os
+
+    sink, target = _mk_day_store(
+        spark, tmp_path, [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-02")]
+    )
+    delta = spark.createDataFrame(
+        [(1, 10.0, "2024-01-03", "2024-01-01"),
+         (9, 9.0, "2024-01-03", None)],  # brand-new key: no before-image
+        "event_id long, value double, day string, __prev_day string",
+    )
+    rd = lambda p: spark.read.parquet(p)  # noqa: E731
+    sink.upsert(rd, delta.drop("__prev_day"), "t", keys=("event_id",))
+    n = sink.sweep_moved_keys(
+        rd, delta, "t", keys=("event_id",), prev_cols=("__prev_day",)
+    )
+    assert n == 1
+    assert not os.path.exists(os.path.join(target, "day=2024-01-01"))
+    got = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in rd(target).collect()
+    }
+    assert got == {
+        (1, 10.0, "2024-01-03"),
+        (2, 2.0, "2024-01-02"),
+        (9, 9.0, "2024-01-03"),
+    }
+    # replay: nothing left to sweep, store unchanged
+    assert (
+        sink.sweep_moved_keys(
+            rd, delta, "t", keys=("event_id",), prev_cols=("__prev_day",)
+        )
+        == 0
+    )
+
+
 def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
     # Model-based check: a sequence of random upserts must leave the
     # store equal to a plain dict keyed by (event_id) — replacement on

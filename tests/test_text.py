@@ -239,6 +239,33 @@ def test_bpe_train_matches_naive_stream_trainer(spark):
     assert len(got) == 20 and all(isinstance(a, str) and isinstance(b, str) for a, b in got)
 
 
+def test_bpe_incremental_loop_equals_reference_on_random_vocabs():
+    # The heap/inverted-index merge loop must produce EXACTLY the naive
+    # full-rescan loop's merge list — same counts, same lexicographic
+    # tie-breaks — on randomized vocabularies (including repeated-symbol
+    # words, where overlapping pair occurrences are the tricky case).
+    import random
+
+    from node_mongo2influx_spark.operators.text import (
+        _bpe_merge_loop,
+        _bpe_merge_loop_reference,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcde"
+    for trial in range(25):
+        vocab = {}
+        for _ in range(rng.randint(1, 40)):
+            w = tuple(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 8))
+            ) + ("</w>",)
+            vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+        n_merges = rng.randint(1, 30)
+        got = _bpe_merge_loop(vocab, n_merges)
+        ref = _bpe_merge_loop_reference(vocab, n_merges)
+        assert got == ref, (trial, vocab, got, ref)
+
+
 def test_bpe_tokenize_roundtrip_and_determinism(spark):
     texts = ["low lower lowest", "the newest widest", None]
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
