@@ -133,6 +133,20 @@ def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
 
 
 
+def _spread_kernel_input(df: DataFrame) -> DataFrame:
+    """Widen a narrow (single-split) frame to the shuffle width before a
+    mapInPandas kernel — kernel parallelism IS the input partitioning, so
+    a one-split parquet table would run the whole Arrow matmul on one
+    core. Pass-through for already-wide or post-shuffle frames (see
+    functions/skew.ensure_min_partitions)."""
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
+
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
+    )
+    return ensure_min_partitions(df, n_shuffle)
+
+
 def _nn(pdf, col="vec"):
     """Drop rows whose vector cell is NULL before a numpy kernel: a null
     embedding has no bucket/cell/code (same omission rule as minhash's
@@ -601,6 +615,7 @@ def _assign_cells(
     the SAME quantizer — mismatched routing silently loses neighbors
     whose routed cell isn't in the flat probe set."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
+    base = _spread_kernel_input(base)
 
     def kernel(batches):
         import pandas as pd
@@ -974,19 +989,13 @@ def cosine_pairs_ivf(
     # ONE Python worker (same failure class as the entity-resolution
     # single-core scoring fix), while a 100 TB scan already has hundreds
     # of splits and must NOT gain a full-corpus shuffle here.
-    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
-
-    n_shuffle = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
-    )
     cell_schema = (
         "vid long, cell int, vec array<double>" if fused else "vid long, cell int"
     )
-    cellt = ensure_min_partitions(
+    cellt = _spread_kernel_input(
         df.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-        ),
-        n_shuffle,
+        )
     ).mapInPandas(kernel, schema=cell_schema)
 
     if fused:
@@ -1136,8 +1145,10 @@ def pq_encode(
                 }
             )
 
-    base = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    base = _spread_kernel_input(
+        df.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
     )
     return base.mapInPandas(kernel, schema="vid long, codes array<int>, nrm double")
 
@@ -1293,8 +1304,10 @@ def ivfpq_encode(
                 }
             )
 
-    base = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    base = _spread_kernel_input(
+        df.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
     )
     return base.mapInPandas(
         kernel, schema="vid long, cell int, codes array<int>, nrm double"
@@ -1605,16 +1618,10 @@ def knn_cosine_ivfpq_batch(
                 }
             )
 
-    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
-
-    n_shuffle = int(
-        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
-    )
-    qprobe = ensure_min_partitions(
+    qprobe = _spread_kernel_input(
         queries.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-        ),
-        n_shuffle,
+        )
     ).mapInPandas(
         probe_kernel, schema="query_id long, cell int, qvec array<double>"
     )
@@ -1632,10 +1639,16 @@ def knn_cosine_ivfpq_batch(
         if not len(code_pdf) or not len(q_pdf):
             return empty
         cell_id = int(code_pdf["cell"].iloc[0])
+        # deterministic layout BOTH sides (cogroup row order is not
+        # stable): the corpus sort makes the stable argsort below break
+        # ADC-score ties by vid, so the shortlist cut is identical at
+        # any partition count — exact-duplicate embeddings produce
+        # bit-equal ADC scores and would otherwise survive or drop by
+        # shuffle order.
+        code_pdf = code_pdf.sort_values("vid")
         cds = np.asarray(code_pdf["codes"].tolist(), dtype=np.int64)
         nrm = np.maximum(code_pdf["nrm"].to_numpy(), 1e-12)
         vids = code_pdf["vid"].to_numpy()
-        # deterministic query layout (cogroup order is not stable)
         q_pdf = q_pdf.sort_values("query_id")
         qids = q_pdf["query_id"].to_numpy()
         qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=np.float64)
@@ -1650,8 +1663,10 @@ def knn_cosine_ivfpq_batch(
             approx += lut[:, cds[:, j]]
         score = approx / (qn[:, None] * nrm[None, :])
         n_keep = min(short, len(vids))
-        # within-cell shortlist per query (argsort row-wise, top n_keep)
-        order = np.argsort(-score, axis=1)[:, :n_keep]
+        # within-cell shortlist per query; STABLE argsort over the
+        # vid-sorted columns = ties broken by ascending vid,
+        # partition-invariant
+        order = np.argsort(-score, axis=1, kind="stable")[:, :n_keep]
         out_q = np.repeat(qids, n_keep)
         out_v = vids[order.ravel()]
         out_s = np.take_along_axis(score, order, axis=1).ravel()

@@ -35,6 +35,36 @@ def range_sorted_write(
     )
 
 
+def _has_data_files(store_dir: pathlib.Path) -> bool:
+    """True when the store directory holds actual data files. A directory
+    with only _SUCCESS / metadata (an empty prior write, or a crashed
+    one) is UNREADABLE (UNABLE_TO_INFER_SCHEMA) and must count as
+    absent — shared by upsert and sweep_moved_keys so the two probes
+    cannot drift apart."""
+    return store_dir.exists() and any(
+        f.suffix == ".parquet" or f.name.startswith("part-")
+        for f in store_dir.rglob("*")
+        if f.is_file() and not f.name.startswith(("_", "."))
+    )
+
+
+def _partition_pred(pcols, tuples):
+    """OR-of-AND partition predicate from NATIVE values (a cast() on the
+    partition column would defeat partition pruning)."""
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a | b,
+        (
+            functools.reduce(
+                lambda x, y: x & y,
+                (F.col(c) == F.lit(v) for c, v in zip(pcols, t)),
+            )
+            for t in tuples
+        ),
+    )
+
+
 class ParquetSink(Sink):
     supports_truncate = True
 
@@ -123,32 +153,12 @@ class ParquetSink(Sink):
         # a TRANSIENT read failure treated as "store absent" would
         # dynamic-overwrite the touched partitions with delta rows only,
         # silently dropping every non-delta key in them. Only a genuinely
-        # absent store may take the delta-only path; real errors propagate.
-        # "Exists" means HAS DATA FILES: a directory holding only
-        # _SUCCESS / metadata (an empty prior write, or a crashed one)
-        # is unreadable (UNABLE_TO_INFER_SCHEMA) and would otherwise
-        # wedge every future upsert — an empty store IS an absent store.
+        # absent store may take the delta-only path; real errors propagate
+        # (see _has_data_files for what "exists" means).
         store_dir = self.path / series
-        has_data = store_dir.exists() and any(
-            f.suffix == ".parquet" or f.name.startswith("part-")
-            for f in store_dir.rglob("*")
-            if f.is_file() and not f.name.startswith(("_", "."))
-        )
-        existing = df_reader(target) if has_data else None
+        existing = df_reader(target) if _has_data_files(store_dir) else None
         if existing is not None:
-            import functools
-
-            pred = functools.reduce(
-                lambda a, b: a | b,
-                (
-                    functools.reduce(
-                        lambda x, y: x & y,
-                        (F.col(c) == F.lit(v) for c, v in zip(pcols, t)),
-                    )
-                    for t in touched
-                ),
-            )
-            kept = existing.where(pred).join(
+            kept = existing.where(_partition_pred(pcols, touched)).join(
                 delta.select(*keys).distinct(), list(keys), "left_anti"
             )
             # Materialize BEFORE the overwrite: the merge reads the very
@@ -178,6 +188,7 @@ class ParquetSink(Sink):
         series: str,
         keys: tuple[str, ...],
         prev_cols: tuple[str, ...] | None = None,
+        prev_source: DataFrame | None = None,
     ) -> int:
         """Tombstone sweep for MIGRATING keys — the delete companion to
         :meth:`upsert`. Upsert replaces a key wherever the delta's row
@@ -198,6 +209,14 @@ class ParquetSink(Sink):
           scan but only a few bytes/row of a wide table, and the
           REWRITE still touches only the stale partitions.
 
+        ``prev_source`` (defaults to ``delta``) is the frame the
+        before-images are read from. It matters when the delta was
+        REDUCED to last-write-wins per key first (cdc_apply_stream): a
+        key that migrates TWICE in one batch (A→B then B→C) keeps only
+        the final event's before-image (B) after reduction, stranding
+        the stale copy in A — so the stream passes the UN-reduced batch
+        here. Extra candidate partitions cost at most a no-op rewrite.
+
         Idempotent: a replayed sweep finds no surviving copies (or
         rewrites identical rows) and changes nothing. Partitions left
         EMPTY by the sweep are deleted as directories (dynamic
@@ -212,12 +231,7 @@ class ParquetSink(Sink):
             )
         pcols = list(self.partition_by)
         store_dir = self.path / series
-        has_data = store_dir.exists() and any(
-            f.suffix == ".parquet" or f.name.startswith("part-")
-            for f in store_dir.rglob("*")
-            if f.is_file() and not f.name.startswith(("_", "."))
-        )
-        if not has_data:
+        if not _has_data_files(store_dir):
             return 0
         target = str(store_dir)
         spark = delta.sparkSession
@@ -238,18 +252,26 @@ class ParquetSink(Sink):
                 raise ValueError(
                     "prev_cols must align 1:1 with partition_by"
                 )
+            prev_src = prev_source if prev_source is not None else delta
             cand = {
                 tuple(str(r[c]) for c in prev_cols): tuple(
                     r[c] for c in prev_cols
                 )
-                for r in delta.select(*prev_cols).distinct().collect()
+                for r in prev_src.select(*prev_cols).distinct().collect()
                 if all(r[c] is not None for c in prev_cols)
             }
         else:
+            # column-pruned key-location scan; NO broadcast hint on the
+            # key set — a CDC delta is unbounded (an availableNow backlog
+            # batch can carry millions of keys), so AQE picks the join
+            # strategy from real sizes, matching upsert's own left_anti.
+            # dict.fromkeys dedups key∩partition column overlap (a
+            # partition column may legally be part of the key).
+            scan_cols = list(dict.fromkeys([*keys, *pcols]))
             locs = (
                 df_reader(target)
-                .select(*keys, *pcols)
-                .join(F.broadcast(dkeys), list(keys), "left_semi")
+                .select(*scan_cols)
+                .join(dkeys, list(keys), "left_semi")
                 .select(*pcols)
                 .distinct()
                 .collect()
@@ -269,26 +291,12 @@ class ParquetSink(Sink):
         stale = sorted(t for t in set(cand) - new_parts if on_disk(t))
         if not stale:
             return 0
-        import functools
         import shutil
 
-        pred = functools.reduce(
-            lambda a, b: a | b,
-            (
-                functools.reduce(
-                    lambda x, y: x & y,
-                    (
-                        F.col(c) == F.lit(v)
-                        for c, v in zip(pcols, cand[t])
-                    ),
-                )
-                for t in stale
-            ),
-        )
         kept = (
             df_reader(target)
-            .where(pred)
-            .join(F.broadcast(dkeys), list(keys), "left_anti")
+            .where(_partition_pred(pcols, [cand[t] for t in stale]))
+            .join(dkeys, list(keys), "left_anti")
             .localCheckpoint(eager=True)  # lineage reads what we rewrite
         )
         survivors = {

@@ -483,6 +483,10 @@ def cdc_apply_stream(
                 series,
                 keys=keys,
                 prev_cols=prev_cols,
+                # the UN-reduced batch: a key migrating twice in one
+                # batch (A→B→C) keeps only B's before-image in `last`,
+                # which would strand the stale copy in A
+                prev_source=batch_df,
             )
 
     return (

@@ -135,29 +135,34 @@ def test_cosine_pairs_ivf_recall(emb):
 
 
 def test_cosine_pairs_ivf_fused_equals_blocked(emb):
-    # The fused per-cell scorer (applyInPandas + BLAS matmul) and the
-    # id-pair blocked self-join + feature rejoin must produce the SAME
-    # edge set with the SAME rounded scores when given the same
-    # centroids — they are two physical strategies for one operator.
-    # (Per-pair dots are order-stable: dot(a, b) sums over the vector
-    # axis in fixed element order regardless of row layout.)
+    # The fused per-cell scorer (applyInPandas + BLAS matmul over unit
+    # rows) and the id-pair blocked self-join + feature rejoin must
+    # produce the SAME candidate edge set with equal scores — two
+    # physical strategies for one operator. Scores are compared to
+    # within one rounding step, not bitwise: the backends associate the
+    # dot differently (normalize-then-BLAS vs sequential fold / n_a·n_b),
+    # so a cosine within ~1 ulp of a round(4) boundary may legitimately
+    # round apart. (WITHIN each backend, scores are bit-stable at any
+    # partition count — tools/determinism_check.py gates that.)
     cents = similarity.kmeans_centroids(emb, n_cells=8, n_iters=2, dim=64)
     kw = dict(threshold=0.4, n_cells=8, n_assign=3, dim=64,
               centroids=cents, two_level=False)
     fused = {
-        (r["vec_a"], r["vec_b"], r["cosine"])
+        (r["vec_a"], r["vec_b"]): r["cosine"]
         for r in similarity.cosine_pairs_ivf(
             emb, pair_backend="fused", **kw
         ).collect()
     }
     blocked = {
-        (r["vec_a"], r["vec_b"], r["cosine"])
+        (r["vec_a"], r["vec_b"]): r["cosine"]
         for r in similarity.cosine_pairs_ivf(
             emb, pair_backend="blocked", **kw
         ).collect()
     }
-    assert fused == blocked
+    assert set(fused) == set(blocked)
     assert fused  # non-degenerate: the fixture has near-dup pairs
+    for pair, cos in fused.items():
+        assert abs(cos - blocked[pair]) <= 1e-4 + 1e-12, (pair, cos, blocked[pair])
 
 
 def test_building_similarity_plans_triggers_zero_jobs(spark, emb):

@@ -798,6 +798,59 @@ def test_cdc_apply_stream_sweeps_partition_migrating_keys(spark, tmp_path):
     assert got2 == expect
 
 
+def test_cdc_apply_stream_sweep_multi_hop_migration_in_one_batch(
+    spark, tmp_path
+):
+    # A key migrating TWICE within one micro-batch (A→B then B→C, __seq
+    # ordered) reduces to a single last-write row whose before-image is
+    # B — the sweep must still clear the ORIGINAL partition A, which
+    # only the un-reduced batch knows about (prev_source wiring).
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+    # seed the store: key 1 lives in day A alongside key 2
+    seed = spark.createDataFrame(
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-01")],
+        "event_id long, value double, day string",
+    )
+    sink.write(seed, "t")
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows = [
+        (1, 5.0, "2024-01-02", "2024-01-01", 1),   # A → B
+        (1, 10.0, "2024-01-03", "2024-01-02", 2),  # B → C (wins)
+    ]
+    schema = (
+        "event_id long, value double, day string, __prev_day string, "
+        "__seq int"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/.t")
+    for i, f in enumerate(sorted(glob.glob(src + "/.t/*.parquet"))):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+
+    q = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema),
+        sink, "t", keys=("event_id",),
+        checkpoint_dir=str(tmp_path / "ck"),
+        sweep_moved_keys=True, prev_cols=("__prev_day",),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    # key 1 exists ONLY in its final partition; day A keeps key 2
+    assert got == {(1, 10.0, "2024-01-03"), (2, 2.0, "2024-01-01")}
+    # before-image columns never reach the store
+    assert "__prev_day" not in spark.read.parquet(store + "/t").columns
+
+
 def test_cdc_apply_stream_without_seq_rejects_map_columns(spark, tmp_path):
     # The deterministic struct-max fallback cannot order MAP columns; the
     # stream must fail its first batch with an actionable message (add a
