@@ -288,14 +288,31 @@ class ParquetSink(Sink):
 
         # drop before-image partitions already swept (or never written):
         # keeps the replay a true no-op and the return value honest
-        stale = sorted(t for t in set(cand) - new_parts if on_disk(t))
+        stale = {
+            t: cand[t] for t in sorted(set(cand) - new_parts) if on_disk(t)
+        }
+        return self._drop_keys_from_partitions(
+            df_reader, spark, dkeys, keys, series, stale
+        )
+
+    def _drop_keys_from_partitions(
+        self, df_reader, spark, dkeys: DataFrame, keys, series: str,
+        stale: dict[tuple[str, ...], tuple],
+    ) -> int:
+        """Shared tail of sweep_moved_keys / delete_keys: rewrite the
+        ``stale`` partitions (str-form → native-value tuples) dropping
+        every key in ``dkeys``; partitions left empty are removed as
+        directories. Returns len(stale)."""
         if not stale:
             return 0
         import shutil
 
+        pcols = list(self.partition_by)
+        store_dir = self.path / series
+        target = str(store_dir)
         kept = (
             df_reader(target)
-            .where(_partition_pred(pcols, [cand[t] for t in stale]))
+            .where(_partition_pred(pcols, list(stale.values())))
             .join(dkeys, list(keys), "left_anti")
             .localCheckpoint(eager=True)  # lineage reads what we rewrite
         )
@@ -322,6 +339,83 @@ class ParquetSink(Sink):
                 shutil.rmtree(d)
         spark.catalog.refreshByPath(target)
         return len(stale)
+
+    def delete_keys(
+        self,
+        df_reader,
+        deletes: DataFrame,
+        series: str,
+        keys: tuple[str, ...],
+        prev_cols: tuple[str, ...] | None = None,
+    ) -> int:
+        """CDC DELETE: remove every key in ``deletes`` from the store —
+        the reference's workflow only ever truncates or appends
+        (index.js:321-336); a live change feed also retracts rows, and
+        at 100 TB that must not rewrite the table. Same two cost tiers
+        as :meth:`sweep_moved_keys`:
+
+        * the feed names where the key lives — its partition columns on
+          the delete row itself and/or ``prev_cols`` before-images (a
+          Debezium delete carries the old row): candidate partitions
+          read straight off the delta, O(delta);
+        * neither present → column-pruned key-location scan.
+
+        Unlike the sweep there is NO exclusion set: the key must vanish
+        from every named partition. Idempotent (a replayed delete finds
+        nothing to drop, or rewrites identical rows). Returns the number
+        of partitions rewritten/dropped.
+        """
+        if not self.dynamic_overwrite:
+            raise ValueError(
+                "delete_keys requires dynamic_overwrite (and partition_by)"
+            )
+        pcols = list(self.partition_by)
+        store_dir = self.path / series
+        if not _has_data_files(store_dir):
+            return 0
+        target = str(store_dir)
+        spark = deletes.sparkSession
+        dkeys = deletes.select(*keys).distinct()
+        cand: dict[tuple[str, ...], tuple] = {}
+        feed_named = all(c in deletes.columns for c in pcols)
+        if feed_named:
+            for r in deletes.select(*pcols).distinct().collect():
+                if all(r[c] is not None for c in pcols):
+                    cand[tuple(str(r[c]) for c in pcols)] = tuple(
+                        r[c] for c in pcols
+                    )
+        if prev_cols is not None:
+            if len(prev_cols) != len(pcols):
+                raise ValueError("prev_cols must align 1:1 with partition_by")
+            for r in deletes.select(*prev_cols).distinct().collect():
+                if all(r[c] is not None for c in prev_cols):
+                    cand[tuple(str(r[c]) for c in prev_cols)] = tuple(
+                        r[c] for c in prev_cols
+                    )
+        if not feed_named and prev_cols is None:
+            scan_cols = list(dict.fromkeys([*keys, *pcols]))
+            for r in (
+                df_reader(target)
+                .select(*scan_cols)
+                .join(dkeys, list(keys), "left_semi")
+                .select(*pcols)
+                .distinct()
+                .collect()
+            ):
+                cand[tuple(str(r[c]) for c in pcols)] = tuple(
+                    r[c] for c in pcols
+                )
+
+        def on_disk(t: tuple[str, ...]) -> bool:
+            d = store_dir
+            for c, v in zip(pcols, t):
+                d = d / f"{c}={v}"
+            return d.exists()
+
+        stale = {t: cand[t] for t in sorted(cand) if on_disk(t)}
+        return self._drop_keys_from_partitions(
+            df_reader, spark, dkeys, keys, series, stale
+        )
 
     def retention_sweep(self, series: str, keep_from: str) -> list[str]:
         """Drop whole partitions older than ``keep_from`` — the InfluxDB

@@ -390,6 +390,8 @@ def cdc_apply_stream(
     checkpoint_dir: str,
     sweep_moved_keys: bool = False,
     prev_cols: tuple[str, ...] | None = None,
+    op_col: str | None = None,
+    delete_op: str = "d",
 ) -> StreamingQuery:
     """Apply a change feed to a partitioned parquet store: each
     micro-batch of (key, new values) rows MERGEs via
@@ -412,6 +414,14 @@ def cdc_apply_stream(
     columns (e.g. ``__prev_day``) — the sweep is then O(delta); without
     it, a column-pruned key-location scan finds the stale partitions.
     Before-image columns are dropped from the stored rows. The sweep is
+    idempotent, so replay semantics are unchanged.
+
+    ``op_col`` names a CDC operation column (Debezium ``op``-style):
+    rows whose op equals ``delete_op`` RETRACT their key
+    (``ParquetSink.delete_keys``) instead of upserting it; the op is
+    resolved per key AFTER last-write-wins reduction, so an
+    update-then-delete batch deletes and a delete-then-reinsert batch
+    reinserts. The op column is dropped from stored rows. Deletes are
     idempotent, so replay semantics are unchanged.
 
     ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
@@ -471,14 +481,22 @@ def cdc_apply_stream(
                 # key-only feed: every column is part of the key, so
                 # dropDuplicates IS deterministic here
                 last = batch_df.dropDuplicates(list(keys))
-        # before-image columns ride the sweep, never the store
+        rd = lambda p: spark.read.parquet(p)  # noqa: E731
+        dels = None
+        if op_col is not None and op_col in last.columns:
+            # per-key op resolved AFTER the last-write-wins reduction:
+            # the key's FINAL event decides retract vs upsert
+            dels = last.where(F.col(op_col) == delete_op)
+            last = last.where(
+                F.col(op_col).isNull() | (F.col(op_col) != delete_op)
+            ).drop(op_col)
+            dels_has_rows = dels.limit(1).count() > 0
+        # before-image / op columns ride the sweep, never the store
         stored = last.drop(*prev_cols) if prev_cols else last
-        sink.upsert(
-            lambda p: spark.read.parquet(p), stored, series, keys=keys
-        )
+        sink.upsert(rd, stored, series, keys=keys)
         if sweep_moved_keys:
             sink.sweep_moved_keys(
-                lambda p: spark.read.parquet(p),
+                rd,
                 last,
                 series,
                 keys=keys,
@@ -487,6 +505,10 @@ def cdc_apply_stream(
                 # batch (A→B→C) keeps only B's before-image in `last`,
                 # which would strand the stale copy in A
                 prev_source=batch_df,
+            )
+        if dels is not None and dels_has_rows:
+            sink.delete_keys(
+                rd, dels, series, keys=keys, prev_cols=prev_cols
             )
 
     return (

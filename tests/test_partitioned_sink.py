@@ -479,6 +479,41 @@ def test_sweep_moved_keys_prev_cols_path_and_empty_partition(spark, tmp_path):
     )
 
 
+def test_delete_keys_feed_named_and_scan_paths(spark, tmp_path):
+    # CDC DELETE: feed-named partitions (O(delta)) and the key-location
+    # scan fallback must both remove the key everywhere it lives; empty
+    # partitions drop as directories; replay is a no-op.
+    import os
+
+    sink, target = _mk_day_store(
+        spark,
+        tmp_path,
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-01"), (3, 3.0, "2024-01-02")],
+    )
+    rd = lambda p: spark.read.parquet(p)  # noqa: E731
+    # feed-named: delete key 3 (its partition rides the delete row)
+    d1 = spark.createDataFrame(
+        [(3, "2024-01-02")], "event_id long, day string"
+    )
+    assert sink.delete_keys(rd, d1, "t", keys=("event_id",)) == 1
+    assert not os.path.exists(os.path.join(target, "day=2024-01-02"))
+    # scan path: key-only delete row (no partition columns) finds key 1
+    d2 = spark.createDataFrame([(1,)], "event_id long")
+    assert sink.delete_keys(rd, d2, "t", keys=("event_id",)) == 1
+    got = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in rd(target).collect()
+    }
+    assert got == {(2, 2.0, "2024-01-01")}
+    # replays: nothing to do, store unchanged
+    assert sink.delete_keys(rd, d1, "t", keys=("event_id",)) == 0
+    assert sink.delete_keys(rd, d2, "t", keys=("event_id",)) == 0
+    assert {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in rd(target).collect()
+    } == got
+
+
 def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
     # Model-based check: a sequence of random upserts must leave the
     # store equal to a plain dict keyed by (event_id) — replacement on

@@ -851,6 +851,73 @@ def test_cdc_apply_stream_sweep_multi_hop_migration_in_one_batch(
     assert "__prev_day" not in spark.read.parquet(store + "/t").columns
 
 
+def test_cdc_apply_stream_applies_delete_ops(spark, tmp_path):
+    # A change feed with a Debezium-style op column: the key's FINAL
+    # event in a batch decides — update-then-delete retracts,
+    # delete-then-reinsert survives. Replay with a fresh checkpoint is
+    # a no-op.
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows1 = [
+        (1, 1.0, "2024-01-01", "u", 1),
+        (2, 2.0, "2024-01-01", "u", 1),
+        (3, 3.0, "2024-01-02", "u", 1),
+    ]
+    rows2 = [
+        (2, 99.0, "2024-01-01", "u", 2),  # update...
+        (2, 99.0, "2024-01-01", "d", 3),  # ...then delete -> retracted
+        (3, 0.0, "2024-01-02", "d", 2),   # delete...
+        (3, 33.0, "2024-01-02", "u", 3),  # ...then reinsert -> survives
+    ]
+    schema = "event_id long, value double, day string, op string, __seq int"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/.t1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/.t2")
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/.t1/*.parquet"))
+        + sorted(glob.glob(src + "/.t2/*.parquet"))
+    ):
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+
+    def run(ck):
+        q = sp.cdc_apply_stream(
+            sp.read_stream(spark, src, spark.read.parquet(src).schema,
+                           max_files_per_trigger=1),
+            sink, "t", keys=("event_id",),
+            checkpoint_dir=str(tmp_path / ck), op_col="op",
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    expect = {
+        (1, 1.0, "2024-01-01"),
+        (3, 33.0, "2024-01-02"),
+    }
+    out = spark.read.parquet(store + "/t")
+    got = {
+        (r["event_id"], r["value"], str(r["day"])) for r in out.collect()
+    }
+    assert got == expect
+    assert "op" not in out.columns  # the op never reaches the store
+
+    run("ck2")  # fresh-checkpoint replay: byte-stable
+    got2 = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    assert got2 == expect
+
+
 def test_cdc_apply_stream_without_seq_rejects_map_columns(spark, tmp_path):
     # The deterministic struct-max fallback cannot order MAP columns; the
     # stream must fail its first batch with an actionable message (add a
