@@ -67,9 +67,11 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
 #: SHORT — everything else is ordered automatically from the
 #: CORRECTNESS_r*.json history.
 _PIN_FIRST: tuple[str, ...] = (
-    # VERDICT r4 item #1: third-round red for output-encoding, now
-    # posexploded to scalar rows — the green row proves the fix.
-    "multimodal_features",
+    # Round 6 (VERDICT r5 #3): the two new oracle-exact ANN recall
+    # probes — a green hash row each is the round's headline evidence
+    # (they'd rank tier-2 anyway; the pin guards against window drift).
+    "lsh_recall_probe",
+    "pq_recall_probe",
 )
 
 
