@@ -198,6 +198,38 @@ def test_ivf_trainer_and_query_tolerate_null_vec(vecs_with_null):
     assert {r["query_id"] for r in out} == {1}
 
 
+def test_ivfpq_batch_tolerates_null_and_empty_queries(vecs_with_null):
+    from node_mongo2influx_spark.operators import similarity
+
+    # all-NULL query set: the probe kernel drops the rows, the cogroup
+    # sees an empty query side everywhere, and the result is empty —
+    # no AxisError, no driver collect to blow up on
+    q_null = vecs_with_null.where(F.col("vec_id") == 2)
+    out = similarity.knn_cosine_ivfpq_batch(
+        vecs_with_null, q_null, id_col="vec_id", vec_col="embedding",
+        k=2, dim=8, n_cells=2, n_probe=2, m=4, n_codes=4,
+    )
+    assert out.count() == 0
+    # empty query frame: same contract
+    q_empty = vecs_with_null.where(F.lit(False))
+    out2 = similarity.knn_cosine_ivfpq_batch(
+        vecs_with_null, q_empty, id_col="vec_id", vec_col="embedding",
+        k=2, dim=8, n_cells=2, n_probe=2, m=4, n_codes=4,
+    )
+    assert out2.count() == 0
+
+
+def test_cosine_pairs_ivf_fused_null_vec_omitted(vecs_with_null):
+    from node_mongo2influx_spark.operators import similarity
+
+    pairs = similarity.cosine_pairs_ivf(
+        vecs_with_null, id_col="vec_id", vec_col="embedding",
+        threshold=0.0, n_cells=2, n_assign=2, dim=8,
+    ).collect()
+    ids = {i for r in pairs for i in (r["vec_a"], r["vec_b"])}
+    assert 2 not in ids  # the NULL-embedding row has no cell, no pairs
+
+
 def test_pq_trainer_tolerates_null_vec(vecs_with_null):
     from node_mongo2influx_spark.operators import similarity
 
