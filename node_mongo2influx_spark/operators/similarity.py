@@ -455,6 +455,7 @@ def kmeans_centroids(
     dim: int | None = None,
     train_rows: int | None = None,
     train_fraction: float | None = None,
+    return_train_sample: bool = False,
 ) -> np.ndarray:
     """Spherical k-means centroids for IVF coarse quantization (unit rows).
 
@@ -518,6 +519,10 @@ def kmeans_centroids(
         pdf = pdf[pdf["vec"].notna()]
         if not len(pdf):
             raise ValueError("kmeans_centroids: empty training input")
+        # len < target ⇔ LIMIT didn't truncate ⇔ the "sample" IS the whole
+        # corpus (minus null vecs) — callers asking for the train sample
+        # back (return_train_sample) use that to skip population probes.
+        truncated = len(pdf) >= target
         mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         unit = mat / norms
@@ -537,6 +542,11 @@ def kmeans_centroids(
                 if n > 1e-12:
                     cents[c] = sums[c] / n
             # empty cells keep their previous centroid (stable, deterministic)
+        if return_train_sample:
+            # (centroids, unit-normalized train rows, truncated?): when NOT
+            # truncated the rows are the whole corpus, so any assignment
+            # statistic computed on them driver-side is EXACT and free.
+            return cents, unit, truncated
         return cents
 
     cut = int(train_fraction * 1_000_000)
@@ -566,6 +576,10 @@ def kmeans_centroids(
             # empty cells keep their previous centroid (stable, deterministic)
     finally:
         train.unpersist()
+    if return_train_sample:
+        # the distributed path never holds rows driver-side: no sample to
+        # hand back, population probes must go through the sampled path
+        return cents, None, True
     return cents
 
 
@@ -607,15 +621,19 @@ def _assign_cells(
     base: DataFrame,
     centroids_unit: np.ndarray,
     tl_index: tuple[np.ndarray, list[np.ndarray]] | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """(vid, cell): nearest-centroid assignment by cosine, one matmul per
     Arrow batch. Ids only — nothing data-sized rides the candidate join.
     ``tl_index`` routes through the two-level coarse quantizer; the
     CALLER decides, because corpus assignment and query probing must use
     the SAME quantizer — mismatched routing silently loses neighbors
-    whose routed cell isn't in the flat probe set."""
+    whose routed cell isn't in the flat probe set. ``n_assign > 1``
+    emits the top-n cells per vector (one row each) — the soft
+    assignment the pair tiers use."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
     base = _spread_kernel_input(base)
+    n_top = min(n_assign, len(cents))
 
     def kernel(batches):
         import pandas as pd
@@ -626,10 +644,13 @@ def _assign_cells(
             if not len(mat):
                 continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            cell = _top_cells(mat / norms, cents, 1, tl_index)[:, 0].astype(
-                np.int32
+            top = _top_cells(mat / norms, cents, n_top, tl_index)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].to_numpy(), n_top),
+                    "cell": top.ravel().astype(np.int32),
+                }
             )
-            yield pd.DataFrame({"vid": pdf["vid"], "cell": cell})
 
     return base.mapInPandas(kernel, schema="vid long, cell int")
 
@@ -814,11 +835,126 @@ def _top_cells(
     return out
 
 
+def _estimate_oversized_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids_unit: np.ndarray,
+    n_assign: int,
+    tl_index: tuple[np.ndarray, list[np.ndarray]] | None,
+    cell_cap: int,
+    sample_mod: int = 64,
+) -> dict[int, int]:
+    """AQE-style skew statistics for the fused IVF scorer: estimate
+    per-cell population from a deterministic 1-in-``sample_mod`` id-hash
+    cut of the corpus (salted so it can't correlate with the block-salt
+    hash), assigned through the SAME quantizer as the real pass. Returns
+    ``{cell: n_blocks}`` for cells whose estimated population exceeds
+    ``cell_cap`` — empty on balanced corpora (the common case).
+
+    Cost: one extra SINGLE-STAGE job over |corpus|/sample_mod vectors
+    (sampled assignment matmul, per-partition partial bincounts collected
+    straight to the driver — no shuffle) — model-sized output, linear
+    probe cost, partition-layout independent (the cut is a pure function
+    of the id, not of ``sample()``'s split seeds).
+    Estimation error is irrelevant to correctness: a missed mid-size
+    cell still fits the kernel's row-blocked memory bound, a false
+    positive merely spreads a small cell over a few tasks."""
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    if sample_mod > 1:
+        base = base.where(
+            F.pmod(F.xxhash64(F.lit("ivf-skew-probe"), F.col("vid")), F.lit(sample_mod))
+            == 0
+        )
+    cents = centroids_unit
+    n_top = min(n_assign, len(cents))
+
+    def kernel(batches):
+        import pandas as pd
+
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for pdf in batches:
+            pdf = _nn(pdf)
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            top = _top_cells(mat / norms, cents, n_top, tl_index)
+            np.add.at(cnt, top.ravel(), 1)
+        nz = np.nonzero(cnt)[0]
+        yield pd.DataFrame({"cell": nz.astype(np.int32), "n": cnt[nz]})
+
+    # per-partition partial bincounts collected directly — ONE single-stage
+    # job, no shuffle (n_cells × partitions tiny rows to the driver)
+    counts = np.zeros(len(cents), dtype=np.int64)
+    for r in (
+        _spread_kernel_input(base)
+        .mapInPandas(kernel, schema="cell int, n long")
+        .collect()
+    ):
+        counts[r["cell"]] += r["n"]
+    return _oversized_from_counts(counts, cell_cap, sample_mod)
+
+
+def _oversized_from_counts(
+    counts: np.ndarray, cell_cap: int, sample_mod: int = 1
+) -> dict[int, int]:
+    """``{cell: n_blocks}`` for cells whose (scaled) count exceeds the cap."""
+    oversized: dict[int, int] = {}
+    for c in np.nonzero(counts)[0]:
+        est = int(counts[c]) * sample_mod
+        if est > cell_cap:
+            oversized[int(c)] = -(-est // cell_cap)  # ceil div
+    return oversized
+
+
+def _block_replicate(cells: DataFrame, oversized: dict[int, int]) -> DataFrame:
+    """Replicate skewed-cell rows to their block-pair groups: a row in
+    block ``b`` of a cell split ``nb`` ways lands in groups
+    ``(min(b, x), max(b, x))`` for every ``x < nb`` — so an unordered
+    block pair ``{p, q}`` meets in exactly ONE group (``(p, q)``), the
+    diagonal group ``(b, b)`` holds exactly the block-``b`` rows, and
+    every within-cell pair is scored exactly once. Rows of balanced
+    cells (``nb == 1``) pass through with zero replication — group
+    ``(0, 0)``, today's layout. Replication cost is ``nb×`` vector rows
+    for the skewed cells ONLY — exactly the spreading being bought."""
+    items = sorted(oversized.items())
+    nb_map = F.create_map(
+        *[F.lit(v) for c_nb in items for v in c_nb]
+    )
+    nb = F.coalesce(
+        F.element_at(nb_map, F.col("cell").cast("int")), F.lit(1)
+    )
+    blk = F.pmod(F.xxhash64(F.lit("ivf-cell-block"), F.col("vid")), nb).cast("int")
+    groups = F.transform(
+        F.sequence(F.lit(0), nb.cast("int") - F.lit(1)),
+        lambda x: F.struct(
+            F.least(F.col("__blk"), x).alias("lo"),
+            F.greatest(F.col("__blk"), x).alias("hi"),
+        ),
+    )
+    return (
+        cells.withColumn("__blk", blk)
+        .withColumn("__g", F.explode(groups))
+        .select(
+            "cell",
+            "vid",
+            "vec",
+            "__blk",
+            F.col("__g.lo").alias("__lo"),
+            F.col("__g.hi").alias("__hi"),
+        )
+    )
+
+
 def _fused_cell_pairs(
     cells: DataFrame,
     threshold: float,
     round_to: int,
     block_rows: int = 1024,
+    oversized: dict[int, int] | None = None,
 ) -> DataFrame:
     """Per-cell all-pairs cosine, candidate generation FUSED with scoring:
     ``cells`` is (cell, vid, vec) — the n_assign-replicated assignment
@@ -839,12 +975,23 @@ def _fused_cell_pairs(
     every per-pair float — is identical at any partition count; a pair
     sharing two cells yields bit-identical scores in both, so the
     post-kernel dropDuplicates is safe. Memory is bounded by
-    ``block_rows × |cell| × 8 B`` per task (row-blocked upper-triangle);
-    a pathologically oversized cell (skewed corpus region) should use
-    the "blocked" backend instead, whose (cell, block_a, block_b) salt
-    spreads one cell over n_blocks² tasks.
+    ``block_rows × |cell| × 8 B`` per task (row-blocked upper-triangle).
+
+    ``oversized`` (``{cell: n_blocks}``, from
+    :func:`_estimate_oversized_cells`) handles the skewed-corpus case a
+    single group-per-cell cannot: members of an oversized cell are
+    id-hash split into ``n_blocks`` blocks and replicated to block-PAIR
+    groups (:func:`_block_replicate`), so one pathological cell spreads
+    over ``n_blocks·(n_blocks+1)/2`` tasks — the blocked backend's salt
+    idea, but still scoring with in-kernel BLAS, never an id-pair join.
+    Diagonal groups score within-block pairs, off-diagonal groups score
+    only cross-block pairs: each pair exactly once. Per-pair floats are
+    unchanged by the split (a dot over ``dim`` has one association at
+    these widths regardless of containing-matrix shape — the same
+    property the cross-cell dedup already relies on).
     """
     thr = float(threshold)
+    split = bool(oversized)
 
     def kernel(pdf):
         import pandas as pd
@@ -864,22 +1011,52 @@ def _fused_cell_pairs(
         n = len(pdf)
         if n < 2:
             return empty
-        vids = pdf["vid"].to_numpy()
-        mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        unit = mat / norms
+        cross = split and pdf["__lo"].iat[0] != pdf["__hi"].iat[0]
         out_a, out_b, out_s = [], [], []
-        for i0 in range(0, n - 1, block_rows):
-            i1 = min(i0 + block_rows, n)
-            # columns start at i0: only j >= i0 can satisfy j > i here
-            sub = unit[i0:i1] @ unit[i0:].T
-            ii, jj = np.nonzero(sub >= thr)
-            ig, jg = ii + i0, jj + i0
-            keep = jg > ig
-            if keep.any():
-                out_a.append(vids[ig[keep]])
-                out_b.append(vids[jg[keep]])
-                out_s.append(sub[ii[keep], jj[keep]])
+        if cross:
+            # off-diagonal block-pair group: ONLY lo-block × hi-block
+            # pairs belong here (within-block pairs are the diagonal
+            # group's, and would otherwise be scored n_blocks times)
+            lo_side = pdf[pdf["__blk"] == pdf["__lo"].iat[0]]
+            hi_side = pdf[pdf["__blk"] == pdf["__hi"].iat[0]]
+            na = len(lo_side)
+            if not na or not len(hi_side):
+                return empty
+            vids_a = lo_side["vid"].to_numpy()
+            vids_b = hi_side["vid"].to_numpy()
+            mat_a = np.asarray(lo_side["vec"].tolist(), dtype=np.float64)
+            mat_b = np.asarray(hi_side["vec"].tolist(), dtype=np.float64)
+            unit_a = mat_a / np.maximum(
+                np.linalg.norm(mat_a, axis=1, keepdims=True), 1e-12
+            )
+            unit_b = mat_b / np.maximum(
+                np.linalg.norm(mat_b, axis=1, keepdims=True), 1e-12
+            )
+            for i0 in range(0, na, block_rows):
+                i1 = min(i0 + block_rows, na)
+                sub = unit_a[i0:i1] @ unit_b.T
+                ii, jj = np.nonzero(sub >= thr)
+                if len(ii):
+                    va, vb = vids_a[ii + i0], vids_b[jj]
+                    out_a.append(np.minimum(va, vb))
+                    out_b.append(np.maximum(va, vb))
+                    out_s.append(sub[ii, jj])
+        else:
+            vids = pdf["vid"].to_numpy()
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            unit = mat / norms
+            for i0 in range(0, n - 1, block_rows):
+                i1 = min(i0 + block_rows, n)
+                # columns start at i0: only j >= i0 can satisfy j > i here
+                sub = unit[i0:i1] @ unit[i0:].T
+                ii, jj = np.nonzero(sub >= thr)
+                ig, jg = ii + i0, jj + i0
+                keep = jg > ig
+                if keep.any():
+                    out_a.append(vids[ig[keep]])
+                    out_b.append(vids[jg[keep]])
+                    out_s.append(sub[ii[keep], jj[keep]])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -890,7 +1067,13 @@ def _fused_cell_pairs(
             }
         )
 
-    edges = cells.groupBy("cell").applyInPandas(
+    if split:
+        grouped = _block_replicate(cells, oversized).groupBy(
+            "cell", "__lo", "__hi"
+        )
+    else:
+        grouped = cells.groupBy("cell")
+    edges = grouped.applyInPandas(
         kernel, schema="vec_a long, vec_b long, cos_raw double"
     )
     return (
@@ -912,6 +1095,8 @@ def cosine_pairs_ivf(
     centroids: np.ndarray | None = None,
     two_level: bool | None = None,
     pair_backend: str = "fused",
+    cell_cap: int | None = 4096,
+    skew_sample_mod: int = 64,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs via IVF cells — the data-adaptive
     alternative to :func:`cosine_pairs_lsh` (same contract, same exact
@@ -930,18 +1115,35 @@ def cosine_pairs_ivf(
       ``applyInPandas`` per cell (:func:`_fused_cell_pairs`) — vectors
       ride the cell shuffle once (O(n·n_assign·dim), same order as the
       scan), pair scoring is a BLAS matmul, nothing pair-sized is ever
-      shuffled. Measured ~3× faster than "blocked" at sf0.1×8.
+      shuffled. Measured ~3× faster than "blocked" at sf0.1×8. Skewed
+      corpora are handled AUTOMATICALLY: a sampled pre-pass
+      (:func:`_estimate_oversized_cells`, ``skew_sample_mod`` ids per
+      probe row) estimates cell populations, and any cell estimated
+      above ``cell_cap`` members is id-hash split into block-pair
+      groups (:func:`_block_replicate`) so one pathological cell
+      spreads over ~(pop/cell_cap)² tasks with replication paid ONLY by
+      that cell's rows. ``cell_cap=None`` disables the probe (one fewer
+      job — for corpora known balanced, e.g. freshly trained k-means at
+      bench scale).
     * ``"blocked"``: the id-only (cell, block_a, block_b) salted
-      self-join + :func:`_score_pairs` feature rejoin. Keeps per-task
-      memory flat even for a pathologically oversized cell (one cell
-      spreads over n_blocks² tasks) — the fallback for heavily skewed
-      corpora where one region swallows a constant fraction of rows.
+      self-join + :func:`_score_pairs` feature rejoin. Every cell
+      unconditionally spreads over n_blocks² tasks at an n_blocks×
+      id-row replication — kept selectable for corpora where MOST cells
+      are heavy and the probe-then-split dance saves nothing.
     """
     d = _vec_dim(df, vec_col, dim)
+    train_sample, train_truncated = None, True
     if centroids is None:
         centroids = kmeans_centroids(
-            df, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, dim=d
+            df,
+            id_col,
+            vec_col,
+            n_cells=n_cells,
+            n_iters=n_iters,
+            dim=d,
+            return_train_sample=True,
         )
+        centroids, train_sample, train_truncated = centroids
     cents = centroids
     n_assign_eff = min(n_assign, len(cents))
     # Two-level (hierarchical) coarse assignment: the flat n·n_cells·dim
@@ -999,7 +1201,39 @@ def cosine_pairs_ivf(
     ).mapInPandas(kernel, schema=cell_schema)
 
     if fused:
-        return _fused_cell_pairs(cellt, threshold, round_to)
+        oversized = None
+        if cell_cap:
+            # Skew-statistics ladder, cheapest sufficient evidence wins:
+            # 1. training sample untruncated ⇒ it IS the corpus: exact
+            #    soft-assignment populations in the driver, ZERO extra jobs;
+            # 2. id-only LIMIT(cap+1) probe: a corpus with ≤ cell_cap rows
+            #    cannot have an oversized cell (one tiny early-out job —
+            #    the fixture/bench case);
+            # 3. sampled assignment probe (linear, ~|corpus|/sample_mod
+            #    matmul rows): resolution is cap/sample_mod expected hits
+            #    per cap-sized cell INDEPENDENT of corpus size — the only
+            #    estimator that stays reliable at 100 TB.
+            if train_sample is not None and not train_truncated:
+                pops = np.zeros(len(cents), dtype=np.int64)
+                top = _top_cells(train_sample, cents, n_assign_eff, tl_index)
+                np.add.at(pops, top.ravel(), 1)
+                oversized = _oversized_from_counts(pops, cell_cap)
+            elif (
+                df.select(F.col(id_col)).limit(cell_cap + 1).count() <= cell_cap
+            ):
+                oversized = None
+            else:
+                oversized = _estimate_oversized_cells(
+                    df,
+                    id_col,
+                    vec_col,
+                    cents,
+                    n_assign_eff,
+                    tl_index,
+                    cell_cap,
+                    sample_mod=skew_sample_mod,
+                )
+        return _fused_cell_pairs(cellt, threshold, round_to, oversized=oversized)
 
     # Block-salted within-cell self-join: a bare join on `cell` has at
     # most n_cells distinct keys, so however wide the cluster, the pair

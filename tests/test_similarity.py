@@ -723,3 +723,133 @@ def test_knn_ivf_high_cell_count_finds_exact_duplicates(spark):
     assert set(by_q) == {0, 1, 2, 3, 4}
     for q, sims in by_q.items():
         assert len(sims) == 5, (q, sims)
+
+
+def _skewed_emb(spark, n_heavy=120, n_light=24, dim=8):
+    # one tight cluster around e0 (swallows a constant fraction of the
+    # corpus — the skewed-region shape) plus a light spread elsewhere
+    rows = []
+    for i in range(n_heavy):
+        v = [1.0] + [0.001 * ((i * 7 + j) % 5) for j in range(dim - 1)]
+        rows.append((i, v))
+    for i in range(n_light):
+        v = [0.0] * dim
+        v[1 + (i % (dim - 2))] = 1.0
+        v[dim - 1] = 0.05 * (i % 3)
+        rows.append((n_heavy + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _axis_centroids(dim=8, k=4):
+    c = np.zeros((k, dim))
+    for i in range(k):
+        c[i, i] = 1.0
+    return c
+
+
+def test_fused_skew_split_equals_unsplit(spark):
+    # The auto skew split (oversized cells spread over block-pair groups)
+    # must be a pure physical rewrite: identical edge set, identical
+    # rounded scores, vs the single-group-per-cell fused path. sample_mod
+    # 1 makes the estimate exact, cap 16 forces the heavy cell to split.
+    emb = _skewed_emb(spark)
+    cents = _axis_centroids()
+    kw = dict(
+        threshold=0.6, n_assign=2, dim=8, centroids=cents, two_level=False
+    )
+    unsplit = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_ivf(emb, cell_cap=None, **kw).collect()
+    }
+    split_df = similarity.cosine_pairs_ivf(
+        emb, cell_cap=16, skew_sample_mod=1, **kw
+    )
+    split = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in split_df.collect()}
+    assert unsplit  # the heavy cluster guarantees pairs
+    assert split == unsplit
+    # partition-count invariance of the split path (in-kernel sort makes
+    # the BLAS layout a function of group membership only)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in similarity.cosine_pairs_ivf(
+                emb, cell_cap=16, skew_sample_mod=1, **kw
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == unsplit
+
+
+def test_estimate_oversized_cells(spark):
+    emb = _skewed_emb(spark, n_heavy=100, n_light=10)
+    cents = _axis_centroids()
+    over = similarity._estimate_oversized_cells(
+        emb, "vec_id", "embedding", cents, 1, None, cell_cap=16, sample_mod=1
+    )
+    # heavy cell: ceil(100/16) = 7 blocks; light cells under the cap
+    assert over.get(0) == 7, over
+    assert all(c == 0 for c in over), over
+
+
+def test_block_replicate_structure(spark):
+    from pyspark.sql import functions as F
+
+    cells = spark.createDataFrame(
+        [(i, 0 if i < 100 else 1, [float(i)]) for i in range(120)],
+        "vid long, cell int, vec array<double>",
+    )
+    rep = similarity._block_replicate(cells, {0: 4})
+    rows = rep.collect()
+    # balanced cell: zero replication, single (0,0) group
+    light = [r for r in rows if r["cell"] == 1]
+    assert len(light) == 20
+    assert {(r["__lo"], r["__hi"]) for r in light} == {(0, 0)}
+    # skewed cell: every vid replicated nb=4 times, one group per
+    # unordered block pair, diagonal groups hold only their own block
+    heavy = [r for r in rows if r["cell"] == 0]
+    assert len(heavy) == 100 * 4
+    per_vid = {}
+    for r in heavy:
+        per_vid.setdefault(r["vid"], []).append((r["__lo"], r["__hi"]))
+    for vid, groups in per_vid.items():
+        assert len(groups) == 4 and len(set(groups)) == 4
+    groups = {(r["__lo"], r["__hi"]) for r in heavy}
+    assert groups == {(lo, hi) for lo in range(4) for hi in range(lo, 4)}
+    for r in heavy:
+        if r["__lo"] == r["__hi"]:
+            assert r["__blk"] == r["__lo"]
+        else:
+            assert r["__blk"] in (r["__lo"], r["__hi"])
+
+
+def test_skew_harvest_from_train_sample(spark):
+    # centroids=None + corpus smaller than the train target: populations
+    # come from the (untruncated) training sample in the driver — the
+    # split must trigger with ZERO probe jobs and still match the
+    # unsplit edge set. Job count asserted via the status tracker.
+    emb = _skewed_emb(spark, n_heavy=120, n_light=24)
+    kw = dict(threshold=0.6, n_assign=2, dim=8, n_cells=4, two_level=False)
+    unsplit = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_ivf(emb, cell_cap=None, **kw).collect()
+    }
+    sc = spark.sparkContext
+    sc.setJobGroup("skew-harvest", "compose with train-sample harvest")
+    try:
+        split_df = similarity.cosine_pairs_ivf(emb, cell_cap=16, **kw)
+        compose_jobs = len(sc.statusTracker().getJobIdsForGroup("skew-harvest"))
+        base_df = similarity.cosine_pairs_ivf(emb, cell_cap=None, **kw)
+        base_jobs = (
+            len(sc.statusTracker().getJobIdsForGroup("skew-harvest"))
+            - compose_jobs
+        )
+    finally:
+        sc.setJobGroup("", "")
+    # the harvest path must not add jobs beyond what cap=None composes
+    # (kmeans training collects are shared by both)
+    assert compose_jobs == base_jobs, (compose_jobs, base_jobs)
+    split = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in split_df.collect()}
+    assert split == unsplit and split

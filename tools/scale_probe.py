@@ -94,6 +94,39 @@ def main() -> None:
             out = out.unionAll(p)
         return out
 
+    def _axis_cents():
+        import numpy as np
+
+        c = np.zeros((16, 64))
+        for i in range(16):
+            c[i, i] = 1.0
+        return c
+
+    def skewed_embeddings(k: int):
+        # deterministic synthetic skew on top of the replicated id space:
+        # even ids → a single e0-dominant region (always cell 0 under the
+        # axis quantizer: the 0..15 components are 1/0 exactly), odd ids
+        # → spread over cells 1..15. Noise lives in dims 16..63 so it
+        # can't flip the argmax; pair cosines sit ~0.86±0.05, below the
+        # 0.95 probe threshold — edge output stays tiny while pair WORK
+        # inside the heavy cell stays (n/2)² per corpus of n.
+        vid = F.col("vec_id")
+        heavy = F.pmod(vid, F.lit(2)) == F.lit(0)
+        axis = F.when(heavy, F.lit(0)).otherwise(
+            (F.pmod(vid, F.lit(15)) + F.lit(1)).cast("int")
+        )
+        noise = lambda i: (  # noqa: E731 — per-element deterministic noise
+            (F.pmod(F.xxhash64(vid, i), F.lit(1000)).cast("double") / F.lit(500.0))
+            - F.lit(1.0)
+        ) * F.lit(0.101)
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(i == axis, F.lit(1.0))
+            .when(i >= F.lit(16), noise(i))
+            .otherwise(F.lit(0.0)),
+        )
+        return uniquified_embeddings(k).select("vec_id", vec.alias("embedding"))
+
     def modality_agreement_sampled(k: int):
         # The sampled calibration's scale knob: rate shrinks as 1/k so the
         # sampled population r*n stays CONSTANT as the corpus grows k-fold
@@ -323,6 +356,35 @@ def main() -> None:
             m=16,
             n_codes=16,
             dim=64,
+        ),
+        # round-6 session 2: the skew-pathological corpus the fused
+        # backend's AUTO split exists for — HALF the rows land in one
+        # pre-trained quantizer cell (axis centroids passed in, so
+        # k-means can't rebalance; the realistic shape: a reused
+        # production quantizer + drifted ingest). autosplit spreads the
+        # heavy cell over ceil(pop/cap)² block-pair tasks; nosplit puts
+        # its (n/2)² matmul on ONE task — the contrast row.
+        "cosine_pairs_ivf_fused_skew_autosplit": lambda k: similarity.cosine_pairs_ivf(
+            skewed_embeddings(k),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.95,
+            n_assign=1,
+            dim=64,
+            centroids=_axis_cents(),
+            two_level=False,
+            cell_cap=1024,
+        ),
+        "cosine_pairs_ivf_fused_skew_nosplit": lambda k: similarity.cosine_pairs_ivf(
+            skewed_embeddings(k),
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.95,
+            n_assign=1,
+            dim=64,
+            centroids=_axis_cents(),
+            two_level=False,
+            cell_cap=None,
         ),
         # fixed-merge tokenizer: map-only full-corpus rewrite.
         "bpe_replace_chain": lambda k: text.bpe_replace_chain(
