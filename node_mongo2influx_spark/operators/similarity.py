@@ -516,13 +516,16 @@ def kmeans_centroids(
             .limit(target)
             .toPandas()
         )
+        # len < target ⇔ LIMIT didn't truncate ⇔ the "sample" IS the whole
+        # corpus — callers asking for the train sample back
+        # (return_train_sample) use that to skip population probes.
+        # Checked BEFORE the null-vec filter: a truncated sample that
+        # contains a null vec would otherwise masquerade as the full
+        # corpus and silently disable the skew split.
+        truncated = len(pdf) >= target
         pdf = pdf[pdf["vec"].notna()]
         if not len(pdf):
             raise ValueError("kmeans_centroids: empty training input")
-        # len < target ⇔ LIMIT didn't truncate ⇔ the "sample" IS the whole
-        # corpus (minus null vecs) — callers asking for the train sample
-        # back (return_train_sample) use that to skip population probes.
-        truncated = len(pdf) >= target
         mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         unit = mat / norms
@@ -621,19 +624,15 @@ def _assign_cells(
     base: DataFrame,
     centroids_unit: np.ndarray,
     tl_index: tuple[np.ndarray, list[np.ndarray]] | None = None,
-    n_assign: int = 1,
 ) -> DataFrame:
     """(vid, cell): nearest-centroid assignment by cosine, one matmul per
     Arrow batch. Ids only — nothing data-sized rides the candidate join.
     ``tl_index`` routes through the two-level coarse quantizer; the
     CALLER decides, because corpus assignment and query probing must use
     the SAME quantizer — mismatched routing silently loses neighbors
-    whose routed cell isn't in the flat probe set. ``n_assign > 1``
-    emits the top-n cells per vector (one row each) — the soft
-    assignment the pair tiers use."""
+    whose routed cell isn't in the flat probe set."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
     base = _spread_kernel_input(base)
-    n_top = min(n_assign, len(cents))
 
     def kernel(batches):
         import pandas as pd
@@ -644,13 +643,10 @@ def _assign_cells(
             if not len(mat):
                 continue
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            top = _top_cells(mat / norms, cents, n_top, tl_index)
-            yield pd.DataFrame(
-                {
-                    "vid": np.repeat(pdf["vid"].to_numpy(), n_top),
-                    "cell": top.ravel().astype(np.int32),
-                }
+            cell = _top_cells(mat / norms, cents, 1, tl_index)[:, 0].astype(
+                np.int32
             )
+            yield pd.DataFrame({"vid": pdf["vid"], "cell": cell})
 
     return base.mapInPandas(kernel, schema="vid long, cell int")
 

@@ -8,6 +8,7 @@ the reference's separate DELETE round-trip.
 
 from __future__ import annotations
 
+import functools
 import pathlib
 
 from pyspark.sql import DataFrame
@@ -347,6 +348,8 @@ class ParquetSink(Sink):
         series: str,
         keys: tuple[str, ...],
         prev_cols: tuple[str, ...] | None = None,
+        loc_source: DataFrame | None = None,
+        force_scan: bool = False,
     ) -> int:
         """CDC DELETE: remove every key in ``deletes`` from the store —
         the reference's workflow only ever truncates or appends
@@ -354,11 +357,27 @@ class ParquetSink(Sink):
         at 100 TB that must not rewrite the table. Same two cost tiers
         as :meth:`sweep_moved_keys`:
 
-        * the feed names where the key lives — its partition columns on
-          the delete row itself and/or ``prev_cols`` before-images (a
-          Debezium delete carries the old row): candidate partitions
-          read straight off the delta, O(delta);
-        * neither present → column-pruned key-location scan.
+        * the feed names where the key lives — its partition columns
+          and/or ``prev_cols`` before-images (a Debezium delete carries
+          the old row): candidate partitions read straight off the
+          delta, O(delta);
+        * a key NO source row locates (all partition/before-image
+          values null — the classic value-less tombstone) falls back to
+          the column-pruned key-location scan for exactly those keys.
+          The gate is per-key location evidence, not column presence: a
+          tombstone feed whose schema carries the columns but whose
+          rows are null still deletes.
+
+        ``loc_source`` is the frame candidate locations are read from
+        (restricted to the deleted keys); pass the UN-reduced batch when
+        the deletes were last-write-wins reduced first — a key that
+        migrated partitions and was deleted in the SAME batch names its
+        old partition only on its earlier events (cdc_apply_stream
+        does). ``force_scan=True`` unconditionally adds the
+        key-location scan: required for full correctness when keys can
+        migrate ACROSS batches and the feed carries no before-images
+        (the same cost tier sweep_moved_keys pays in that
+        configuration).
 
         Unlike the sweep there is NO exclusion set: the key must vanish
         from every named partition. Idempotent (a replayed delete finds
@@ -376,28 +395,45 @@ class ParquetSink(Sink):
         target = str(store_dir)
         spark = deletes.sparkSession
         dkeys = deletes.select(*keys).distinct()
+        src = (
+            loc_source.join(dkeys, list(keys), "left_semi")
+            if loc_source is not None
+            else deletes
+        )
         cand: dict[tuple[str, ...], tuple] = {}
-        feed_named = all(c in deletes.columns for c in pcols)
-        if feed_named:
-            for r in deletes.select(*pcols).distinct().collect():
-                if all(r[c] is not None for c in pcols):
-                    cand[tuple(str(r[c]) for c in pcols)] = tuple(
-                        r[c] for c in pcols
-                    )
+        located: list[DataFrame] = []
+
+        def _collect_named(cols: list[str]) -> None:
+            named = src.where(
+                functools.reduce(
+                    lambda a, b: a & b, (F.col(c).isNotNull() for c in cols)
+                )
+            )
+            for r in named.select(*cols).distinct().collect():
+                cand[tuple(str(r[c]) for c in cols)] = tuple(
+                    r[c] for c in cols
+                )
+            located.append(named.select(*keys).distinct())
+
+        if all(c in src.columns for c in pcols):
+            _collect_named(pcols)
         if prev_cols is not None:
             if len(prev_cols) != len(pcols):
                 raise ValueError("prev_cols must align 1:1 with partition_by")
-            for r in deletes.select(*prev_cols).distinct().collect():
-                if all(r[c] is not None for c in prev_cols):
-                    cand[tuple(str(r[c]) for c in prev_cols)] = tuple(
-                        r[c] for c in prev_cols
-                    )
-        if not feed_named and prev_cols is None:
+            if all(c in src.columns for c in prev_cols):
+                _collect_named(list(prev_cols))
+        # keys with NO located candidate partition → scan for them
+        missing = dkeys
+        for lf in located:
+            missing = missing.join(lf, list(keys), "left_anti")
+        if force_scan:
+            missing = dkeys
+        if force_scan or not located or missing.limit(1).count() > 0:
             scan_cols = list(dict.fromkeys([*keys, *pcols]))
             for r in (
                 df_reader(target)
                 .select(*scan_cols)
-                .join(dkeys, list(keys), "left_semi")
+                .join(missing, list(keys), "left_semi")
                 .select(*pcols)
                 .distinct()
                 .collect()

@@ -421,8 +421,14 @@ def cdc_apply_stream(
     (``ParquetSink.delete_keys``) instead of upserting it; the op is
     resolved per key AFTER last-write-wins reduction, so an
     update-then-delete batch deletes and a delete-then-reinsert batch
-    reinserts. The op column is dropped from stored rows. Deletes are
-    idempotent, so replay semantics are unchanged.
+    reinserts. REQUIRES a monotonic ``__seq`` column — retraction is an
+    ORDER decision, and the struct-max fallback orders by value. The op
+    column is dropped from stored rows. Deletes are idempotent, so
+    replay semantics are unchanged; a key that migrated partitions
+    before its delete (same batch or, with ``sweep_moved_keys`` +
+    ``prev_cols``, earlier batches) is retracted from its old partitions
+    too — without before-images that costs the same key-location scan
+    the sweep uses.
 
     ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
     delta must carry the sink's partition columns.
@@ -437,6 +443,17 @@ def cdc_apply_stream(
         # arbitrary-but-deterministic max over all columns absent one)
         w = Window.partitionBy(*keys)
         order_col = "__seq" if "__seq" in batch_df.columns else None
+        if op_col is not None and op_col in batch_df.columns and not order_col:
+            # retraction semantics are ORDER semantics: without an event
+            # order, the struct-max fallback would decide delete-vs-upsert
+            # by comparing data VALUES (an update with a high value would
+            # beat a later delete) — refuse rather than silently lose
+            # retractions
+            raise ValueError(
+                "cdc_apply_stream: op_col needs a monotonic __seq column "
+                "— the deterministic struct-max fallback orders rows by "
+                "VALUE, which cannot decide delete-vs-upsert recency"
+            )
         if order_col:
             last = batch_df.withColumn(
                 "__rk",
@@ -481,6 +498,11 @@ def cdc_apply_stream(
                 # key-only feed: every column is part of the key, so
                 # dropDuplicates IS deterministic here
                 last = batch_df.dropDuplicates(list(keys))
+        # the per-key reduction is consumed by EVERY downstream action
+        # (upsert's collects + write, sweep, delete) — without this
+        # checkpoint the window/struct-max subtree re-executes per action
+        # (CLAUDE.md round-5 rule: >=2 consumers ⇒ checkpoint)
+        last = last.localCheckpoint(eager=True)
         rd = lambda p: spark.read.parquet(p)  # noqa: E731
         dels = None
         if op_col is not None and op_col in last.columns:
@@ -508,7 +530,20 @@ def cdc_apply_stream(
             )
         if dels is not None and dels_has_rows:
             sink.delete_keys(
-                rd, dels, series, keys=keys, prev_cols=prev_cols
+                rd,
+                dels,
+                series,
+                keys=keys,
+                prev_cols=prev_cols,
+                # the UN-reduced batch: a key that migrated partitions
+                # and was deleted in the SAME batch names its old
+                # partition only on its earlier events' before-images
+                loc_source=batch_df,
+                # keys that can migrate ACROSS batches with no
+                # before-image in the feed are findable only by the
+                # key-location scan (the tier the sweep itself uses in
+                # this configuration)
+                force_scan=sweep_moved_keys and prev_cols is None,
             )
 
     return (

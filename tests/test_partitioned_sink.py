@@ -642,3 +642,67 @@ def test_upsert_self_heals_fileless_store_dir(spark, tmp_path):
     ) == 1
     got = {r["event_id"] for r in spark.read.parquet(str(store)).collect()}
     assert got == {1, 2}
+
+
+def test_delete_keys_null_partition_tombstones_use_scan(spark, tmp_path):
+    # Debezium value-less tombstone: the delete row CARRIES the partition
+    # column in its schema but the value is null. The scan fallback must
+    # fire per-KEY (no location evidence), not per-COLUMN-presence —
+    # otherwise the key silently survives forever.
+    sink, target = _mk_day_store(
+        spark,
+        tmp_path,
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-01"), (3, 3.0, "2024-01-02")],
+    )
+    rd = lambda p: spark.read.parquet(p)  # noqa: E731
+    tomb = spark.createDataFrame(
+        [(3, None), (1, "2024-01-01")], "event_id long, day string"
+    )
+    # key 1 located by its named row; key 3's null row forces the scan
+    assert sink.delete_keys(rd, tomb, "t", keys=("event_id",)) == 2
+    got = {
+        (r["event_id"], str(r["day"])) for r in rd(target).collect()
+    }
+    assert got == {(2, "2024-01-01")}
+    # replay: store unchanged (the still-existing feed-named partition
+    # gets a no-op rewrite — the documented idempotence contract)
+    sink.delete_keys(rd, tomb, "t", keys=("event_id",))
+    assert {
+        (r["event_id"], str(r["day"])) for r in rd(target).collect()
+    } == got
+
+
+def test_delete_keys_loc_source_covers_same_batch_migration(spark, tmp_path):
+    # A key that migrated partitions earlier in the SAME batch and was
+    # then deleted: the reduced delete row only names the new partition;
+    # loc_source (the un-reduced batch) carries the before-image of the
+    # old one. Both copies must go.
+    sink, target = _mk_day_store(
+        spark,
+        tmp_path,
+        [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-02")],
+    )
+    rd = lambda p: spark.read.parquet(p)  # noqa: E731
+    # simulate upsert having landed the migrated row in day=2024-01-03
+    delta = spark.createDataFrame(
+        [(1, 10.0, "2024-01-03")], "event_id long, value double, day string"
+    )
+    sink.upsert(rd, delta, "t", keys=("event_id",))
+    batch = spark.createDataFrame(
+        [
+            (1, 10.0, "2024-01-03", "2024-01-01", "u", 1),
+            (1, 10.0, "2024-01-03", "2024-01-03", "d", 2),
+        ],
+        "event_id long, value double, day string, __prev_day string, "
+        "op string, __seq int",
+    )
+    dels = batch.where("__seq = 2")
+    n = sink.delete_keys(
+        rd, dels, "t", keys=("event_id",),
+        prev_cols=("__prev_day",), loc_source=batch,
+    )
+    assert n == 2  # 2024-01-01 (stale copy) and 2024-01-03 (current)
+    got = {
+        (r["event_id"], str(r["day"])) for r in rd(target).collect()
+    }
+    assert got == {(2, "2024-01-02")}

@@ -943,3 +943,97 @@ def test_cdc_apply_stream_without_seq_rejects_map_columns(spark, tmp_path):
 
     with _pytest.raises(StreamingQueryException, match="__seq"):
         q.awaitTermination(120)
+
+
+def test_cdc_apply_stream_op_col_requires_seq(spark, tmp_path):
+    # op_col without __seq must refuse at once: the struct-max fallback
+    # orders by VALUE, so an update with a high value would beat a later
+    # delete — retraction is an order decision, not a value one.
+    import os
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, 99.0, "2024-01-01", "u"), (1, 0.0, "2024-01-01", "d")],
+        "event_id long, value double, day string, op string",
+    ).coalesce(1).write.parquet(src)
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+    q = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema),
+        sink, "t", keys=("event_id",),
+        checkpoint_dir=str(tmp_path / "ck"), op_col="op",
+    )
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="op_col needs"):
+        q.awaitTermination(120)
+
+
+def test_cdc_apply_stream_migrate_then_delete_same_batch(spark, tmp_path):
+    # Finding-1 regression: a key that migrates partitions AND is deleted
+    # in the same micro-batch must vanish from BOTH its old and new
+    # partitions (the reduced delete row only names the new one; the
+    # un-reduced batch's before-images name the old).
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows1 = [
+        (1, 1.0, "2024-01-01", "2024-01-01", "u", 1),
+        (2, 2.0, "2024-01-01", "2024-01-01", "u", 1),
+    ]
+    rows2 = [
+        # key 1: move day 1 -> day 3, then delete
+        (1, 10.0, "2024-01-03", "2024-01-01", "u", 2),
+        (1, 10.0, "2024-01-03", "2024-01-03", "d", 3),
+    ]
+    schema = (
+        "event_id long, value double, day string, __prev_day string, "
+        "op string, __seq int"
+    )
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/.t1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/.t2")
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/.t1/*.parquet"))
+        + sorted(glob.glob(src + "/.t2/*.parquet"))
+    ):
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+
+    def run(ck):
+        q = sp.cdc_apply_stream(
+            sp.read_stream(spark, src, spark.read.parquet(src).schema,
+                           max_files_per_trigger=1),
+            sink, "t", keys=("event_id",),
+            checkpoint_dir=str(tmp_path / ck), op_col="op",
+            sweep_moved_keys=True, prev_cols=("__prev_day",),
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    expect = {(2, 2.0, "2024-01-01")}
+    got = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    assert got == expect
+    assert not os.path.exists(os.path.join(store, "t", "day=2024-01-03"))
+
+    run("ck2")  # fresh-checkpoint replay: byte-stable
+    got2 = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(store + "/t").collect()
+    }
+    assert got2 == expect
