@@ -58,9 +58,12 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # conditional kernel-width spreading and the blocked cell self-join
     # (values identical — re-verified vs oracle — but the code changed).
     ("dedup_minhash_lsh", 5),
-    ("semantic_dedup_ivf", 5),
-    ("embedding_neardup_ivf", 5),
     ("embedding_neardup_lsh", 5),
+    # round 6 session 2: the fused IVF scorer gained the auto skew-split
+    # ladder (values identical — re-verified vs oracle + pytest pins —
+    # but cosine_pairs_ivf's code path changed).
+    ("semantic_dedup_ivf", 6),
+    ("embedding_neardup_ivf", 6),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept
