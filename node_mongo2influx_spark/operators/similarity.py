@@ -20,6 +20,8 @@ arithmetic so results are engine-comparable.
 
 from __future__ import annotations
 
+import pathlib
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -2152,6 +2154,7 @@ def build_ivfpq_index(
     m: int = 16,
     n_codes: int = 16,
     dim: int = 64,
+    vec_buckets: int = 64,
 ) -> None:
     """Train an IVFPQ index over ``corpus`` and persist it under ``path``
     — the build-once/query-many layout the all-in-one
@@ -2165,11 +2168,16 @@ def build_ivfpq_index(
       n_cells cells reads only those directories (Spark partition
       pruning) — at 100 TB the ADC scan touches n_probe/n_cells of the
       16×-compressed codes, nothing else.
-    * ``vectors/`` — (vid, vec) parquet, touched ONLY by the shortlist
-      rerank (id-equijoin with predicate pushdown).
+    * ``vectors/`` — (vid, vec) parquet PARTITIONED BY ``__vb`` (an
+      id-hash bucket, ``vec_buckets`` dirs), touched ONLY by the
+      shortlist rerank (id-equijoin with predicate pushdown). The
+      bucketing exists for MUTATION, not reads: a delete/update vacuums
+      stale rows by rewriting only the delta's buckets — a pure
+      function of the id, no scan to locate them.
     * ``model/``   — centroids, residual anchors, PQ codebooks as
       (kind, i, j, vals) rows — model-sized, read with one collect at
-      query time.
+      query time. Carries ``vec_buckets`` so every later mutation uses
+      the same bucketing.
     """
     spark = corpus.sparkSession
     cents = kmeans_centroids(
@@ -2182,9 +2190,15 @@ def build_ivfpq_index(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    corpus.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    (
+        corpus.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn("__vb", _vec_bucket(vec_buckets))
+        .write.mode("overwrite")
+        .partitionBy("__vb")
+        .parquet(f"{path}/vectors")
+    )
     rows = []
     for i, v in enumerate(cents):
         rows.append(("centroid", i, 0, [float(x) for x in v]))
@@ -2193,9 +2207,29 @@ def build_ivfpq_index(
     for j in range(books.shape[0]):
         for c in range(books.shape[1]):
             rows.append(("codebook", j, c, [float(x) for x in books[j][c]]))
+    rows.append(("vec_buckets", int(vec_buckets), 0, []))
     spark.createDataFrame(
         rows, "kind string, i int, j int, vals array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
+
+
+def _vec_bucket(n_buckets: int) -> Column:
+    """Vectors-store mutation bucket: a pure function of the id, so a
+    delete/update knows its touched buckets WITHOUT any scan."""
+    return F.pmod(
+        F.xxhash64(F.lit("ivfpq-vec-bucket"), F.col("vid")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _ivfpq_vec_buckets(spark, path: str) -> int:
+    """The index's vectors-store bucket count (0 = legacy unpartitioned
+    layout, mutations fall back to full-store rewrites)."""
+    rows = (
+        spark.read.parquet(f"{path}/model")
+        .where(F.col("kind") == "vec_buckets")
+        .collect()
+    )
+    return int(rows[0]["i"]) if rows else 0
 
 
 def load_ivfpq_model(spark, path: str):
@@ -2291,6 +2325,148 @@ def append_to_ivfpq_index(
         delta, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
     codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
-    delta.select(
+    vec_out = delta.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-    ).write.mode("append").parquet(f"{path}/vectors")
+    )
+    nb = _ivfpq_vec_buckets(spark, path)
+    if nb:
+        (
+            vec_out.withColumn("__vb", _vec_bucket(nb))
+            .write.mode("append")
+            .partitionBy("__vb")
+            .parquet(f"{path}/vectors")
+        )
+    else:  # legacy unpartitioned layout
+        vec_out.write.mode("append").parquet(f"{path}/vectors")
+
+
+def delete_from_ivfpq_index(
+    spark,
+    path: str,
+    ids,
+    vacuum_vectors: bool = False,
+) -> int:
+    """Remove vectors from a persisted IVFPQ index WITHOUT retraining —
+    the FAISS ``remove_ids()`` face completing the index lifecycle
+    (build / append / query / delete); the retraction companion to
+    :func:`append_to_ivfpq_index` and the index-side consumer of a CDC
+    delete feed (``cdc_apply_stream(op_col=...)`` retracts the store
+    row, this retracts the ANN entry).
+
+    ``ids`` is a DataFrame whose FIRST column is the id, or any iterable
+    of ids. Cost shape:
+
+    * LOCATING the touched inverted lists is a column-pruned (vid, cell)
+      scan of the codes store semi-joined to the delete set — two thin
+      columns of the 16×-compressed codes, never vectors, exact under
+      any quantizer (no reliance on re-deriving the frozen assignment).
+    * The REWRITE is partition-pruned to the touched cells only
+      (anti-join, dynamic overwrite); lists the deletes don't touch are
+      never read for the rewrite nor rewritten. Cells left EMPTY drop
+      as directories.
+    * ``vectors/`` keeps stale rows by default for PURE deletes:
+      candidates come from the codes store, so a fully-deleted id can
+      never reach the rerank — its stale vector is dead storage, not a
+      correctness hazard. ``vacuum_vectors=True`` reclaims it by
+      rewriting only the delete set's id-hash BUCKETS (a pure function
+      of the id — no scan to locate them; O(touched buckets)).
+      MANDATORY for update flows (delete-then-reappend of a live id):
+      a stale row sharing a live vid WOULD reach the rerank join —
+      :func:`ann_index_maintenance_stream` always vacuums.
+
+    Idempotent: a replayed delete locates nothing and returns 0.
+    Returns the number of cell partitions rewritten/dropped.
+    """
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(ids, _DF):
+        dkeys = ids.select(F.col(ids.columns[0]).alias("vid")).distinct()
+    else:
+        dkeys = spark.createDataFrame(
+            [(int(i),) for i in ids], "vid long"
+        ).distinct()
+    codes_path = f"{path}/codes"
+    codes = spark.read.parquet(codes_path)
+    touched = sorted(
+        r["cell"]
+        for r in codes.select("vid", "cell")
+        .join(dkeys, "vid", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if touched:
+        kept = (
+            codes.where(F.col("cell").isin([int(c) for c in touched]))
+            .join(dkeys, "vid", "left_anti")
+            # lineage reads the partitions the overwrite rewrites
+            .localCheckpoint(eager=True)
+        )
+        survivors = {
+            r["cell"] for r in kept.select("cell").distinct().collect()
+        }
+        if survivors:
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell")
+                .parquet(codes_path)
+            )
+        for c in touched:
+            if c in survivors:
+                continue
+            d = pathlib.Path(codes_path) / f"cell={c}"
+            if d.exists():
+                shutil.rmtree(d)
+        spark.catalog.refreshByPath(codes_path)
+    if vacuum_vectors:
+        vec_path = f"{path}/vectors"
+        nb = _ivfpq_vec_buckets(spark, path)
+        if nb:
+            buckets = sorted(
+                r["b"]
+                for r in dkeys.select(_vec_bucket(nb).alias("b"))
+                .distinct()
+                .collect()
+            )
+            on_disk = [
+                b
+                for b in buckets
+                if (pathlib.Path(vec_path) / f"__vb={b}").exists()
+            ]
+            if on_disk:
+                kept_v = (
+                    spark.read.parquet(vec_path)
+                    .where(F.col("__vb").isin([int(b) for b in on_disk]))
+                    .join(dkeys, "vid", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                survivors = {
+                    r["__vb"]
+                    for r in kept_v.select("__vb").distinct().collect()
+                }
+                if survivors:
+                    (
+                        kept_v.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("__vb")
+                        .parquet(vec_path)
+                    )
+                for b in on_disk:
+                    if b in survivors:
+                        continue
+                    d = pathlib.Path(vec_path) / f"__vb={b}"
+                    if d.exists():
+                        shutil.rmtree(d)
+                spark.catalog.refreshByPath(vec_path)
+        else:  # legacy unpartitioned layout: full-store rewrite
+            kept_v = (
+                spark.read.parquet(vec_path)
+                .join(dkeys, "vid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            kept_v.write.mode("overwrite").parquet(vec_path)
+            spark.catalog.refreshByPath(vec_path)
+    return len(touched)

@@ -382,6 +382,97 @@ def rollup_maintenance_stream(
     )
 
 
+def _reduce_last_write(
+    batch_df: DataFrame,
+    keys: tuple[str, ...],
+    op_col: str | None = None,
+    delete_op: str = "d",
+):
+    """Deterministic last-write-wins reduction of a CDC micro-batch,
+    shared by :func:`cdc_apply_stream` and
+    :func:`ann_index_maintenance_stream`. Returns ``(live, dels)`` —
+    both derived from ONE ``localCheckpoint``'d reduction (every
+    downstream action would otherwise re-execute the window/struct-max
+    subtree); ``dels`` is None when no op column is in play, else the
+    keys whose FINAL event retracts. The op/order columns are dropped
+    from ``live``; ``dels`` keeps every batch column.
+
+    Ordering: a monotonic ``__seq`` column when present (REQUIRED with
+    ``op_col`` — retraction is an order decision and the fallback
+    orders by value); else the deterministic lexicographic struct-max
+    over the non-key columns (map columns refused with an actionable
+    message — they are unorderable and would kill the stream mid-batch
+    with an opaque AnalysisException)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    order_col = "__seq" if "__seq" in batch_df.columns else None
+    if op_col is not None and op_col in batch_df.columns and not order_col:
+        # retraction semantics are ORDER semantics: without an event
+        # order, the struct-max fallback would decide delete-vs-upsert
+        # by comparing data VALUES (an update with a high value would
+        # beat a later delete) — refuse rather than silently lose
+        # retractions
+        raise ValueError(
+            "op_col needs a monotonic __seq column "
+            "— the deterministic struct-max fallback orders rows by "
+            "VALUE, which cannot decide delete-vs-upsert recency"
+        )
+    if order_col:
+        last = batch_df.withColumn(
+            "__rk",
+            F.row_number().over(w.orderBy(F.col(order_col).desc())),
+        ).where(F.col("__rk") == 1).drop("__rk", order_col)
+    else:
+        # Deterministic reduction (dropDuplicates keeps a
+        # scheduling-dependent row, which would break replay
+        # idempotence): lexicographic max over a struct of every
+        # non-key column picks the same row however the batch was
+        # partitioned.
+        non_key = [c for c in batch_df.columns if c not in keys]
+        # struct-max needs ORDERABLE types; fail at once with an
+        # actionable message (an __seq column sidesteps the reduction).
+        from pyspark.sql.types import MapType
+
+        unorderable = [
+            f.name
+            for f in batch_df.schema.fields
+            if f.name in non_key and isinstance(f.dataType, MapType)
+        ]
+        if unorderable:
+            raise ValueError(
+                "deterministic struct-max fallback "
+                f"cannot order map columns {unorderable}; add a "
+                "monotonic __seq column to the feed (or drop/serialize "
+                "the map columns)"
+            )
+        if non_key:
+            last = (
+                batch_df.groupBy(*keys)
+                .agg(F.max(F.struct(*non_key)).alias("__row"))
+                .select(
+                    *keys, *(F.col(f"__row.{c}").alias(c) for c in non_key)
+                )
+            )
+        else:
+            # key-only feed: every column is part of the key, so
+            # dropDuplicates IS deterministic here
+            last = batch_df.dropDuplicates(list(keys))
+    # the reduction is consumed by EVERY downstream action — without
+    # this checkpoint the window/struct-max subtree re-executes per
+    # action (CLAUDE.md round-5 rule: >=2 consumers ⇒ checkpoint)
+    last = last.localCheckpoint(eager=True)
+    dels = None
+    if op_col is not None and op_col in last.columns:
+        # per-key op resolved AFTER the last-write-wins reduction:
+        # the key's FINAL event decides retract vs upsert
+        dels = last.where(F.col(op_col) == delete_op)
+        last = last.where(
+            F.col(op_col).isNull() | (F.col(op_col) != delete_op)
+        ).drop(op_col)
+    return last, dels
+
+
 def cdc_apply_stream(
     source: DataFrame,
     sink,
@@ -436,82 +527,9 @@ def cdc_apply_stream(
     spark = source.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        # last-write-wins WITHIN the batch: keep the final row per key
-        # (monotonic ordering column required of CDC feeds; fall back to
-        # arbitrary-but-deterministic max over all columns absent one)
-        w = Window.partitionBy(*keys)
-        order_col = "__seq" if "__seq" in batch_df.columns else None
-        if op_col is not None and op_col in batch_df.columns and not order_col:
-            # retraction semantics are ORDER semantics: without an event
-            # order, the struct-max fallback would decide delete-vs-upsert
-            # by comparing data VALUES (an update with a high value would
-            # beat a later delete) — refuse rather than silently lose
-            # retractions
-            raise ValueError(
-                "cdc_apply_stream: op_col needs a monotonic __seq column "
-                "— the deterministic struct-max fallback orders rows by "
-                "VALUE, which cannot decide delete-vs-upsert recency"
-            )
-        if order_col:
-            last = batch_df.withColumn(
-                "__rk",
-                F.row_number().over(
-                    w.orderBy(F.col(order_col).desc())
-                ),
-            ).where(F.col("__rk") == 1).drop("__rk", order_col)
-        else:
-            # Deterministic reduction (dropDuplicates keeps a
-            # scheduling-dependent row, which would break replay
-            # idempotence): lexicographic max over a struct of every
-            # non-key column picks the same row however the batch was
-            # partitioned.
-            non_key = [c for c in batch_df.columns if c not in keys]
-            # struct-max needs ORDERABLE types; a map column would fail
-            # analysis inside foreachBatch and kill the stream on its
-            # first batch. Fail at once with an actionable message
-            # instead (an __seq column sidesteps the whole reduction).
-            from pyspark.sql.types import MapType
-
-            unorderable = [
-                f.name
-                for f in batch_df.schema.fields
-                if f.name in non_key and isinstance(f.dataType, MapType)
-            ]
-            if unorderable:
-                raise ValueError(
-                    "cdc_apply_stream: deterministic struct-max fallback "
-                    f"cannot order map columns {unorderable}; add a "
-                    "monotonic __seq column to the feed (or drop/serialize "
-                    "the map columns)"
-                )
-            if non_key:
-                last = (
-                    batch_df.groupBy(*keys)
-                    .agg(F.max(F.struct(*non_key)).alias("__row"))
-                    .select(
-                        *keys, *(F.col(f"__row.{c}").alias(c) for c in non_key)
-                    )
-                )
-            else:
-                # key-only feed: every column is part of the key, so
-                # dropDuplicates IS deterministic here
-                last = batch_df.dropDuplicates(list(keys))
-        # the per-key reduction is consumed by EVERY downstream action
-        # (upsert's collects + write, sweep, delete) — without this
-        # checkpoint the window/struct-max subtree re-executes per action
-        # (CLAUDE.md round-5 rule: >=2 consumers ⇒ checkpoint)
-        last = last.localCheckpoint(eager=True)
+        last, dels = _reduce_last_write(batch_df, keys, op_col, delete_op)
         rd = lambda p: spark.read.parquet(p)  # noqa: E731
-        dels = None
-        if op_col is not None and op_col in last.columns:
-            # per-key op resolved AFTER the last-write-wins reduction:
-            # the key's FINAL event decides retract vs upsert
-            dels = last.where(F.col(op_col) == delete_op)
-            last = last.where(
-                F.col(op_col).isNull() | (F.col(op_col) != delete_op)
-            ).drop(op_col)
+        if dels is not None:
             dels_has_rows = dels.limit(1).count() > 0
         # before-image / op columns ride the sweep, never the store
         stored = last.drop(*prev_cols) if prev_cols else last
@@ -544,6 +562,76 @@ def cdc_apply_stream(
                 # key-location scan (the tier the sweep itself uses in
                 # this configuration)
                 force_scan=sweep_moved_keys and prev_cols is None,
+            )
+
+    return (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ann_index_maintenance_stream(
+    source: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str | None = None,
+    delete_op: str = "d",
+) -> StreamingQuery:
+    """Continuous maintenance of a persisted IVFPQ index from a vector
+    change feed — the ANN-side companion of :func:`cdc_apply_stream`
+    (store rows retract/upsert there; index entries retract/re-encode
+    here; run both off the same feed for a searchable, continuously
+    deduplicated corpus).
+
+    Per micro-batch, after the shared last-write-wins reduction
+    (:func:`_reduce_last_write`; ``__seq`` required with ``op_col``):
+
+    * retracted keys: :func:`operators.similarity.delete_from_ivfpq_index`
+      — inverted lists pruned to touched cells, vectors vacuumed by
+      id-hash bucket;
+    * live keys: delete-then-append with the FROZEN quantizer
+      (:func:`append_to_ivfpq_index`) — the delete first, because an
+      UPDATE may move the vector to a different cell, and because a
+      stale vectors-store row sharing a live vid would reach the
+      rerank join (vacuum is mandatory on this path, not optional).
+
+    Replay-idempotent WITHOUT coordination: delete-then-append of the
+    same reduced batch converges to the same index state (the delete
+    removes whatever the previous attempt appended), and a replayed
+    pure delete locates nothing. Cost per batch is O(|delta| + touched
+    cells + touched buckets) plus the thin (vid, cell) location scan —
+    the quantizer is never retrained (drift means rebuild, the
+    documented FAISS add() trade).
+    """
+    from node_mongo2influx_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    spark = source.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        live, dels = _reduce_last_write(
+            batch_df, (id_col,), op_col, delete_op
+        )
+        if dels is not None and dels.limit(1).count() > 0:
+            delete_from_ivfpq_index(
+                spark, index_path, dels.select(id_col), vacuum_vectors=True
+            )
+        if live.limit(1).count() > 0:
+            # delete-then-append: clears a moved cell's old code AND the
+            # old vectors row (same-vid collision in the rerank join),
+            # and is what makes batch replay converge
+            delete_from_ivfpq_index(
+                spark, index_path, live.select(id_col), vacuum_vectors=True
+            )
+            append_to_ivfpq_index(
+                live, index_path, id_col=id_col, vec_col=vec_col
             )
 
     return (

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql.functions import col as F_col
 
 from node_mongo2influx_spark.operators import similarity
 from node_mongo2influx_spark.plans.tables import load
@@ -853,3 +854,70 @@ def test_skew_harvest_from_train_sample(spark):
     assert compose_jobs == base_jobs, (compose_jobs, base_jobs)
     split = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in split_df.collect()}
     assert split == unsplit and split
+
+
+def test_ivfpq_index_delete(spark, emb, tmp_path):
+    # FAISS remove_ids() semantics: deleted ids vanish from query
+    # results, untouched inverted lists are never rewritten (file
+    # mtimes byte-stable), replay is a no-op, and vacuum reclaims the
+    # vectors store.
+    import os
+    import glob
+
+    path = str(tmp_path / "ivfpq_del")
+    similarity.build_ivfpq_index(
+        emb, path, n_cells=16, m=16, n_codes=16, dim=64
+    )
+    queries = emb.where("vec_id < 3")
+    before = similarity.knn_cosine_ivfpq_query(
+        spark, path, queries, k=10, n_probe=8, shortlist=80
+    ).collect()
+    victims = sorted({r["neighbor_id"] for r in before})[:3]
+    assert victims
+
+    codes = spark.read.parquet(path + "/codes")
+    victim_cells = {
+        r["cell"]
+        for r in codes.where(F_col("vid").isin(victims)).select("cell")
+        .distinct().collect()
+    }
+    untouched = [
+        d for d in glob.glob(path + "/codes/cell=*")
+        if int(d.rsplit("=", 1)[1]) not in victim_cells
+    ]
+    mtimes = {
+        f: os.path.getmtime(f)
+        for d in untouched
+        for f in glob.glob(d + "/*.parquet")
+    }
+
+    n = similarity.delete_from_ivfpq_index(spark, path, victims)
+    assert n == len(victim_cells) and n > 0
+    # untouched lists not rewritten
+    assert mtimes == {
+        f: os.path.getmtime(f)
+        for d in untouched
+        for f in glob.glob(d + "/*.parquet")
+    }
+    # the ids are gone from the codes store and from query results
+    left = spark.read.parquet(path + "/codes").where(
+        F_col("vid").isin(victims)
+    ).count()
+    assert left == 0
+    after = similarity.knn_cosine_ivfpq_query(
+        spark, path, queries, k=10, n_probe=8, shortlist=80
+    ).collect()
+    assert not ({r["neighbor_id"] for r in after} & set(victims))
+    assert after  # still answers
+    # replay: locates nothing
+    assert similarity.delete_from_ivfpq_index(spark, path, victims) == 0
+    # vacuum drops the stale vector rows
+    similarity.delete_from_ivfpq_index(
+        spark, path, victims, vacuum_vectors=True
+    )
+    assert (
+        spark.read.parquet(path + "/vectors")
+        .where(F_col("vid").isin(victims))
+        .count()
+        == 0
+    )

@@ -1037,3 +1037,92 @@ def test_cdc_apply_stream_migrate_then_delete_same_batch(spark, tmp_path):
         for r in spark.read.parquet(store + "/t").collect()
     }
     assert got2 == expect
+
+
+def test_ann_index_maintenance_stream(spark, tmp_path):
+    # Continuous IVFPQ maintenance off a vector change feed: an UPDATE
+    # re-encodes under the frozen quantizer (old cell's code and the
+    # same-vid vectors row cleared first), a DELETE retracts the id,
+    # and a fresh-checkpoint replay converges to the identical index.
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.operators import similarity
+
+    def vec(i, flip=False):
+        v = [0.0] * 8
+        v[i % 4] = -1.0 if flip else 1.0
+        v[4 + (i % 4)] = 0.01 * (i % 7)
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ann_index")
+    similarity.build_ivfpq_index(
+        corpus, path, n_cells=4, m=4, n_codes=4, dim=8
+    )
+
+    # moves id 1 from the e1 region to the e3 region — a DIFFERENT cell
+    # but still inside the trained distribution (a flipped/outlier vector
+    # would be unrepresentable by the frozen codebooks: the documented
+    # quantization-drift caveat, which is a rebuild trigger, not a bug)
+    new_v1 = vec(51)  # 51 % 4 == 3
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows1 = [(1, new_v1, "u", 1), (9001, vec(3), "u", 1)]
+    rows2 = [(2, vec(2), "d", 2)]
+    schema = "vec_id long, embedding array<double>, op string, __seq int"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/.t1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/.t2")
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/.t1/*.parquet"))
+        + sorted(glob.glob(src + "/.t2/*.parquet"))
+    ):
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run(ck):
+        q = sp.ann_index_maintenance_stream(
+            sp.read_stream(spark, src, spark.read.parquet(src).schema,
+                           max_files_per_trigger=1),
+            path, checkpoint_dir=str(tmp_path / ck), op_col="op",
+        )
+        q.awaitTermination(120)
+
+    def snapshot():
+        codes = sorted(
+            (r["vid"], r["cell"], bytes(r["codes"]))
+            for r in spark.read.parquet(path + "/codes").collect()
+        )
+        vecs = sorted(
+            (r["vid"], tuple(r["vec"]))
+            for r in spark.read.parquet(path + "/vectors").collect()
+        )
+        return codes, vecs
+
+    run("ck1")
+    codes, vecs = snapshot()
+    vids_codes = [v for v, _, _ in codes]
+    vids_vecs = [v for v, _ in vecs]
+    # deleted id gone everywhere; new id present; updated id present ONCE
+    assert 2 not in vids_codes and 2 not in vids_vecs
+    assert 9001 in vids_codes and 9001 in vids_vecs
+    assert vids_codes.count(1) == 1 and vids_vecs.count(1) == 1
+    # the surviving vectors row for id 1 is the NEW vector
+    v1 = dict(vecs)[1]
+    assert list(v1) == [float(x) for x in new_v1], v1
+    # queryable: the new region's query surfaces the updated id
+    q = spark.createDataFrame(
+        [(7777, new_v1)], "vec_id long, embedding array<double>"
+    )
+    got = similarity.knn_cosine_ivfpq_query(
+        spark, path, q, k=5, n_probe=4, shortlist=20
+    ).collect()
+    assert 1 in {r["neighbor_id"] for r in got}
+    # fresh-checkpoint replay: byte-identical index state
+    run("ck2")
+    assert snapshot() == (codes, vecs)
