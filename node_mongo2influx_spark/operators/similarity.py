@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.sinks.parquet import _has_data_files
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -2179,6 +2181,11 @@ def build_ivfpq_index(
       query time. Carries ``vec_buckets`` so every later mutation uses
       the same bucketing.
     """
+    if vec_buckets < 1:
+        # pmod(hash, 0) is NULL → rows land in __HIVE_DEFAULT_PARTITION__
+        # with the model recording a "legacy" layout: a mixed, unreadable
+        # store. Refuse up front.
+        raise ValueError(f"vec_buckets must be >= 1, got {vec_buckets}")
     spark = corpus.sparkSession
     cents = kmeans_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
@@ -2191,8 +2198,13 @@ def build_ivfpq_index(
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     (
+        # vid cast LONG to match the codes kernels' schema: xxhash64 is
+        # TYPE-sensitive, so the mutation bucket must be computed over
+        # one canonical id type or a later vacuum hashes into the wrong
+        # bucket and the stale row survives
         corpus.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+            F.col(id_col).cast("long").alias("vid"),
+            _as_double(F.col(vec_col)).alias("vec"),
         )
         .withColumn("__vb", _vec_bucket(vec_buckets))
         .write.mode("overwrite")
@@ -2215,9 +2227,12 @@ def build_ivfpq_index(
 
 def _vec_bucket(n_buckets: int) -> Column:
     """Vectors-store mutation bucket: a pure function of the id, so a
-    delete/update knows its touched buckets WITHOUT any scan."""
+    delete/update knows its touched buckets WITHOUT any scan. Hashes the
+    LONG-cast vid — xxhash64 is type-sensitive (int 5 and long 5 hash
+    differently), so every caller must bucket over one canonical type."""
     return F.pmod(
-        F.xxhash64(F.lit("ivfpq-vec-bucket"), F.col("vid")), F.lit(n_buckets)
+        F.xxhash64(F.lit("ivfpq-vec-bucket"), F.col("vid").cast("long")),
+        F.lit(n_buckets),
     ).cast("int")
 
 
@@ -2270,6 +2285,13 @@ def knn_cosine_ivfpq_query(
     cell-partitioned layout), ADC-score, exact-rerank the shortlist
     against the vectors table."""
     cents, anchors, books = load_ivfpq_model(spark, path)
+    if not _has_data_files(pathlib.Path(f"{path}/codes")):
+        # a fully-retired index (every list deleted) is EMPTY, not
+        # corrupt: the dir holds no data files and would otherwise fail
+        # schema inference
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     short = shortlist if shortlist is not None else 4 * k
     n_probe = min(n_probe, len(cents))
 
@@ -2326,7 +2348,8 @@ def append_to_ivfpq_index(
     )
     codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
     vec_out = delta.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).cast("long").alias("vid"),
+        _as_double(F.col(vec_col)).alias("vec"),
     )
     nb = _ivfpq_vec_buckets(spark, path)
     if nb:
@@ -2344,7 +2367,7 @@ def delete_from_ivfpq_index(
     spark,
     path: str,
     ids,
-    vacuum_vectors: bool = False,
+    vacuum_vectors: bool | str = False,
 ) -> int:
     """Remove vectors from a persisted IVFPQ index WITHOUT retraining —
     the FAISS ``remove_ids()`` face completing the index lifecycle
@@ -2370,61 +2393,53 @@ def delete_from_ivfpq_index(
       correctness hazard. ``vacuum_vectors=True`` reclaims it by
       rewriting only the delete set's id-hash BUCKETS (a pure function
       of the id — no scan to locate them; O(touched buckets)).
-      MANDATORY for update flows (delete-then-reappend of a live id):
-      a stale row sharing a live vid WOULD reach the rerank join —
-      :func:`ann_index_maintenance_stream` always vacuums.
+      ``"located"`` vacuums only when the delete actually located codes
+      — the right setting for flows that keep codes and vectors in
+      lockstep (no codes ⇒ no vectors; saves the no-op bucket rewrite
+      on pure-insert batches). Vacuuming is MANDATORY for update flows
+      (delete-then-reappend of a live id): a stale row sharing a live
+      vid WOULD reach the rerank join —
+      :func:`ann_index_maintenance_stream` vacuums with ``"located"``.
 
-    Idempotent: a replayed delete locates nothing and returns 0.
+    Ids must be integral (the codes kernels emit ``vid long``; all id
+    handling canonicalizes through a LONG cast — xxhash64 bucketing is
+    type-sensitive). Idempotent: a replayed delete locates nothing and
+    returns 0; a fully-emptied store is recognized by its absence of
+    data files and reads as empty rather than wedging.
     Returns the number of cell partitions rewritten/dropped.
     """
-    import shutil
-
     from pyspark.sql import DataFrame as _DF
 
     if isinstance(ids, _DF):
-        dkeys = ids.select(F.col(ids.columns[0]).alias("vid")).distinct()
+        dkeys = ids.select(
+            F.col(ids.columns[0]).cast("long").alias("vid")
+        ).distinct()
     else:
         dkeys = spark.createDataFrame(
             [(int(i),) for i in ids], "vid long"
         ).distinct()
     codes_path = f"{path}/codes"
-    codes = spark.read.parquet(codes_path)
-    touched = sorted(
-        r["cell"]
-        for r in codes.select("vid", "cell")
-        .join(dkeys, "vid", "left_semi")
-        .select("cell")
-        .distinct()
-        .collect()
-    )
-    if touched:
-        kept = (
-            codes.where(F.col("cell").isin([int(c) for c in touched]))
-            .join(dkeys, "vid", "left_anti")
-            # lineage reads the partitions the overwrite rewrites
-            .localCheckpoint(eager=True)
+    touched: list = []
+    if _has_data_files(pathlib.Path(codes_path)):
+        codes = spark.read.parquet(codes_path)
+        touched = sorted(
+            r["cell"]
+            for r in codes.select(F.col("vid").cast("long").alias("vid"), "cell")
+            .join(dkeys, "vid", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
         )
-        survivors = {
-            r["cell"] for r in kept.select("cell").distinct().collect()
-        }
-        if survivors:
-            (
-                kept.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("cell")
-                .parquet(codes_path)
-            )
-        for c in touched:
-            if c in survivors:
-                continue
-            d = pathlib.Path(codes_path) / f"cell={c}"
-            if d.exists():
-                shutil.rmtree(d)
-        spark.catalog.refreshByPath(codes_path)
+        if touched:
+            _prune_rewrite(spark, codes_path, "cell", touched, dkeys)
+    if vacuum_vectors == "located":
+        vacuum_vectors = bool(touched)
     if vacuum_vectors:
         vec_path = f"{path}/vectors"
         nb = _ivfpq_vec_buckets(spark, path)
-        if nb:
+        if not _has_data_files(pathlib.Path(vec_path)):
+            pass
+        elif nb:
             buckets = sorted(
                 r["b"]
                 for r in dkeys.select(_vec_bucket(nb).alias("b"))
@@ -2437,36 +2452,52 @@ def delete_from_ivfpq_index(
                 if (pathlib.Path(vec_path) / f"__vb={b}").exists()
             ]
             if on_disk:
-                kept_v = (
-                    spark.read.parquet(vec_path)
-                    .where(F.col("__vb").isin([int(b) for b in on_disk]))
-                    .join(dkeys, "vid", "left_anti")
-                    .localCheckpoint(eager=True)
-                )
-                survivors = {
-                    r["__vb"]
-                    for r in kept_v.select("__vb").distinct().collect()
-                }
-                if survivors:
-                    (
-                        kept_v.write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .partitionBy("__vb")
-                        .parquet(vec_path)
-                    )
-                for b in on_disk:
-                    if b in survivors:
-                        continue
-                    d = pathlib.Path(vec_path) / f"__vb={b}"
-                    if d.exists():
-                        shutil.rmtree(d)
-                spark.catalog.refreshByPath(vec_path)
+                _prune_rewrite(spark, vec_path, "__vb", on_disk, dkeys)
         else:  # legacy unpartitioned layout: full-store rewrite
             kept_v = (
                 spark.read.parquet(vec_path)
+                .withColumn("vid", F.col("vid").cast("long"))
                 .join(dkeys, "vid", "left_anti")
                 .localCheckpoint(eager=True)
             )
             kept_v.write.mode("overwrite").parquet(vec_path)
             spark.catalog.refreshByPath(vec_path)
     return len(touched)
+
+
+def _prune_rewrite(
+    spark, store_path: str, part_col: str, touched: list, dkeys: DataFrame
+) -> None:
+    """Shared partition-pruned delete tail for the index stores: read
+    only the ``touched`` partitions, anti-join the delete keys
+    (LONG-canonical vid), dynamic-overwrite the survivors, drop
+    partitions left empty as directories. A store emptied entirely is
+    left with no data files — every reader probes ``_has_data_files``
+    and treats that as an empty (not corrupt) store."""
+    import shutil
+
+    kept = (
+        spark.read.parquet(store_path)
+        .where(F.col(part_col).isin([int(v) for v in touched]))
+        .withColumn("vid", F.col("vid").cast("long"))
+        # lineage reads the partitions the overwrite rewrites
+        .join(dkeys, "vid", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    survivors = {
+        r[part_col] for r in kept.select(part_col).distinct().collect()
+    }
+    if survivors:
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(store_path)
+        )
+    for v in touched:
+        if v in survivors:
+            continue
+        d = pathlib.Path(store_path) / f"{part_col}={v}"
+        if d.exists():
+            shutil.rmtree(d)
+    spark.catalog.refreshByPath(store_path)

@@ -619,17 +619,24 @@ def ann_index_maintenance_stream(
         live, dels = _reduce_last_write(
             batch_df, (id_col,), op_col, delete_op
         )
-        if dels is not None and dels.limit(1).count() > 0:
+        # ONE delete over the union of retracted and live keys: both
+        # sets must leave the index before the live append (a retracted
+        # key for good, a live key because its update may move cells and
+        # its old vectors row would collide with the re-encoded one in
+        # the rerank join) — one (vid, cell) location scan and at most
+        # one rewrite per touched partition per batch, instead of two.
+        # vacuum="located" skips the bucket rewrite entirely on
+        # pure-insert batches (this stream keeps codes and vectors in
+        # lockstep, so no located codes ⇒ no stale vectors either).
+        # Delete-then-append is also what makes batch replay converge.
+        clear = live.select(id_col)
+        if dels is not None:
+            clear = clear.unionByName(dels.select(id_col))
+        if clear.limit(1).count() > 0:
             delete_from_ivfpq_index(
-                spark, index_path, dels.select(id_col), vacuum_vectors=True
+                spark, index_path, clear, vacuum_vectors="located"
             )
         if live.limit(1).count() > 0:
-            # delete-then-append: clears a moved cell's old code AND the
-            # old vectors row (same-vid collision in the rerank join),
-            # and is what makes batch replay converge
-            delete_from_ivfpq_index(
-                spark, index_path, live.select(id_col), vacuum_vectors=True
-            )
             append_to_ivfpq_index(
                 live, index_path, id_col=id_col, vec_col=vec_col
             )

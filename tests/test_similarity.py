@@ -921,3 +921,53 @@ def test_ivfpq_index_delete(spark, emb, tmp_path):
         .count()
         == 0
     )
+
+
+def test_ivfpq_index_full_retirement_and_int_ids(spark, tmp_path):
+    # (a) int-typed corpus ids: the vacuum's id-hash bucket must hit the
+    # right directory (xxhash64 is type-sensitive — everything
+    # canonicalizes through a LONG cast). (b) deleting EVERY id leaves a
+    # readable-empty store (no data files), not an unreadable wedge;
+    # queries return empty and a later append revives the index.
+    ids = list(range(40))
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 5) for j in range(8)]) for i in ids],
+        "vec_id int, embedding array<double>",   # INT ids on purpose
+    )
+    path = str(tmp_path / "ivfpq_retire")
+    similarity.build_ivfpq_index(
+        corpus, path, n_cells=4, m=4, n_codes=4, dim=8, vec_buckets=8
+    )
+    # int-id vacuum: stale vector rows actually vanish
+    n = similarity.delete_from_ivfpq_index(
+        spark, path, ids[:5], vacuum_vectors=True
+    )
+    assert n > 0
+    assert (
+        spark.read.parquet(path + "/vectors")
+        .where(F_col("vid").isin(ids[:5]))
+        .count()
+        == 0
+    )
+    # full retirement: delete everything, store stays usable
+    similarity.delete_from_ivfpq_index(spark, path, ids, vacuum_vectors=True)
+    from node_mongo2influx_spark.sinks.parquet import _has_data_files
+    import pathlib as _pl
+
+    assert not _has_data_files(_pl.Path(path + "/codes"))
+    q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert (
+        similarity.knn_cosine_ivfpq_query(spark, path, q, k=3).collect() == []
+    )
+    # replayed delete on the empty store: no-op, no crash
+    assert similarity.delete_from_ivfpq_index(spark, path, ids) == 0
+    # revival: append re-creates lists next to the leftover _SUCCESS
+    similarity.append_to_ivfpq_index(
+        corpus.where("vec_id < 10"), path
+    )
+    got = similarity.knn_cosine_ivfpq_query(
+        spark, path, q, k=3, n_probe=4
+    ).collect()
+    assert got and all(r["neighbor_id"] < 10 for r in got)
