@@ -2465,6 +2465,58 @@ def delete_from_ivfpq_index(
     return len(touched)
 
 
+def compact_ivfpq_index(spark, path: str) -> dict:
+    """Small-file compaction for the persisted index stores —
+    :func:`ann_index_maintenance_stream` appends one file per touched
+    cell/bucket per micro-batch, so a long-running feed accumulates
+    per-partition file counts that make the probed-cells scan
+    open-bound, not byte-bound. One ``repartition(part_col)`` rewrite
+    collapses each partition directory to a single file.
+
+    Crash-safe via the same rename-aside swap protocol as
+    ``ParquetSink.compact``: write to ``__compact_tmp``, rename the
+    live store aside, promote, drop — a crash at any point is
+    recoverable on the next run from the leftover markers (a
+    ``__compact_old`` with no live store is restored; stray tmp dirs
+    are discarded). Returns {store: file_count_after}.
+    """
+    import shutil
+
+    out = {}
+    for store, part_col in (("codes", "cell"), ("vectors", "__vb")):
+        target = pathlib.Path(path) / store
+        tmp = target.with_name(target.name + "__compact_tmp")
+        old = target.with_name(target.name + "__compact_old")
+        if old.exists():
+            if not target.exists():
+                old.rename(target)  # crashed between swap renames: restore
+            else:
+                shutil.rmtree(old)
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        if not _has_data_files(target):
+            continue
+        df = spark.read.parquet(str(target))
+        if part_col in df.columns:
+            # one task per partition value → exactly one file per dir
+            writer = (
+                df.repartition(F.col(part_col))
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+            )
+        else:  # legacy unpartitioned vectors store
+            writer = df.coalesce(1).write.mode("overwrite")
+        writer.parquet(str(tmp))
+        target.rename(old)
+        tmp.rename(target)
+        shutil.rmtree(old)
+        spark.catalog.refreshByPath(str(target))
+        out[store] = len(
+            [p for p in target.rglob("*.parquet") if p.is_file()]
+        )
+    return out
+
+
 def _prune_rewrite(
     spark, store_path: str, part_col: str, touched: list, dkeys: DataFrame
 ) -> None:

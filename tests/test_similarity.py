@@ -971,3 +971,62 @@ def test_ivfpq_index_full_retirement_and_int_ids(spark, tmp_path):
         spark, path, q, k=3, n_probe=4
     ).collect()
     assert got and all(r["neighbor_id"] < 10 for r in got)
+
+
+def test_ivfpq_index_compaction(spark, tmp_path):
+    # Incremental appends leave one file per touched cell per batch;
+    # compaction collapses every partition dir to ONE file, preserves
+    # the rows byte-for-byte, keeps queries working, and recovers from
+    # a crashed prior run (leftover __compact_old with no live store).
+    import glob
+    import os
+    import shutil
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq_compact")
+    similarity.build_ivfpq_index(
+        corpus, path, n_cells=4, m=4, n_codes=4, dim=8, vec_buckets=8
+    )
+    for lo in (100, 140, 180):  # three delta appends
+        delta = spark.createDataFrame(
+            [(i, [float((i * 3 + j) % 5) for j in range(8)])
+             for i in range(lo, lo + 20)],
+            "vec_id long, embedding array<double>",
+        )
+        similarity.append_to_ivfpq_index(delta, path)
+
+    def files_per_dir(store):
+        return {
+            d: len(glob.glob(d + "/*.parquet"))
+            for d in glob.glob(path + f"/{store}/*=*")
+        }
+
+    assert any(n > 1 for n in files_per_dir("codes").values())
+    before = sorted(
+        (r["vid"], r["cell"], bytes(r["codes"]))
+        for r in spark.read.parquet(path + "/codes").collect()
+    )
+    out = similarity.compact_ivfpq_index(spark, path)
+    assert set(out) == {"codes", "vectors"}
+    assert all(n == 1 for n in files_per_dir("codes").values())
+    assert all(n == 1 for n in files_per_dir("vectors").values())
+    after = sorted(
+        (r["vid"], r["cell"], bytes(r["codes"]))
+        for r in spark.read.parquet(path + "/codes").collect()
+    )
+    assert after == before
+    q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert similarity.knn_cosine_ivfpq_query(spark, path, q, k=3).collect()
+    # crash recovery: simulate a crash between the two swap renames
+    os.rename(path + "/codes", path + "/codes__compact_old")
+    out2 = similarity.compact_ivfpq_index(spark, path)
+    assert out2["codes"] >= 1
+    assert sorted(
+        (r["vid"], r["cell"], bytes(r["codes"]))
+        for r in spark.read.parquet(path + "/codes").collect()
+    ) == before
