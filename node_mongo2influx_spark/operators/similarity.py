@@ -1097,6 +1097,7 @@ def cosine_pairs_ivf(
     pair_backend: str = "fused",
     cell_cap: int | None = 4096,
     skew_sample_mod: int = 64,
+    cell_counts: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs via IVF cells — the data-adaptive
     alternative to :func:`cosine_pairs_lsh` (same contract, same exact
@@ -1124,7 +1125,17 @@ def cosine_pairs_ivf(
       spreads over ~(pop/cell_cap)² tasks with replication paid ONLY by
       that cell's rows. ``cell_cap=None`` disables the probe (one fewer
       job — for corpora known balanced, e.g. freshly trained k-means at
-      bench scale).
+      bench scale). ``cell_counts`` (requires ``centroids``) supplies
+      per-cell populations from an EXTERNAL source — e.g. harvested from
+      a persisted index's codes partition layout
+      (:func:`ivfpq_cell_populations`) — and skips the probe entirely:
+      the 100 TB posture when an index over the same corpus and
+      quantizer already exists (the probe reads id+vec of the whole
+      corpus at 1× I/O; the harvest reads parquet footers). Hard
+      (top-1) counts under-count the soft n_assign-replicated
+      populations, so they are scaled by ``n_assign`` before the cap
+      comparison — a heuristic correction, exact in the balanced case
+      and conservative (over-splitting is harmless) elsewhere.
     * ``"blocked"``: the id-only (cell, block_a, block_b) salted
       self-join + :func:`_score_pairs` feature rejoin. Every cell
       unconditionally spreads over n_blocks² tasks at an n_blocks×
@@ -1132,6 +1143,10 @@ def cosine_pairs_ivf(
       are heavy and the probe-then-split dance saves nothing.
     """
     d = _vec_dim(df, vec_col, dim)
+    if cell_counts is not None and centroids is None:
+        # counts are populations UNDER a specific quantizer — against a
+        # freshly trained one they would split arbitrary cells
+        raise ValueError("cell_counts requires centroids from the same source")
     train_sample, train_truncated = None, True
     if centroids is None:
         centroids = kmeans_centroids(
@@ -1204,6 +1219,9 @@ def cosine_pairs_ivf(
         oversized = None
         if cell_cap:
             # Skew-statistics ladder, cheapest sufficient evidence wins:
+            # 0. caller-supplied cell_counts (e.g. harvested from a
+            #    persisted index's partition layout): zero jobs, zero
+            #    data-column I/O — hard counts scaled by n_assign;
             # 1. training sample untruncated ⇒ it IS the corpus: exact
             #    soft-assignment populations in the driver, ZERO extra jobs;
             # 2. id-only LIMIT(cap+1) probe: a corpus with ≤ cell_cap rows
@@ -1213,7 +1231,13 @@ def cosine_pairs_ivf(
             #    matmul rows): resolution is cap/sample_mod expected hits
             #    per cap-sized cell INDEPENDENT of corpus size — the only
             #    estimator that stays reliable at 100 TB.
-            if train_sample is not None and not train_truncated:
+            if cell_counts is not None:
+                oversized = _oversized_from_counts(
+                    np.asarray(cell_counts, dtype=np.int64),
+                    cell_cap,
+                    sample_mod=n_assign_eff,
+                )
+            elif train_sample is not None and not train_truncated:
                 pops = np.zeros(len(cents), dtype=np.int64)
                 top = _top_cells(train_sample, cents, n_assign_eff, tl_index)
                 np.add.at(pops, top.ravel(), 1)
@@ -2265,6 +2289,78 @@ def load_ivfpq_model(spark, path: str):
         np.array([cents[i] for i in range(n_cells)]),
         np.array([anchors[i] for i in range(n_cells)]),
         books,
+    )
+
+
+def ivfpq_cell_populations(spark, path: str) -> np.ndarray:
+    """Exact per-cell population of a persisted index, harvested from the
+    codes store's partition layout: the groupBy touches ONLY the ``cell``
+    partition column, so Spark answers it from directory names plus
+    parquet footer row counts — no data-column I/O at any corpus size.
+    This is the scale-path skew evidence for dedup over an indexed
+    corpus (see ``cosine_pairs_ivf(cell_counts=)``): the sampled probe
+    reads id+vec of the whole corpus; this reads metadata. Cells with no
+    inverted list (or a fully-retired store) report 0.
+    """
+    n_cells = (
+        spark.read.parquet(f"{path}/model")
+        .where(F.col("kind") == "centroid")
+        .count()
+    )
+    counts = np.zeros(n_cells, dtype=np.int64)
+    if not _has_data_files(pathlib.Path(f"{path}/codes")):
+        return counts
+    rows = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        counts[int(r["cell"])] += int(r["count"])
+    return counts
+
+
+def cosine_pairs_ivf_index(
+    spark,
+    path: str,
+    threshold: float = 0.4,
+    n_assign: int = 2,
+    round_to: int = 4,
+    cell_cap: int | None = 4096,
+    pair_backend: str = "fused",
+) -> DataFrame:
+    """Near-dup candidate pairs driven off a PERSISTED IVFPQ index:
+    exact vectors from the vectors store, quantizer from the model,
+    skew statistics harvested from the codes partition layout
+    (:func:`ivfpq_cell_populations`). Zero training, zero probe scan —
+    the 100 TB posture for deduplicating a corpus that already maintains
+    a searchable index (:func:`ann_index_maintenance_stream
+    <node_mongo2influx_spark.streaming.pipeline.ann_index_maintenance_stream>`
+    keeps all three stores in lockstep, so the harvested populations are
+    current as of the last applied batch). Same output contract as
+    :func:`cosine_pairs_ivf`: (vec_a, vec_b, cosine), exact scores,
+    every edge true.
+    """
+    if not _has_data_files(pathlib.Path(f"{path}/vectors")):
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    cents, _, _ = load_ivfpq_model(spark, path)
+    counts = ivfpq_cell_populations(spark, path)
+    vecs = spark.read.parquet(f"{path}/vectors").select("vid", "vec")
+    return cosine_pairs_ivf(
+        vecs,
+        id_col="vid",
+        vec_col="vec",
+        threshold=threshold,
+        n_assign=n_assign,
+        round_to=round_to,
+        dim=int(cents.shape[1]),
+        centroids=cents,
+        cell_cap=cell_cap,
+        cell_counts=counts,
+        pair_backend=pair_backend,
     )
 
 

@@ -1030,3 +1030,73 @@ def test_ivfpq_index_compaction(spark, tmp_path):
         (r["vid"], r["cell"], bytes(r["codes"]))
         for r in spark.read.parquet(path + "/codes").collect()
     ) == before
+
+
+def test_index_harvested_skew_pairs(spark, tmp_path, monkeypatch):
+    # Populations harvested from the codes partition layout agree with a
+    # hard top-1 assignment under the index's own quantizer, and the
+    # index-driven pair path (a) never runs the corpus probe scan,
+    # (b) splits the heavy cell from the harvested counts alone, and
+    # (c) produces the SAME exact-scored edge set as the raw-corpus path
+    # under the same centroids with splitting off.
+    heavy = [
+        (i, [1.0 + 0.001 * (i % 7), 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+        for i in range(48)
+    ]
+    spread = [
+        (100 + i, [float((i * 3 + j + 1) % 5) for j in range(8)])
+        for i in range(32)
+    ]
+    corpus = spark.createDataFrame(
+        heavy + spread, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivfpq_harvest")
+    similarity.build_ivfpq_index(
+        corpus, path, n_cells=4, m=4, n_codes=4, dim=8, vec_buckets=4
+    )
+
+    pops = similarity.ivfpq_cell_populations(spark, path)
+    assert pops.sum() == 80 and len(pops) == 4
+    cents, _, _ = similarity.load_ivfpq_model(spark, path)
+    mat = np.array([r[1] for r in heavy + spread], dtype=np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    hard = similarity._top_cells(unit, cents, 1, None).ravel()
+    expect = np.bincount(hard, minlength=4)
+    assert list(pops) == list(expect)
+    assert pops.max() >= 48  # the heavy cluster shares one cell
+
+    # the probe scan must never run on the harvest path
+    def boom(*a, **k):
+        raise AssertionError("corpus probe ran on the harvest path")
+
+    monkeypatch.setattr(similarity, "_estimate_oversized_cells", boom)
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_pairs_ivf_index(
+            spark, path, threshold=0.9, cell_cap=8
+        ).collect()
+    )
+    # cell_cap=8 vs a >=48-member cell: the harvested counts MUST split it
+    oversized = similarity._oversized_from_counts(pops, 8, sample_mod=2)
+    assert oversized and max(oversized.values()) >= 6
+    ref = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_pairs_ivf(
+            corpus, threshold=0.9, dim=8, centroids=cents, cell_cap=None
+        ).collect()
+    )
+    assert got == ref and len(got) > 100
+
+    # counts against a freshly trained quantizer are refused
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.cosine_pairs_ivf(
+            corpus, threshold=0.9, dim=8, cell_counts=pops
+        )
+
+    # a fully retired index yields an empty edge set, not a wedged read
+    similarity.delete_from_ivfpq_index(
+        spark, path, list(range(48)) + list(range(100, 132)),
+        vacuum_vectors=True,
+    )
+    assert similarity.cosine_pairs_ivf_index(spark, path).count() == 0
+    assert similarity.ivfpq_cell_populations(spark, path).sum() == 0
