@@ -2166,75 +2166,85 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     dot = similarity._dot
-    bt = emb.select(
-        "vec_id",
-        "emb",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(_lsh_probe_bucket_sql(t, "emb", spark_side=True))
-                    for t in range(_LSH_PROBE_TABLES)
-                ]
-            )
-        ).alias("t", "bucket"),
+    # Single-pass formulation (r6 session 3): at probe query counts the
+    # input is tiny, so the cost is plan DEPTH, not data. Candidacy
+    # ("shares any (table, bucket)") is a per-PAIR expression over the
+    # two precomputed bucket arrays — no posexplode, no bucket
+    # self-join, no distinct — and exact + approx ranks come from TWO
+    # windows over ONE scored frame sharing one exchange. Approx rank =
+    # rank among candidates: ordering candidates-first makes row_number
+    # of a candidate row exactly its candidate rank. Selection is
+    # unchanged (same dots, same tie-breaks) — the hash-matched oracle
+    # keeps the original two-subtree spelling.
+    buckets = F.array(
+        *[
+            F.expr(_lsh_probe_bucket_sql(t, "emb", spark_side=True))
+            for t in range(_LSH_PROBE_TABLES)
+        ]
     )
-    # ids-only candidate distinct (the production LSH shuffle discipline),
-    # vectors rejoin below for scoring
-    cand = (
-        bt.where("vec_id < 10")
-        .select(F.col("vec_id").alias("query_id"), "t", "bucket")
-        .join(
-            bt.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket"),
-            ["t", "bucket"],
-        )
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    # Per-side norms and buckets evaluated ONCE per corpus row and
+    # materialized (localCheckpoint): __vn is expensive but
+    # single-referenced, so CollapseProject would otherwise inline it
+    # into the per-PAIR projection (the round-5 BPE-chain trap), and the
+    # checkpointed frame gives the BroadcastNestedLoopJoin a multi-split
+    # streamed side (a 1-split parquet scan would run all pair scoring
+    # on one core). O(n) materialization — same order as the bucket
+    # shuffle the join formulation pays.
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
 
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    corpus = ensure_min_partitions(emb, width).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("vemb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__vn"),
+        buckets.alias("vb"),
+    ).localCheckpoint(eager=True)
+    qside = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__qn"),
+        buckets.alias("qb"),
+    )
     cos = dot(F.col("qemb"), F.col("vemb")) / (
-        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
-        * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
+        F.col("__qn") * F.col("__vn")
     )
-
-    def topk(pairs: DataFrame) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(cos.desc(), "neighbor_id")
-        return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .where("rn <= 10")
-            .select("query_id", "neighbor_id")
-        )
-
-    qfeat = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
-    vfeat = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("vemb")
-    )
-    exact = topk(
-        F.broadcast(qfeat).join(
-            vfeat, F.col("neighbor_id") != F.col("query_id")
+    is_cand = None
+    for t in range(_LSH_PROBE_TABLES):
+        eq = F.col("qb")[t] == F.col("vb")[t]
+        is_cand = eq if is_cand is None else (is_cand | eq)
+    scored = (
+        F.broadcast(qside)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos.alias("__s"),
+            is_cand.alias("__c"),
         )
     )
-    approx = topk(
-        cand.join(vfeat, "neighbor_id").join(F.broadcast(qfeat), "query_id")
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), "neighbor_id"
     )
-    approx_r = approx.select(
-        F.col("query_id").alias("a_query"),
-        F.col("neighbor_id").alias("a_neighbor"),
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("__s").desc(), "neighbor_id"
     )
     return (
-        exact.join(
-            approx_r,
-            (F.col("query_id") == F.col("a_query"))
-            & (F.col("neighbor_id") == F.col("a_neighbor")),
-            "left",
+        scored.select(
+            "query_id",
+            "__c",
+            F.row_number().over(w_e).alias("__rn_e"),
+            F.row_number().over(w_a).alias("__rn_a"),
         )
+        .where("__rn_e <= 10")
         .groupBy("query_id")
         .agg(
-            F.round(F.count("a_neighbor").cast("double") / 10.0, 2).alias(
-                "recall"
-            )
+            F.round(
+                F.count(
+                    F.when(F.col("__c") & (F.col("__rn_a") <= 10), 1)
+                ).cast("double")
+                / 10.0,
+                2,
+            ).alias("recall")
         )
     )
 
@@ -2331,91 +2341,108 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     dot = similarity._dot
-    m, dsub = 8, 8
-    subs = F.posexplode(
-        F.array(*[F.slice("emb", j * dsub + 1, dsub) for j in range(m)])
+    m, dsub, n_codes = 8, 8, 16
+    # Single-pass formulation (r6 session 3): the codebook is by
+    # construction the subspace slices of the FIRST 16 vectors, so it is
+    # collected once (16 pruned rows) and inlined as literals — encoding
+    # becomes a zero-shuffle projection (argmax over a 16-struct array
+    # per subspace) instead of posexplode + broadcast join + a
+    # per-(vec, subspace) argmax exchange. Arithmetic is bit-identical:
+    # literal doubles round-trip exactly, every dot keeps the same
+    # left-fold order, −½‖sub‖² is folded in Python with that same
+    # order, and max of (s, −code) == first of (s DESC, code ASC).
+    # Exact + ADC ranks then come from two windows over ONE scored
+    # frame (shared exchange), as in lsh_recall_probe. The hash-matched
+    # oracle keeps the original multi-CTE spelling.
+    rows16 = sorted(
+        emb.where(f"vec_id < {n_codes}").collect(),
+        key=lambda r: r["vec_id"],
     )
-    cb = emb.where("vec_id < 16").select(
-        F.col("vec_id").alias("code"), subs.alias("j", "sub")
-    )
-    xs = emb.select("vec_id", subs.alias("j", "x"))
-    score = dot(F.col("x"), F.col("sub")) - 0.5 * dot(
-        F.col("sub"), F.col("sub")
-    )
-    w_assign = Window.partitionBy("vec_id", "j").orderBy(
-        score.desc(), "code"
-    )
-    assign = (
-        xs.join(F.broadcast(cb), "j")
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where("rn = 1")
-        .select("vec_id", "j", "sub")
-    )
-    recon = assign.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "sub"))),
-                lambda s: s["sub"],
+
+    # one SQL string per subspace, ONE F.expr each: building this tree
+    # from Column objects costs thousands of Py4J round-trips (~5 s of
+    # driver time per call, measured); string construction is free and
+    # the parser sees it in one hop. CAST('<repr>' AS DOUBLE) round-trips
+    # every literal bit-exactly (and dodges the bare-decimal-parses-as-
+    # DECIMAL expr() trap); the aggregate/zip_with spelling is _dot's
+    # own fold, so the arithmetic is unchanged.
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def chosen_sub_sql(j: int) -> str:
+        cands = []
+        for r in rows16:
+            sub = [float(v) for v in r["emb"][j * dsub : (j + 1) * dsub]]
+            acc = 0.0
+            for v in sub:
+                acc = acc + v * v
+            arr = "array(" + ", ".join(dlit(v) for v in sub) + ")"
+            dot_s = (
+                f"aggregate(zip_with(slice(emb, {j * dsub + 1}, {dsub}), "
+                f"{arr}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + v)"
             )
-        ).alias("rvec")
-    )
+            cands.append(
+                f"named_struct('s', {dot_s} - {dlit(0.5 * acc)}, "
+                f"'nc', {-int(r['vec_id'])}, 'sub', {arr})"
+            )
+        return f"array_max(array({', '.join(cands)})).sub"
 
-    def topk(pairs: DataFrame, score_col) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            score_col.desc(), "neighbor_id"
-        )
-        return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .where("rn <= 10")
-            .select("query_id", "neighbor_id")
-        )
+    chosen = [F.expr(chosen_sub_sql(j)) for j in range(m)]
+    # Encode once per corpus row and MATERIALIZE (localCheckpoint):
+    # rvec is expensive but single-referenced downstream, so
+    # CollapseProject would inline it into the per-PAIR projection —
+    # re-encoding every vector once per query (measured 4×) — and the
+    # checkpoint also gives the nested-loop join a multi-split streamed
+    # side. O(n·dim) local materialization, the same order the join
+    # formulation shuffled through its assignment exchange.
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
 
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    enc = ensure_min_partitions(emb, width)
+    corpus = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("vemb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__vn"),
+        F.concat(*chosen).alias("rvec"),
+    ).localCheckpoint(eager=True)
     qfeat = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
-    vfeat = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("vemb")
-    )
-    cos_exact = dot(F.col("qemb"), F.col("vemb")) / (
-        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
-        * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
-    )
-    exact = topk(
-        F.broadcast(qfeat).join(
-            vfeat, F.col("neighbor_id") != F.col("query_id")
-        ),
-        cos_exact,
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__qn"),
     )
     # ADC: approx dot against the reconstruction, EXACT corpus norms
-    rfeat = recon.select(
-        F.col("vec_id").alias("neighbor_id"), "rvec"
-    ).join(vfeat, "neighbor_id")
-    cos_adc = dot(F.col("qemb"), F.col("rvec")) / (
-        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
-        * F.sqrt(dot(F.col("vemb"), F.col("vemb")))
+    denom = F.col("__qn") * F.col("__vn")
+    scored = (
+        F.broadcast(qfeat)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qemb"), F.col("vemb")) / denom).alias("__se"),
+            (dot(F.col("qemb"), F.col("rvec")) / denom).alias("__sa"),
+        )
     )
-    approx = topk(
-        F.broadcast(qfeat).join(
-            rfeat, F.col("neighbor_id") != F.col("query_id")
-        ),
-        cos_adc,
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("__se").desc(), "neighbor_id"
     )
-    approx_r = approx.select(
-        F.col("query_id").alias("a_query"),
-        F.col("neighbor_id").alias("a_neighbor"),
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("__sa").desc(), "neighbor_id"
     )
     return (
-        exact.join(
-            approx_r,
-            (F.col("query_id") == F.col("a_query"))
-            & (F.col("neighbor_id") == F.col("a_neighbor")),
-            "left",
+        scored.select(
+            "query_id",
+            F.row_number().over(w_e).alias("__rn_e"),
+            F.row_number().over(w_a).alias("__rn_a"),
         )
+        .where("__rn_e <= 10")
         .groupBy("query_id")
         .agg(
-            F.round(F.count("a_neighbor").cast("double") / 10.0, 2).alias(
-                "recall"
-            )
+            F.round(
+                F.count(F.when(F.col("__rn_a") <= 10, 1)).cast("double")
+                / 10.0,
+                2,
+            ).alias("recall")
         )
     )
 
