@@ -64,6 +64,12 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # but cosine_pairs_ivf's code path changed).
     ("semantic_dedup_ivf", 6),
     ("embedding_neardup_ivf", 6),
+    # round 6 session 4 (empty-input robustness wave): skip_accounting
+    # gained a nullif divisor (0/0 → NULL like the oracle on empty
+    # input — sf0.01 values unchanged, re-verified); pq_recall_probe
+    # gained an empty-corpus early return before the codebook collect.
+    ("skip_accounting", 6),
+    ("pq_recall_probe", 6),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -121,6 +121,53 @@ def cosine_pairs(
     )
 
 
+class EmptyTrainingInput(ValueError):
+    """The quantizer/codebook trainers collected an EMPTY sample.
+
+    At 100 TB an empty corpus mid-pipeline is routine (a filter that
+    matched nothing, an empty CDC delta), so the PUBLIC search operators
+    catch this and degrade to an empty result frame instead of killing
+    the job. An explicit index BUILD (:func:`build_ivfpq_index`) lets it
+    propagate — training an index over nothing is a caller error, the
+    same contract as FAISS ``train()``.
+    """
+
+
+def _empty_knn_result(
+    corpus: DataFrame, queries: DataFrame, id_col: str
+) -> DataFrame:
+    """Zero-row (query_id, neighbor_id, cosine) frame with the input id
+    types — the degraded output of every knn path on an empty corpus.
+    Built via createDataFrame (no limit(0) join: the registry plan lint
+    would read a crossJoin of empties as a cartesian anti-pattern)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
+def _empty_pairs_result(df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (vec_a, vec_b, cosine) frame — the degraded output of the
+    pair generators on an empty corpus."""
+    from pyspark.sql import types as T
+
+    idt = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", idt),
+            T.StructField("vec_b", idt),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     """Embedding dimensionality. Parquet schemas don't encode array
     length, and probing a row (`first()`) would run an eager Spark job in
@@ -529,7 +576,7 @@ def kmeans_centroids(
         truncated = len(pdf) >= target
         pdf = pdf[pdf["vec"].notna()]
         if not len(pdf):
-            raise ValueError("kmeans_centroids: empty training input")
+            raise EmptyTrainingInput("kmeans_centroids: empty training input")
         mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         unit = mat / norms
@@ -687,9 +734,12 @@ def knn_cosine_ivf(
     """
     d = _vec_dim(corpus, vec_col, dim)
     if centroids is None:
-        centroids = kmeans_centroids(
-            corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, dim=d
-        )
+        try:
+            centroids = kmeans_centroids(
+                corpus, id_col, vec_col, n_cells=n_cells, n_iters=n_iters, dim=d
+            )
+        except EmptyTrainingInput:
+            return _empty_knn_result(corpus, queries, id_col)
     cents = centroids
     # ONE quantizer for both sides: corpus assignment and query probing
     # must route identically or co-location breaks (a corpus vector's
@@ -1149,15 +1199,18 @@ def cosine_pairs_ivf(
         raise ValueError("cell_counts requires centroids from the same source")
     train_sample, train_truncated = None, True
     if centroids is None:
-        centroids = kmeans_centroids(
-            df,
-            id_col,
-            vec_col,
-            n_cells=n_cells,
-            n_iters=n_iters,
-            dim=d,
-            return_train_sample=True,
-        )
+        try:
+            centroids = kmeans_centroids(
+                df,
+                id_col,
+                vec_col,
+                n_cells=n_cells,
+                n_iters=n_iters,
+                dim=d,
+                return_train_sample=True,
+            )
+        except EmptyTrainingInput:
+            return _empty_pairs_result(df, id_col)
         centroids, train_sample, train_truncated = centroids
     cents = centroids
     n_assign_eff = min(n_assign, len(cents))
@@ -1345,7 +1398,7 @@ def pq_codebooks(
     )
     pdf = pdf[pdf["vec"].notna()]
     if not len(pdf):
-        raise ValueError("pq_codebooks: empty training input")
+        raise EmptyTrainingInput("pq_codebooks: empty training input")
     mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     init_order = np.argsort(
         pdf["__init_h"].to_numpy(dtype=np.int64), kind="stable"
@@ -1441,9 +1494,12 @@ def knn_cosine_pq(
     from pyspark.sql import Window
 
     short = shortlist if shortlist is not None else 4 * k
-    books = pq_codebooks(
-        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, dim=dim
-    )
+    try:
+        books = pq_codebooks(
+            corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, dim=dim
+        )
+    except EmptyTrainingInput:
+        return _empty_knn_result(corpus, queries, id_col)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
 
     qrows = (
@@ -1611,7 +1667,7 @@ def _pq_codebooks_residual(
     )
     pdf = pdf[pdf["vec"].notna()]
     if not len(pdf):
-        raise ValueError("_pq_codebooks_residual: empty training input")
+        raise EmptyTrainingInput("_pq_codebooks_residual: empty training input")
     mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     cell = ((mat / norms) @ cents.T).argmax(axis=1)
@@ -1680,12 +1736,15 @@ def knn_cosine_ivfpq(
     from pyspark.sql import Window
 
     short = shortlist if shortlist is not None else 4 * k
-    cents = kmeans_centroids(
-        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
-    )
-    books, anchors = _pq_codebooks_residual(
-        corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
-    )
+    try:
+        cents = kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+        )
+        books, anchors = _pq_codebooks_residual(
+            corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
+        )
+    except EmptyTrainingInput:
+        return _empty_knn_result(corpus, queries, id_col)
     codes = ivfpq_encode(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
@@ -1839,19 +1898,22 @@ def knn_cosine_ivfpq_batch(
     from pyspark.sql import Window
 
     short = shortlist if shortlist is not None else 4 * k
-    cents = (
-        centroids
-        if centroids is not None
-        else kmeans_centroids(
-            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+    try:
+        cents = (
+            centroids
+            if centroids is not None
+            else kmeans_centroids(
+                corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+            )
         )
-    )
-    if model is not None:
-        books, anchors = model
-    else:
-        books, anchors = _pq_codebooks_residual(
-            corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
-        )
+        if model is not None:
+            books, anchors = model
+        else:
+            books, anchors = _pq_codebooks_residual(
+                corpus, cents, id_col, vec_col, m=m, n_codes=n_codes, dim=dim
+            )
+    except EmptyTrainingInput:
+        return _empty_knn_result(corpus, queries, id_col)
     codes = ivfpq_encode(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )

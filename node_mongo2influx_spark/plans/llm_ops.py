@@ -2358,6 +2358,22 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(f"vec_id < {n_codes}").collect(),
         key=lambda r: r["vec_id"],
     )
+    if not rows16:
+        # EMPTY corpus: no vectors to slice codebooks from (and no
+        # queries either — vec_id < 10 is a subset of the same corpus).
+        # array(<zero candidates>) would type as VOID and fail analysis;
+        # degrade to the empty result instead (tools/empty_sweep.py).
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", emb.schema["vec_id"].dataType),
+                    T.StructField("recall", T.DoubleType()),
+                ]
+            ),
+        )
 
     # one SQL string per subspace, ONE F.expr each: building this tree
     # from Column objects costs thousands of Py4J round-trips (~5 s of

@@ -84,7 +84,12 @@ def skip_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("rows_in"),
         F.count("time").alias("rows_written"),
         (F.count(F.lit(1)) - F.count("time")).alias("rows_skipped"),
-        F.round(100.0 * F.count("time") / F.count(F.lit(1)), 4).alias("success_rate"),
+        # nullif divisor: on an EMPTY input 0/0 must be NULL like the
+        # oracle (DuckDB float division by zero is NULL; Spark under
+        # ANSI raises DIVIDE_BY_ZERO instead — tools/empty_sweep.py).
+        F.round(
+            100.0 * F.count("time") / F.nullif(F.count(F.lit(1)), F.lit(0)), 4
+        ).alias("success_rate"),
     )
 
 

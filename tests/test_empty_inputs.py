@@ -239,3 +239,57 @@ def test_pq_trainer_tolerates_null_vec(vecs_with_null):
         k=2, dim=8, m=4,
     ).collect()
     assert len(out) == 2 and all(r["neighbor_id"] != 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Empty CORPUS for the ANN family (tools/empty_sweep.py class): the
+# trainers raise EmptyTrainingInput on a zero-row sample; every PUBLIC
+# search operator catches it and degrades to an empty, correctly-typed
+# result. An explicit index BUILD keeps the raise (caller error, the
+# FAISS train() contract).
+# ---------------------------------------------------------------------------
+
+
+def test_knn_family_empty_corpus_degrades(spark, empty_vecs):
+    from node_mongo2influx_spark.operators import similarity
+
+    q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    cases = [
+        (similarity.knn_cosine_ivf, dict(n_cells=2)),
+        (similarity.knn_cosine_pq, dict(m=4, n_codes=4)),
+        (similarity.knn_cosine_ivfpq, dict(n_cells=2, m=4, n_codes=4)),
+        (similarity.knn_cosine_ivfpq_batch, dict(n_cells=2, m=4, n_codes=4)),
+    ]
+    for fn, kw in cases:
+        out = fn(
+            empty_vecs, q, id_col="vec_id", vec_col="embedding",
+            k=2, dim=8, **kw,
+        )
+        assert out.columns == ["query_id", "neighbor_id", "cosine"]
+        assert out.count() == 0
+
+
+def test_cosine_pairs_ivf_empty_corpus_degrades(empty_vecs):
+    from node_mongo2influx_spark.operators import similarity
+
+    out = similarity.cosine_pairs_ivf(
+        empty_vecs, id_col="vec_id", vec_col="embedding",
+        threshold=0.5, n_cells=2, dim=8,
+    )
+    assert out.columns == ["vec_a", "vec_b", "cosine"]
+    assert out.count() == 0
+
+
+def test_build_ivfpq_index_empty_corpus_raises(empty_vecs, tmp_path):
+    import pytest as _pytest
+
+    from node_mongo2influx_spark.operators import similarity
+
+    with _pytest.raises(similarity.EmptyTrainingInput):
+        similarity.build_ivfpq_index(
+            empty_vecs, str(tmp_path / "idx"),
+            id_col="vec_id", vec_col="embedding",
+            n_cells=2, m=4, n_codes=4, dim=8,
+        )
