@@ -1,0 +1,229 @@
+"""Portable HyperLogLog: identical registers AND estimate in Spark + DuckDB.
+
+Spark's ``approx_count_distinct`` (HLL++) is deterministic but its sketch
+internals have no DuckDB twin, so the `approx_distinct_users` query can only
+be rows-only. This module is the ORACLE-CHECKABLE sketch tier: a from-scratch
+HyperLogLog (Flajolet et al. 2007) over the portable FNV-1a hash
+(functions/phash.py), engineered so every number both engines produce is
+bit-identical:
+
+* **hash**: FNV-1a 32-bit of the value's decimal string, finalized with
+  murmur3's fmix32 — exact 64-bit integer folds on both engines (the
+  phash contract). The finalizer is load-bearing: raw FNV leaves
+  sequential keys near-bijective in the low byte and weakly mixed up
+  top, which skews the bucket/rho SPLIT this sketch does (measured: a
+  150-distinct estimate came out 15% high; with fmix32 the linear
+  regime is near-exact). Same lesson as the JL sign matrix
+  (CLAUDE.md round 4).
+* **registers**: bucket = low ``p`` hash bits, rho = leading-zero count of
+  the remaining ``32-p`` bits + 1, computed with INTEGER arithmetic
+  (``length(bin(w))`` — both engines print minimal binary), register =
+  ``max(rho)`` per bucket. Max-merge makes the registers order- and
+  partition-independent — the mergeable-partial property that makes HLL
+  the 100 TB distinct-count answer (map-side partials, O(m) state, and
+  sketches can be STORED per partition/day and merged later, which a
+  COUNT(DISTINCT) can never do).
+* **estimate core**: the harmonic sum is kept as the EXACT INTEGER
+  ``sum_inv_scaled = Σ 2^(maxrho − M_j)`` (absent buckets contribute
+  ``2^maxrho``) — reassociation-proof per the CLAUDE.md exact-integer
+  rule. The estimate is then ONE literal-constant division
+  (``alpha·m²·2^maxrho / sum_inv_scaled``) plus the standard
+  linear-counting branch for the small range (``m·ln(m/V)`` — ``ln`` is
+  already relied on cross-engine by the tf-idf/PMI/BM25 oracles),
+  stable-rounded to 1e-4 on both sides.
+
+Production paths should still prefer ``approx_count_distinct`` (C-speed JVM
+sketch, rsd knob); this tier exists so the sketch ALGORITHM itself has a
+hash-green driver witness (`hll_portable_distinct`,
+`sliding_distinct_hll`) — the same pattern as the ANN recall probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_mongo2influx_spark.functions.phash import (
+    fmix32_duckdb_steps,
+    fmix32_spark_steps,
+    fnv1a32_duckdb_sql,
+    fnv1a32_spark_sql,
+)
+
+#: Aliases for the 5-step fmix32 chain (each step in its OWN projection:
+#: a step uses its input 2-3×, and only an aliased non-cheap expression
+#: survives CollapseProject without being recomputed per reference).
+_FMIX_NAMES = ["__f0", "__f1", "__f2", "__f3", "__f4"]
+
+#: Register-count exponent / count. m = 256 gives rsd ≈ 1.04/√256 = 6.5% in
+#: the raw regime and near-exact linear counting below ~2.5·m distinct.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+
+#: rho of an all-zero suffix: (32 - p) zero bits + 1.
+HLL_MAXRHO = 32 - HLL_P + 1
+
+#: alpha_m · m² · 2^maxrho — the whole raw-estimate numerator as ONE python
+#: double, embedded as the SAME literal in both engines' expressions.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_K = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_MAXRHO)
+
+#: Linear-counting threshold: raw estimates at or below 2.5·m with empty
+#: buckets remaining use m·ln(m/V) instead (the standard HLL correction).
+HLL_LC_CUTOFF = 2.5 * HLL_M
+
+
+def _stable_round4(c: Column) -> Column:
+    """floor(x·1e4 + 0.5)/1e4 — the repo's cross-engine rounding idiom."""
+    return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group_cols..., __bucket, __m) — one max-rho register per non-empty
+    bucket per group. NULL values are ignored (COUNT(DISTINCT) semantics).
+
+    This is the mergeable partial: registers from disjoint slices of the
+    data max-merge into the registers of their union (property-tested in
+    tests/test_hll.py) — at 100 TB these 256 small ints per group are
+    what map-side partial aggregation ships, and what an incremental
+    pipeline would persist per ingest batch.
+    """
+    h = F.expr(fnv1a32_spark_sql(f"cast({value_col} as string)"))
+    cur = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, h.alias("__f0")
+    )
+    for i, step in enumerate(fmix32_spark_steps(_FMIX_NAMES)):
+        cur = cur.select(*group_cols, F.expr(step).alias(f"__f{i + 1}"))
+    rows = (
+        cur.withColumnRenamed("__f5", "__h")
+        .select(
+            *group_cols,
+            F.pmod(F.col("__h"), F.lit(HLL_M)).alias("__bucket"),
+            F.expr(f"__h div {HLL_M}").alias("__w"),
+        )
+        .select(
+            *group_cols,
+            "__bucket",
+            F.when(F.col("__w") == 0, F.lit(HLL_MAXRHO))
+            .otherwise(F.lit(HLL_MAXRHO) - F.length(F.bin(F.col("__w"))))
+            .cast("int")
+            .alias("__rho"),
+        )
+    )
+    return rows.groupBy(*group_cols, "__bucket").agg(
+        F.max("__rho").alias("__m")
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers → (group_cols..., used_buckets, zero_buckets,
+    sum_inv_scaled, hll_estimate). ``sum_inv_scaled`` is the exact-integer
+    harmonic core; ``hll_estimate`` applies the linear-counting branch and
+    stable-rounds to 1e-4."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - __m)")).alias(
+            "__part"
+        ),
+    )
+    zero = F.lit(HLL_M) - F.col("used_buckets")
+    sum_inv = (
+        F.col("__part") + zero.cast("long") * F.lit(1 << HLL_MAXRHO)
+    ).alias("sum_inv_scaled")
+    raw = F.lit(HLL_K) / F.col("sum_inv_scaled")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("zero_buckets")
+    )
+    return (
+        agg.select(
+            *group_cols,
+            "used_buckets",
+            zero.cast("long").alias("zero_buckets"),
+            sum_inv,
+        )
+        .withColumn("__raw", raw)
+        .select(
+            *group_cols,
+            "used_buckets",
+            "zero_buckets",
+            "sum_inv_scaled",
+            _stable_round4(
+                F.when(
+                    (F.col("__raw") <= F.lit(HLL_LC_CUTOFF))
+                    & (F.col("zero_buckets") > 0),
+                    lc,
+                ).otherwise(F.col("__raw"))
+            ).alias("hll_estimate"),
+        )
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group portable-HLL distinct estimate (the composed pipeline)."""
+    return hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
+
+
+def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
+    """DuckDB twin of :func:`hll_count_distinct`.
+
+    ``rows_sql`` must yield (``{group_col}``, ``__v`` VARCHAR NOT NULL) —
+    one row per observation, value already stringified. Returns a SELECT
+    producing ({group_col}, used_buckets, zero_buckets, sum_inv_scaled,
+    hll_estimate) with arithmetic mirroring the Spark side step for step.
+    """
+    fnv = fnv1a32_duckdb_sql("__v")
+    k_lit = f"{HLL_K!r}e0"  # e-suffix: bare decimals parse as DECIMAL
+    m_lit = f"{float(HLL_M)!r}e0"
+    cutoff_lit = f"{HLL_LC_CUTOFF!r}e0"
+    fmix_ctes = "".join(
+        f"""
+        __hll_f{i + 1} AS (
+            SELECT {group_col}, {step} AS __f{i + 1} FROM __hll_f{i}
+        ),"""
+        for i, step in enumerate(fmix32_duckdb_steps(_FMIX_NAMES))
+    )
+    return f"""
+        WITH __hll_rows AS ({rows_sql}),
+        __hll_f0 AS (
+            SELECT {group_col}, {fnv} AS __f0 FROM __hll_rows
+        ),{fmix_ctes}
+        __hll_h AS (
+            SELECT {group_col}, __f5 AS __h FROM __hll_f5
+        ),
+        __hll_rho AS (
+            SELECT {group_col},
+                   __h % {HLL_M} AS __bucket,
+                   CASE WHEN __h // {HLL_M} = 0 THEN {HLL_MAXRHO}
+                        ELSE {HLL_MAXRHO} - length(bin(__h // {HLL_M}))
+                   END AS __rho
+            FROM __hll_h
+        ),
+        __hll_regs AS (
+            SELECT {group_col}, __bucket, max(__rho) AS __m
+            FROM __hll_rho GROUP BY 1, 2
+        ),
+        __hll_agg AS (
+            SELECT {group_col},
+                   count(*) AS used_buckets,
+                   CAST(sum(CAST(1 AS BIGINT) << ({HLL_MAXRHO} - __m))
+                        AS BIGINT)
+                   + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {HLL_MAXRHO})
+                       AS sum_inv_scaled,
+                   {HLL_M} - count(*) AS zero_buckets
+            FROM __hll_regs GROUP BY 1
+        )
+        SELECT {group_col},
+               CAST(used_buckets AS BIGINT) AS used_buckets,
+               CAST(zero_buckets AS BIGINT) AS zero_buckets,
+               sum_inv_scaled,
+               floor(CASE WHEN {k_lit} / sum_inv_scaled <= {cutoff_lit}
+                           AND zero_buckets > 0
+                          THEN {m_lit} * ln({m_lit} / zero_buckets)
+                          ELSE {k_lit} / sum_inv_scaled
+                     END * 1e4 + 5e-1) / 1e4 AS hll_estimate
+        FROM __hll_agg
+    """

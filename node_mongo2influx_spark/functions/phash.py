@@ -115,3 +115,65 @@ def minhash_words_duckdb_sql(wh_expr: str, seed: int, k: int = 3) -> str:
         f"list_min(list_transform(generate_series(1, len({wh_expr}) - {k - 1}), "
         f"i -> {fold}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# fmix32 — murmur3's finalizer, the portable avalanche step. FNV-1a alone
+# leaves structure (sequential keys ~bijective in the low byte, weakly
+# mixed high bits — the same lattice the JL sign matrix hit, CLAUDE.md
+# round 4), which biases anything that SPLITS the hash into fields
+# (HLL bucket/rho). fmix32 after the fold fixes it. All arithmetic is
+# exact signed-64-bit: the 32×32→32 multiplies are split at 16 bits
+# (lo*C < 2^48, (hi*C % 2^16)·2^16 < 2^32), so no intermediate reaches
+# 2^63 — ANSI-overflow-safe, and DuckDB-replayable.
+# ---------------------------------------------------------------------------
+
+FMIX32_C1 = 0x85EBCA6B
+FMIX32_C2 = 0xC2B2AE35
+
+
+def _mul32(expr: str, c: int, div: str) -> str:
+    """(expr * c) mod 2^32 without 64-bit overflow: split expr at 16 bits."""
+    return (
+        f"((({expr}) % 65536) * {c} + "
+        f"(((({expr}) {div} 65536) * {c}) % 65536) * 65536) % 4294967296"
+    )
+
+
+def fmix32_spark_steps(names: list[str]) -> list[str]:
+    """Five Spark-SQL expressions; ``names[0]`` is the input column, each
+    later expression references the previous step's alias ``names[i]``
+    (chain them through SEPARATE projections/aliases — each step uses its
+    input 2-3×, and only an aliased non-cheap input survives
+    CollapseProject un-duplicated)."""
+    i0, i1, i2, i3, i4 = names[:5]
+    return [
+        f"({i0} ^ ({i0} div 65536))",
+        _mul32(i1, FMIX32_C1, "div"),
+        f"({i2} ^ ({i2} div 8192))",
+        _mul32(i3, FMIX32_C2, "div"),
+        f"({i4} ^ ({i4} div 65536))",
+    ]
+
+
+def fmix32_duckdb_steps(names: list[str]) -> list[str]:
+    """DuckDB twin of :func:`fmix32_spark_steps` (xor(), ``//``)."""
+    i0, i1, i2, i3, i4 = names[:5]
+    return [
+        f"xor({i0}, {i0} // 65536)",
+        _mul32(i1, FMIX32_C1, "//"),
+        f"xor({i2}, {i2} // 8192)",
+        _mul32(i3, FMIX32_C2, "//"),
+        f"xor({i4}, {i4} // 65536)",
+    ]
+
+
+def fmix32_py(h: int) -> int:
+    """Python reference of the same finalizer (tests)."""
+    h &= 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * FMIX32_C1) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * FMIX32_C2) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h

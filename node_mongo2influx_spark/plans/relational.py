@@ -1177,6 +1177,59 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_portable_oracle() -> str:
+    from node_mongo2influx_spark.functions.hll import hll_oracle_sql
+
+    hll = hll_oracle_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS __v "
+        "FROM events WHERE user_id IS NOT NULL",
+        "event_type",
+    )
+    return f"""
+        WITH hll AS ({hll}),
+        ex AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT hll.event_type, ex.exact_users, hll.hll_estimate,
+               hll.used_buckets, hll.zero_buckets, hll.sum_inv_scaled
+        FROM hll JOIN ex USING (event_type)
+    """
+
+
+@query(
+    "hll_portable_distinct",
+    oracle=_hll_portable_oracle(),
+    description="The ORACLE-CHECKABLE sketch tier of approx_distinct_users: "
+    "a from-scratch HyperLogLog over the portable FNV-1a hash "
+    "(functions/hll.py) — registers are max-merged integer partials, the "
+    "harmonic core stays an EXACT INTEGER (sum_inv_scaled), and the "
+    "estimate (with the standard linear-counting small-range branch) is "
+    "bit-identical across engines. Exact distinct joined alongside, so the "
+    "row itself witnesses sketch accuracy. Spark's native HLL++ remains "
+    "the production path; this proves the mergeable-sketch algebra the "
+    "100 TB distinct-count posture rests on (O(m) state, partials "
+    "storable and mergeable across days/partitions).",
+)
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.hll import hll_count_distinct
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    hll = hll_count_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return hll.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "hll_estimate",
+        "used_buckets",
+        "zero_buckets",
+        "sum_inv_scaled",
+    )
+
+
 @query(
     "array_functions",
     oracle="""

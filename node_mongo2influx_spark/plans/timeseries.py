@@ -146,6 +146,71 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sliding_hll_oracle() -> str:
+    from node_mongo2influx_spark.functions.hll import hll_oracle_sql
+
+    rows = """
+        SELECT CAST(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                    - k * (INTERVAL '10 minutes') AS TIMESTAMP) AS window_start,
+               CAST(user_id AS VARCHAR) AS __v
+        FROM events, unnest([0, 1, 2]) AS t(k)
+        WHERE user_id IS NOT NULL
+    """
+    return f"""
+        WITH hll AS ({hll_oracle_sql(rows, "window_start")}),
+        ex AS (
+            SELECT window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (
+                SELECT user_id,
+                       CAST(time_bucket(INTERVAL '10 minutes',
+                                        CAST(ts AS TIMESTAMP))
+                            - k * (INTERVAL '10 minutes') AS TIMESTAMP)
+                           AS window_start
+                FROM events, unnest([0, 1, 2]) AS t(k)
+            )
+            GROUP BY window_start
+        )
+        SELECT hll.window_start, ex.n_users, hll.hll_estimate,
+               hll.used_buckets, hll.zero_buckets, hll.sum_inv_scaled
+        FROM hll JOIN ex USING (window_start)
+    """
+
+
+@query(
+    "sliding_distinct_hll",
+    oracle=_sliding_hll_oracle(),
+    description="The scale path sliding_distinct_users' note promises: "
+    "unique users per hopping window by PORTABLE HyperLogLog "
+    "(functions/hll.py) instead of an exact two-phase distinct. Per-window "
+    "state is O(m=256) max-merged registers — a window's distinct state no "
+    "longer grows with its user count, and register partials are mergeable "
+    "across ingest batches (the streaming rollup-maintenance shape). Exact "
+    "count joined alongside as the in-row accuracy witness; the whole row "
+    "(exact-integer harmonic core + linear-counting branch) hash-matches "
+    "DuckDB.",
+)
+def sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.hll import hll_count_distinct
+
+    base = load(spark, sf_dir, "events").select(
+        F.window("ts", "30 minutes", "10 minutes").start.alias("window_start"),
+        "user_id",
+    )
+    hll = hll_count_distinct(base, ["window_start"], "user_id")
+    exact = base.groupBy("window_start").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return hll.join(exact, "window_start").select(
+        "window_start",
+        "n_users",
+        "hll_estimate",
+        "used_buckets",
+        "zero_buckets",
+        "sum_inv_scaled",
+    )
+
+
 _IVM_CUTOFF = "2024-01-24 00:00:00"
 
 

@@ -1,0 +1,109 @@
+"""Portable HyperLogLog (functions/hll.py): the oracle-checkable sketch tier.
+
+The driver witnesses cross-engine hash equality (`hll_portable_distinct`,
+`sliding_distinct_hll`); these tests pin the SKETCH algebra itself:
+
+* max-merge of partial registers == registers of the union (the property
+  that makes HLL the 100 TB distinct answer — map-side combine, stored
+  per-batch partials, merge-on-read);
+* accuracy in BOTH estimator regimes (raw harmonic ≥ 2.5·m, linear
+  counting below);
+* COUNT(DISTINCT) semantics for NULLs; empty input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_mongo2influx_spark.functions.hll import (
+    HLL_LC_CUTOFF,
+    HLL_M,
+    hll_count_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _est(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_raw_regime_accuracy(spark):
+    # 10k distinct ids >> 2.5·m = 640: the harmonic (raw) branch. rsd for
+    # m=256 is ~6.5%; 3·rsd is a comfortable deterministic bound (the
+    # estimate is a pure function of the fixed FNV hash — no flakiness).
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    r = _est(hll_count_distinct(df, ["g"], "v"))
+    assert r["zero_buckets"] == 0 or r["hll_estimate"] > HLL_LC_CUTOFF
+    assert abs(r["hll_estimate"] - 10_000) / 10_000 < 0.20
+
+
+def test_linear_counting_regime_accuracy(spark):
+    # 150 distinct < 2.5·m: the linear-counting branch — near-exact.
+    df = spark.range(150).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r = _est(hll_count_distinct(df, ["g"], "v"))
+    assert r["zero_buckets"] > 0
+    assert abs(r["hll_estimate"] - 150) / 150 < 0.10
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    # 200 distinct values, each repeated 50×: registers are max() of a
+    # per-value hash, so multiplicity is invisible by construction.
+    once = spark.range(200).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    many = spark.range(10_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 200).alias("v")
+    )
+    assert (
+        _est(hll_count_distinct(once, ["g"], "v"))["hll_estimate"]
+        == _est(hll_count_distinct(many, ["g"], "v"))["hll_estimate"]
+    )
+
+
+def test_partial_registers_max_merge_to_union(spark):
+    # The mergeability property: registers built over two DISJOINT halves,
+    # max-merged, must equal the registers (and estimate) of the whole.
+    df = spark.range(5_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    half_a = df.where(F.col("v") % 2 == 0)
+    half_b = df.where(F.col("v") % 2 == 1)
+    merged_regs = (
+        hll_registers(half_a, ["g"], "v")
+        .unionByName(hll_registers(half_b, ["g"], "v"))
+        .groupBy("g", "__bucket")
+        .agg(F.max("__m").alias("__m"))
+    )
+    whole = _est(hll_estimate(hll_registers(df, ["g"], "v"), ["g"]))
+    merged = _est(hll_estimate(merged_regs, ["g"]))
+    assert merged["sum_inv_scaled"] == whole["sum_inv_scaled"]
+    assert merged["hll_estimate"] == whole["hll_estimate"]
+
+
+def test_nulls_ignored_like_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None), ("g", None)], "g string, v long"
+    )
+    r = _est(hll_count_distinct(df, ["g"], "v"))
+    # 2 distinct non-null values: linear counting is exact this small
+    assert r["hll_estimate"] == pytest.approx(2.0, abs=0.05)
+    assert r["used_buckets"] <= 2
+
+
+def test_empty_input_no_groups(spark):
+    df = spark.createDataFrame([], "g string, v long")
+    assert hll_count_distinct(df, ["g"], "v").count() == 0
+
+
+def test_per_group_independence(spark):
+    # two groups with different cardinalities estimate independently
+    df = spark.range(1_000).select(
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("g"),
+        F.col("id").alias("v"),
+    )
+    rows = {r["g"]: r for r in hll_count_distinct(df, ["g"], "v").collect()}
+    assert abs(rows["big"]["hll_estimate"] - 900) / 900 < 0.15
+    assert abs(rows["small"]["hll_estimate"] - 100) / 100 < 0.15
+    assert rows["big"]["used_buckets"] + rows["big"]["zero_buckets"] == HLL_M
