@@ -70,6 +70,13 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # gained an empty-corpus early return before the codebook collect.
     ("skip_accounting", 6),
     ("pq_recall_probe", 6),
+    # round 6 session 4 (1-row sweep class): MAD z-score and the two
+    # CUSUM sd formulas gained nullif divisors (MAD=0 / n=1 now NULL
+    # like the oracle instead of an ANSI crash — sf0.01 values
+    # unchanged, re-verified).
+    ("mad_robust_outliers", 6),
+    ("cusum_drift_alarms", 6),
+    ("cusum_drift_chunked", 6),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

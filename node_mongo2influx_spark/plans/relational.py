@@ -976,6 +976,118 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_quantile_sketch",
+    oracle="""
+        WITH rows_ AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+        ),
+        hist AS (
+            SELECT event_type, least(cents // 800, 63) AS bin,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM rows_ GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                        AS BIGINT) AS cum
+            FROM hist
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   quantile_cont(cents, 2.5e-1) AS x25,
+                   quantile_cont(cents, 5e-1)   AS x50,
+                   quantile_cont(cents, 7.5e-1) AS x75
+            FROM rows_ GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               floor(min(CASE WHEN cum >= CAST(ceil(2.5e-1 * n) AS BIGINT)
+                               AND cum - cnt < CAST(ceil(2.5e-1 * n) AS BIGINT)
+                              THEN (bin * 800 + 8e2 * (CAST(ceil(2.5e-1 * n) AS BIGINT)
+                                    - (cum - cnt)) / cnt) / 1e2 END)
+                     * 1e4 + 5e-1) / 1e4 AS est_p25,
+               floor(min(CASE WHEN cum >= CAST(ceil(5e-1 * n) AS BIGINT)
+                               AND cum - cnt < CAST(ceil(5e-1 * n) AS BIGINT)
+                              THEN (bin * 800 + 8e2 * (CAST(ceil(5e-1 * n) AS BIGINT)
+                                    - (cum - cnt)) / cnt) / 1e2 END)
+                     * 1e4 + 5e-1) / 1e4 AS est_p50,
+               floor(min(CASE WHEN cum >= CAST(ceil(7.5e-1 * n) AS BIGINT)
+                               AND cum - cnt < CAST(ceil(7.5e-1 * n) AS BIGINT)
+                              THEN (bin * 800 + 8e2 * (CAST(ceil(7.5e-1 * n) AS BIGINT)
+                                    - (cum - cnt)) / cnt) / 1e2 END)
+                     * 1e4 + 5e-1) / 1e4 AS est_p75,
+               floor(max(x25) / 1e2 * 1e4 + 5e-1) / 1e4 AS exact_p25,
+               floor(max(x50) / 1e2 * 1e4 + 5e-1) / 1e4 AS exact_p50,
+               floor(max(x75) / 1e2 * 1e4 + 5e-1) / 1e4 AS exact_p75
+        FROM cum JOIN tot USING (event_type)
+        GROUP BY event_type
+    """,
+    description="The ORACLE-CHECKABLE quantile-sketch tier (sibling of the "
+    "portable HLL): per-type quantiles estimated from a FIXED-BOUNDARY "
+    "64-bin integer-cents histogram — bin counts are exact mergeable "
+    "integers (map-side combine; per-batch partials SUM, the property "
+    "approx_percentile's t-digest has but can't oracle-check), the "
+    "estimate interpolates inside the hit bin with deterministic double "
+    "arithmetic, and exact percentiles (integer cents at binary-fraction "
+    "quantiles — bit-identical across engines, CLAUDE.md r5) ride along "
+    "as the in-row accuracy witness. Fixed boundaries are the "
+    "known-value-range production pattern; t-digest covers the unknown "
+    "range case (approx_percentiles_by_type, accuracy-gated in pytest).",
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    hist = rows.groupBy(
+        "event_type", F.least(F.expr("cents div 800"), F.lit(63)).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.select(
+        "event_type", "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(cents, 0.25D)").alias("x25"),
+        F.expr("percentile(cents, 0.5D)").alias("x50"),
+        F.expr("percentile(cents, 0.75D)").alias("x75"),
+    )
+
+    def est(q: float):
+        target = F.ceil(F.lit(q) * F.col("n"))
+        before = F.col("cum") - F.col("cnt")
+        hit = (F.col("cum") >= target) & (before < target)
+        e_cents = (
+            F.col("bin") * 800 + F.lit(8e2) * (target - before) / F.col("cnt")
+        )
+        return F.min(F.when(hit, e_cents / F.lit(1e2)))
+
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return (
+        cum.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_rows"),
+            r4(est(0.25)).alias("est_p25"),
+            r4(est(0.5)).alias("est_p50"),
+            r4(est(0.75)).alias("est_p75"),
+            r4(F.max("x25") / F.lit(1e2)).alias("exact_p25"),
+            r4(F.max("x50") / F.lit(1e2)).alias("exact_p50"),
+            r4(F.max("x75") / F.lit(1e2)).alias("exact_p75"),
+        )
+    )
+
+
+@query(
     "winsorize_by_type",
     oracle="""
         WITH cuts AS (

@@ -765,7 +765,13 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(d, 0.5)").alias("mad")
     )
-    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    # nullif divisor: MAD = 0 (constant series, or a singleton — routine
+    # at scale) must yield NULL z like the oracle's /0, not an ANSI
+    # DIVIDE_BY_ZERO crash; the > 3.5 filter then drops the rows on
+    # both engines (tools/empty_sweep.py, SPARK_GRAFT_SWEEP_ROWS=1).
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
     return (
         dev.join(mad, "event_type")
         .where(F.abs(z) > 3.5)
@@ -858,7 +864,9 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sq").cast("double")
                 - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
             )
-            / (F.col("n") - 1)
+            # nullif: n = 1 (singleton series) must make sd NULL like
+            # the oracle's /0, not an ANSI crash (1-row sweep class)
+            / F.nullif(F.col("n") - 1, F.lit(0))
         ).alias("sd"),
     )
     wrun = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
@@ -1001,7 +1009,9 @@ def cusum_drift_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("s").cast("double") * F.col("s").cast("double")
                 / F.col("n")
             )
-            / (F.col("n") - 1)
+            # nullif: n = 1 (singleton series) must make sd NULL like
+            # the oracle's /0, not an ANSI crash (1-row sweep class)
+            / F.nullif(F.col("n") - 1, F.lit(0))
         ).alias("sd"),
     )
     # data-sized windows run WITHIN (series, epoch) only

@@ -107,3 +107,48 @@ def test_per_group_independence(spark):
     assert abs(rows["big"]["hll_estimate"] - 900) / 900 < 0.15
     assert abs(rows["small"]["hll_estimate"] - 100) / 100 < 0.15
     assert rows["big"]["used_buckets"] + rows["big"]["zero_buckets"] == HLL_M
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile_sketch (plans/relational.py): the quantile sibling of
+# the portable HLL — fixed-boundary integer histograms are the mergeable
+# quantile sketch whose estimate IS oracle-checkable. The driver witnesses
+# cross-engine equality; these pin accuracy and mergeability.
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_accuracy_within_bin_width(spark):
+    from node_mongo2influx_spark.plans.relational import (
+        histogram_quantile_sketch,
+    )
+
+    rows = histogram_quantile_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for q in ("p25", "p50", "p75"):
+            # the estimate interpolates inside one 8-unit bin: it can
+            # never be further than a bin width from the exact quantile
+            assert abs(r[f"est_{q}"] - r[f"exact_{q}"]) <= 8.01, (r, q)
+
+
+def test_histogram_counts_merge_across_slices(spark):
+    # fixed boundaries ⇒ per-slice bin counts SUM to the union's counts —
+    # the mergeable-partial property (per-batch storability) that
+    # t-digest has but cannot oracle-check.
+    df = spark.range(1_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 512).cast("long").alias("cents")
+    )
+    def hist(d):
+        return d.groupBy(
+            "g", F.least(F.expr("cents div 8"), F.lit(63)).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    whole = {r["bin"]: r["cnt"] for r in hist(df).collect()}
+    halves = (
+        hist(df.where(F.col("id") % 2 == 0))
+        .unionByName(hist(df.where(F.col("id") % 2 == 1)))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = {r["bin"]: r["cnt"] for r in halves.collect()}
+    assert merged == whole

@@ -31,7 +31,6 @@ sys.path.insert(0, str(REPO))
 from tools.check_oracle import TABLES, output_hazards, value_hash  # noqa: E402
 
 SRC_DIR = os.environ.get("SPARK_GRAFT_EMPTY_SRC", "/root/testdata/sf0.001")
-OUT_DIR = "/tmp/sf_empty"
 ONLY = set(sys.argv[1:])
 
 #: Known ENGINE divergences on empty input — reported as xfail, not
@@ -47,17 +46,29 @@ KNOWN_DIVERGENCES = {
 }
 
 
+#: SPARK_GRAFT_SWEEP_ROWS=N keeps the FIRST N rows of each table instead
+#: of zero — N=1 exercises the singleton class (stddev of one sample,
+#: percentile of one value, windows with one row, self-joins with no
+#: second partner), a different crash/divergence class than empty.
+SWEEP_ROWS = int(os.environ.get("SPARK_GRAFT_SWEEP_ROWS", "0"))
+OUT_DIR = f"/tmp/sf_rows{SWEEP_ROWS}" if SWEEP_ROWS else "/tmp/sf_empty"
+
+
 def build_empty_fixtures() -> None:
-    """Zero-row parquet per table, schema copied from the sf0.001 footer
-    (preserves the nanos/NTZ timestamp drift parquet_compat must absorb)."""
+    """Zero-row (or first-N-row) parquet per table, schema copied from the
+    sf0.001 footer (preserves the nanos/NTZ timestamp drift parquet_compat
+    must absorb)."""
     import pyarrow.parquet as pq
 
     out = Path(OUT_DIR)
     out.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
         src = Path(SRC_DIR) / f"{t}.parquet"
-        schema = pq.read_schema(src)
-        pq.write_table(schema.empty_table(), out / f"{t}.parquet")
+        if SWEEP_ROWS:
+            tbl = pq.read_table(src).slice(0, SWEEP_ROWS)
+        else:
+            tbl = pq.read_schema(src).empty_table()
+        pq.write_table(tbl, out / f"{t}.parquet")
 
 
 def main() -> int:
