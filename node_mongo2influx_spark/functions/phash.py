@@ -177,3 +177,26 @@ def fmix32_py(h: int) -> int:
     h = (h * FMIX32_C2) & 0xFFFFFFFF
     h ^= h >> 16
     return h
+
+
+def fmix32_spark_inline(expr: str) -> str:
+    """fmix32 as ONE nested Spark-SQL expression. Textual nesting copies
+    ``expr`` ~72×, so use ONLY for cheap inputs (column arithmetic); an
+    expensive input (e.g. the FNV fold) must be aliased in its own
+    projection first and referenced here by name."""
+    cur = f"({expr})"
+    cur = f"({cur} ^ ({cur} div 65536))"
+    cur = f"({_mul32(cur, FMIX32_C1, 'div')})"
+    cur = f"({cur} ^ ({cur} div 8192))"
+    cur = f"({_mul32(cur, FMIX32_C2, 'div')})"
+    return f"({cur} ^ ({cur} div 65536))"
+
+
+def fmix32_duckdb_inline(expr: str) -> str:
+    """DuckDB twin of :func:`fmix32_spark_inline`."""
+    cur = f"({expr})"
+    cur = f"xor({cur}, {cur} // 65536)"
+    cur = f"({_mul32(cur, FMIX32_C1, '//')})"
+    cur = f"xor({cur}, {cur} // 8192)"
+    cur = f"({_mul32(cur, FMIX32_C2, '//')})"
+    return f"xor({cur}, {cur} // 65536)"

@@ -1545,6 +1545,114 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min sketch geometry: D independent hash rows × W counters. The
+#: row hash mixes the word's FNV with r·(golden-ratio constant) through
+#: fmix32 — deterministic, portable, and independent-enough per row.
+_CM_D, _CM_W = 4, 1024
+_CM_SEED = 0x9E3779B1
+
+
+def _cm_oracle() -> str:
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_duckdb_inline,
+        fnv1a32_duckdb_sql,
+    )
+
+    cell = (
+        fmix32_duckdb_inline(f"(__h + r * {_CM_SEED}) % 4294967296")
+        + f" % {_CM_W}"
+    )
+    return f"""
+        WITH w0 AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        -- count first, hash the VOCABULARY once: FNV cost tracks distinct
+        -- words, not corpus size
+        wc AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM w0 WHERE word <> '' GROUP BY 1
+        ),
+        wh AS (SELECT word, n, {fnv1a32_duckdb_sql("word")} AS __h FROM wc),
+        cells AS (
+            SELECT word, n, r, {cell} AS cell
+            FROM wh, unnest([0, 1, 2, 3]) AS t(r)
+        ),
+        counters AS (
+            SELECT r, cell, CAST(sum(n) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2
+        ),
+        tc AS (
+            SELECT word, n AS exact_n, r, cell FROM cells
+            WHERE word IN (SELECT word FROM wc
+                           ORDER BY n DESC, word LIMIT 20)
+        )
+        SELECT tc.word,
+               CAST(max(tc.exact_n) AS BIGINT) AS exact_n,
+               CAST(min(c.cnt) AS BIGINT) AS cm_est,
+               CAST(min(c.cnt) - max(tc.exact_n) AS BIGINT) AS overestimate
+        FROM tc JOIN counters c ON c.r = tc.r AND c.cell = tc.cell
+        GROUP BY tc.word
+    """
+
+
+@query(
+    "countmin_word_frequency",
+    oracle=_cm_oracle(),
+    description="The frequency member of the oracle-checkable sketch trio "
+    "(HLL = distinct, fixed-bin histogram = quantiles, Count-Min = "
+    "frequency): a 4×1024 Count-Min sketch over corpus words — counters "
+    "are EXACT INTEGER sums per (row, fmix32-mixed FNV cell), so the "
+    "whole sketch is deterministic, mergeable (per-batch counters SUM) "
+    "and bit-identical across engines. The exact top-20 words then read "
+    "their estimates back out of the sketch in-row: est = min over the 4 "
+    "counters, with the one-sided error (cm_est ≥ exact, overestimate = "
+    "collision mass ≤ εN) witnessed per word. approx_top_words keeps the "
+    "production heavy-hitters path (Spark's native sketch); this proves "
+    "the algorithm cross-engine.",
+)
+def countmin_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_spark_inline,
+        fnv1a32_spark_sql,
+    )
+
+    cell = F.expr(
+        fmix32_spark_inline(f"(__h + r * {_CM_SEED}) % 4294967296")
+        + f" % {_CM_W}"
+    )
+    rs = F.array([F.lit(r) for r in range(_CM_D)])
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    # count first, hash the VOCABULARY once (FNV cost tracks distinct
+    # words, not corpus size); the fold is aliased in its OWN projection
+    # (CollapseProject duplication rule), the fmix chain is cheap column
+    # arithmetic and inlines fine.
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        wc.select("word", "n", F.expr(fnv1a32_spark_sql("word")).alias("__h"))
+        .select("word", "n", F.explode(rs).alias("r"), "__h")
+        .select("word", "n", "r", cell.alias("cell"))
+        .localCheckpoint(eager=False)
+    )
+    counters = cells.groupBy("r", "cell").agg(F.sum("n").alias("cnt"))
+    top = wc.orderBy(F.col("n").desc(), "word").limit(20)
+    tc = cells.join(
+        F.broadcast(top.select("word")), "word"
+    ).withColumnRenamed("n", "exact_n")
+    return (
+        tc.join(counters, ["r", "cell"])
+        .groupBy("word")
+        .agg(
+            F.max("exact_n").alias("exact_n"),
+            F.min("cnt").alias("cm_est"),
+            (F.min("cnt") - F.max("exact_n")).alias("overestimate"),
+        )
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

@@ -665,6 +665,66 @@ def read_rollup_store(spark, store_dir: str, key_col: str = "event_type") -> Dat
     )
 
 
+def distinct_maintenance_stream(
+    source: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+) -> StreamingQuery:
+    """Continuously maintain per-key DISTINCT counts as an append-only log
+    of portable-HLL register partials — the sketch sibling of
+    :func:`rollup_maintenance_stream` (its integer partials SUM; HLL
+    registers MAX-merge, functions/hll.py).
+
+    A streaming ``count_distinct`` needs per-key per-VALUE state (it can
+    never forget a user it has seen); the register log needs O(m=256)
+    ints per key per batch, merge-on-read is one groupBy-max, and the
+    merged estimate is BIT-IDENTICAL to running the batch sketch over
+    all data at once (max is associative/commutative/idempotent — the
+    same property that makes the replayed-batch dynamic overwrite a
+    no-op). Periodic compaction collapses the log exactly like the
+    rollup store's.
+    """
+    from node_mongo2influx_spark.functions.hll import hll_registers
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_registers(batch_df, [key_col], value_col)
+            .withColumnRenamed("__bucket", "bucket")
+            .withColumnRenamed("__m", "register")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store_dir)
+        )
+
+    return (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_distinct_store(
+    spark, store_dir: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Merge-on-read over :func:`distinct_maintenance_stream`'s register
+    log: max-merge the per-batch registers, then estimate — identical
+    output contract to ``hll_count_distinct`` over the full raw data."""
+    from node_mongo2influx_spark.functions.hll import hll_estimate
+
+    regs = (
+        spark.read.parquet(store_dir)
+        .groupBy(key_col, "bucket")
+        .agg(F.max("register").alias("__m"))
+    )
+    return hll_estimate(regs, [key_col])
+
+
 def ohlc_stream(
     source: DataFrame,
     time_col: str = "time",

@@ -1126,3 +1126,50 @@ def test_ann_index_maintenance_stream(spark, tmp_path):
     # fresh-checkpoint replay: byte-identical index state
     run("ck2")
     assert snapshot() == (codes, vecs)
+
+
+def test_distinct_maintenance_stream_merge_equals_batch(
+    spark, events_stream_dir, tmp_path
+):
+    # The sketch IVM: each micro-batch appends its HLL register partials
+    # under its own ingest_batch partition; max-merge-on-read must equal
+    # the single-pass batch sketch BIT-FOR-BIT (max is associative,
+    # commutative and IDEMPOTENT), and a replay must change nothing.
+    from node_mongo2influx_spark.functions.hll import hll_count_distinct
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    store = str(tmp_path / "hll_store")
+    q = sp.distinct_maintenance_stream(
+        sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    n_batches = (
+        spark.read.parquet(store).select("ingest_batch").distinct().count()
+    )
+    assert n_batches >= 2, "need multiple micro-batches to prove the merge"
+
+    def as_map(df):
+        return {
+            r["event_type"]: (r["sum_inv_scaled"], r["hll_estimate"])
+            for r in df.collect()
+        }
+
+    merged = as_map(sp.read_distinct_store(spark, store))
+    full = as_map(
+        hll_count_distinct(
+            spark.read.parquet(events_stream_dir), ["event_type"], "user_id"
+        )
+    )
+    assert merged == full and full
+
+    # replay with a fresh checkpoint: every batch re-fires, dynamic
+    # overwrite rewrites the same partitions — idempotent by max-merge
+    q2 = sp.distinct_maintenance_stream(
+        sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert as_map(sp.read_distinct_store(spark, store)) == full
