@@ -1173,3 +1173,43 @@ def test_distinct_maintenance_stream_merge_equals_batch(
     )
     q2.awaitTermination(120)
     assert as_map(sp.read_distinct_store(spark, store)) == full
+
+
+def test_distinct_store_compaction_preserves_estimate(
+    spark, events_stream_dir, tmp_path
+):
+    # Same compaction pattern as the rollup store, with max instead of
+    # sum: merge the register log down to one ingest_batch partition and
+    # swap — merge-on-read must be unchanged (max-merge is idempotent,
+    # so compacting is literally a no-op on the merged registers).
+    schema = spark.read.parquet(events_stream_dir).schema
+    store = str(tmp_path / "hll_store")
+    q = sp.distinct_maintenance_stream(
+        sp.read_stream(spark, events_stream_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    before = {
+        r["event_type"]: (r["sum_inv_scaled"], r["hll_estimate"])
+        for r in sp.read_distinct_store(spark, store).collect()
+    }
+    compacted = (
+        spark.read.parquet(store)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("register").alias("register"))
+        .withColumn("ingest_batch", F.lit(-1))
+    )
+    compacted.write.mode("overwrite").parquet(store + "__tmp")
+    import shutil
+
+    shutil.rmtree(store)
+    shutil.move(store + "__tmp", store)
+    after = {
+        r["event_type"]: (r["sum_inv_scaled"], r["hll_estimate"])
+        for r in sp.read_distinct_store(spark, store).collect()
+    }
+    assert after == before
+    assert (
+        spark.read.parquet(store).select("ingest_batch").distinct().count() == 1
+    )
