@@ -4102,6 +4102,187 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_DIMS = 16
+_PCA_ITERS = 12
+
+
+def _pca_mv_duckdb(mat: str) -> str:
+    d = _PCA_DIMS
+    return (
+        f"list_transform(range(0, {d}), i -> "
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(0, {d}), j -> {mat}[i * {d} + j + 1] * v[j + 1])), "
+        "(a, t) -> a + t))"
+    )
+
+
+def _pca_sq_duckdb(mat: str) -> str:
+    d = _PCA_DIMS
+    return (
+        f"list_transform(range(0, {d * d}), p -> "
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(0, {d}), k -> "
+        f"{mat}[(p // {d}) * {d} + k + 1] * {mat}[k * {d} + (p % {d}) + 1])), "
+        "(a, t) -> a + t))"
+    )
+
+
+_PCA_NRM_DUCK = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(w, x -> x * x)), (a, t) -> a + t))"
+)
+
+
+def _pca_probe_oracle() -> str:
+    d = _PCA_DIMS
+    q = (
+        f"list_transform(embedding[1:{d}], "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1e3 + 5e-1) AS BIGINT))"
+    )
+    nrm = _PCA_NRM_DUCK
+    iters = "".join(
+        f"""
+        it{k + 1}w AS (SELECT g, g4, {_pca_mv_duckdb("g4")} AS w FROM it{k}v),
+        it{k + 1}v AS (SELECT g, g4, w,
+                              list_transform(w, x -> x / {nrm}) AS v
+                       FROM it{k + 1}w),"""
+        for k in range(_PCA_ITERS)
+    )
+    flip = "CASE WHEN v[1] < 0 THEN -1e0 ELSE 1e0 END"
+    loads = ",\n               ".join(
+        f"floor({flip} * v[{i + 1}] * 1e6 + 5e-1) / 1e6 AS l{i}"
+        for i in range(d)
+    )
+    n = _PCA_ITERS
+    return f"""
+        WITH qe AS (SELECT {q} AS q FROM embeddings),
+        grams AS (
+            SELECT t.i AS i, u.j AS j,
+                   CAST(sum(q[t.i + 1] * q[u.j + 1]) AS BIGINT) AS g
+            FROM qe,
+                 unnest(generate_series(0, {d - 1})) AS t(i),
+                 unnest(generate_series(0, {d - 1})) AS u(j)
+            GROUP BY 1, 2
+        ),
+        g1 AS (
+            SELECT list(CAST(g AS DOUBLE) ORDER BY i * {d} + j) AS g
+            FROM grams
+        ),
+        g2t AS (SELECT g, {_pca_sq_duckdb("g")} AS g2 FROM g1),
+        it0v AS (
+            SELECT g, {_pca_sq_duckdb("g2")} AS g4,
+                   list_transform(range(0, {d}), i -> 2.5e-1) AS v
+            FROM g2t
+        ),{iters.rstrip(",")},
+        fin AS (SELECT g, {_pca_mv_duckdb("g")} AS w FROM it{n}v),
+        finv AS (SELECT w, list_transform(w, x -> x / {nrm}) AS v FROM fin)
+        SELECT floor({nrm} * 1e4 + 5e-1) / 1e4 AS eigval,
+               {loads}
+        FROM finv
+    """
+
+
+@query(
+    "pca_power_probe",
+    oracle=_pca_probe_oracle(),
+    description="The PCA family's ORACLE-EXACT witness (the recall-probe "
+    "pattern): top principal direction + eigenvalue of the 16-dim Gram "
+    "matrix by UNROLLED POWER ITERATION, bit-identical across engines "
+    "because every number stays deterministic — embeddings quantize to "
+    "exact integer milli-units, the Gram matrix is exact BIGINT sums "
+    "(partition- and engine-proof, no double accumulation), and the 12 "
+    "iterations use only identical-order left-fold +/·, IEEE division "
+    "and correctly-rounded sqrt. Sign canonicalized on the first "
+    "loading. embedding_pca_project stays the production path (numpy "
+    "eigh on the driver-side Gram); this proves the iteration algebra "
+    "cross-engine — the same reassociation-proof discipline as "
+    "cusum_drift_chunked, applied to an iterative linear-algebra "
+    "operator. Loadings vs numpy's top eigenvector gated in pytest.",
+)
+def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _PCA_DIMS
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.slice("embedding", 1, d),
+        lambda x: F.floor(x.cast("double") * F.lit(1e3) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qe = emb.select(q.alias("q"))
+    # 256 exact-integer sums in ONE map-side-combined aggregate, packed
+    # into the row-major g array (the matrix pivot comes for free)
+    sums = [
+        F.sum(
+            F.element_at("q", i + 1) * F.element_at("q", j + 1)
+        ).alias(f"g_{i}_{j}")
+        for i in range(d)
+        for j in range(d)
+    ]
+    g = F.array(
+        *[
+            F.col(f"g_{i}_{j}").cast("double")
+            for i in range(d)
+            for j in range(d)
+        ]
+    )
+    def mv(mat: str) -> str:
+        return (
+            f"transform(sequence(0, {d - 1}), i -> "
+            f"aggregate(sequence(0, {d - 1}), CAST(0 AS DOUBLE), "
+            f"(a, j) -> a + element_at({mat}, i * {d} + j + 1) "
+            "* element_at(v, j + 1)))"
+        )
+
+    def sq(mat: str) -> str:
+        return (
+            f"transform(sequence(0, {d * d - 1}), p -> "
+            f"aggregate(sequence(0, {d - 1}), CAST(0 AS DOUBLE), "
+            f"(a, k) -> a + element_at({mat}, "
+            f"CAST((p div {d}) * {d} + k + 1 AS INT)) "
+            f"* element_at({mat}, CAST(k * {d} + (p % {d}) + 1 AS INT))))"
+        )
+
+    nrm = (
+        "sqrt(aggregate(transform(w, x -> x * x), CAST(0 AS DOUBLE), "
+        "(a, t) -> a + t))"
+    )
+    # squared-matrix acceleration: iterating with G⁴ takes 4 power steps
+    # per matvec (the eigengap here is small — plain G needed ~4× the
+    # iterations for the same convergence); the FINAL multiply uses the
+    # original G so the reported eigenvalue is λ, not λ⁴.
+    cur = (
+        qe.agg(*sums)
+        .select(g.alias("g"))
+        .select("g", F.expr(sq("g")).alias("g2"))
+        .select(
+            "g",
+            F.expr(sq("g2")).alias("g4"),
+            F.expr(f"transform(sequence(0, {d - 1}), i -> 2.5e-1)").alias(
+                "v"
+            ),
+        )
+    )
+    for _ in range(_PCA_ITERS):
+        cur = cur.select("g", "g4", F.expr(mv("g4")).alias("w"))
+        cur = cur.select(
+            "g", "g4", "w", F.expr(f"transform(w, x -> x / {nrm})").alias("v")
+        )
+    cur = cur.select("g", F.expr(mv("g")).alias("w"))
+    cur = cur.select(
+        "w", F.expr(f"transform(w, x -> x / {nrm})").alias("v")
+    )
+    flip = "CASE WHEN element_at(v, 1) < 0 THEN -1e0 ELSE 1e0 END"
+    return cur.select(
+        F.expr(f"floor({nrm} * 1e4 + 5e-1) / 1e4").alias("eigval"),
+        *[
+            F.expr(
+                f"floor({flip} * element_at(v, {i + 1}) * 1e6 + 5e-1) / 1e6"
+            ).alias(f"l{i}")
+            for i in range(d)
+        ],
+    )
+
+
 @query(
     "approx_top_words",
     oracle=None,  # sketch result; accuracy gated vs exact counts in tests

@@ -152,3 +152,31 @@ def test_histogram_counts_merge_across_slices(spark):
     )
     merged = {r["bin"]: r["cnt"] for r in halves.collect()}
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# pca_power_probe (plans/llm_ops.py): the PCA family's oracle-exact witness.
+# The driver gates cross-engine bit-equality; this gates that the unrolled
+# power iteration actually converges to numpy's top eigenpair.
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_probe_matches_numpy(spark):
+    import numpy as np
+
+    from node_mongo2influx_spark.plans.llm_ops import pca_power_probe
+    from node_mongo2influx_spark.sources.parquet_compat import read_parquet
+
+    r = pca_power_probe(spark, "/root/testdata/sf0.001").collect()[0]
+    v_probe = np.array([r[f"l{i}"] for i in range(16)])
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.array([row["embedding"][:16] for row in emb.collect()], dtype=np.float64)
+    q = np.floor(mat * 1e3 + 0.5)  # the probe's milli-unit quantization
+    gram = q.T @ q
+    evals, evecs = np.linalg.eigh(gram)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+
+    cos = abs(float(v_probe @ top_vec) / np.linalg.norm(v_probe))
+    assert cos > 0.999, f"power iteration did not converge: |cos|={cos}"
+    assert abs(r["eigval"] - top_val) / top_val < 0.01
