@@ -232,6 +232,11 @@ def main() -> None:
         "dedup_minhash_lsh": lambda k: dedup.minhash_lsh_pairs(
             uniquified_docs(k), text_col="text", id_col="doc_id", threshold=0.5
         ),
+        # portable HLL (r6): per-row hash + a register-bounded groupBy-max
+        # — state is O(groups × 256) whatever k is; wall must track rows
+        "hll_distinct": lambda k: __import__(
+            "node_mongo2influx_spark.functions.hll", fromlist=["hll"]
+        ).hll_count_distinct(at_scale("events", k), ["event_type"], "user_id"),
         "token_pack": lambda k: sampling.pack_sequences(
             uniquified_docs(k).select(
                 "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
