@@ -132,31 +132,31 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     sum_inv = (
         F.col("__part") + zero.cast("long") * F.lit(1 << HLL_MAXRHO)
     ).alias("sum_inv_scaled")
-    raw = F.lit(HLL_K) / F.col("sum_inv_scaled")
-    lc = F.lit(float(HLL_M)) * F.log(
-        F.lit(float(HLL_M)) / F.col("zero_buckets")
+    return agg.select(
+        *group_cols,
+        "used_buckets",
+        zero.cast("long").alias("zero_buckets"),
+        sum_inv,
+    ).select(
+        *group_cols,
+        "used_buckets",
+        "zero_buckets",
+        "sum_inv_scaled",
+        hll_estimate_col(
+            F.col("sum_inv_scaled"), F.col("zero_buckets")
+        ).alias("hll_estimate"),
     )
-    return (
-        agg.select(
-            *group_cols,
-            "used_buckets",
-            zero.cast("long").alias("zero_buckets"),
-            sum_inv,
-        )
-        .withColumn("__raw", raw)
-        .select(
-            *group_cols,
-            "used_buckets",
-            "zero_buckets",
-            "sum_inv_scaled",
-            _stable_round4(
-                F.when(
-                    (F.col("__raw") <= F.lit(HLL_LC_CUTOFF))
-                    & (F.col("zero_buckets") > 0),
-                    lc,
-                ).otherwise(F.col("__raw"))
-            ).alias("hll_estimate"),
-        )
+
+
+def hll_estimate_col(sum_inv: Column, zero: Column) -> Column:
+    """The estimate (raw harmonic / linear-counting branch, stable-rounded
+    to 1e-4) over an exact-integer scaled harmonic sum and a zero-bucket
+    count — the Spark twin of :func:`hll_estimate_duckdb_expr`, reused by
+    the set-algebra operators (union/intersection estimates)."""
+    raw = F.lit(HLL_K) / sum_inv
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero)
+    return _stable_round4(
+        F.when((raw <= F.lit(HLL_LC_CUTOFF)) & (zero > 0), lc).otherwise(raw)
     )
 
 
@@ -167,18 +167,29 @@ def hll_count_distinct(
     return hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
 
 
-def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
-    """DuckDB twin of :func:`hll_count_distinct`.
-
-    ``rows_sql`` must yield (``{group_col}``, ``__v`` VARCHAR NOT NULL) —
-    one row per observation, value already stringified. Returns a SELECT
-    producing ({group_col}, used_buckets, zero_buckets, sum_inv_scaled,
-    hll_estimate) with arithmetic mirroring the Spark side step for step.
-    """
-    fnv = fnv1a32_duckdb_sql("__v")
+def hll_estimate_duckdb_expr(sum_inv: str, zero: str) -> str:
+    """The estimate (raw harmonic / linear-counting branch, stable-rounded
+    to 1e-4) as one DuckDB expression over an exact-integer scaled
+    harmonic sum and a zero-bucket count — reused by every sketch-algebra
+    oracle (plain estimates, set-union estimates)."""
     k_lit = f"{HLL_K!r}e0"  # e-suffix: bare decimals parse as DECIMAL
     m_lit = f"{float(HLL_M)!r}e0"
     cutoff_lit = f"{HLL_LC_CUTOFF!r}e0"
+    return (
+        f"floor(CASE WHEN {k_lit} / ({sum_inv}) <= {cutoff_lit}"
+        f" AND ({zero}) > 0"
+        f" THEN {m_lit} * ln({m_lit} / ({zero}))"
+        f" ELSE {k_lit} / ({sum_inv})"
+        f" END * 1e4 + 5e-1) / 1e4"
+    )
+
+
+def hll_registers_duckdb_ctes(rows_sql: str, group_col: str) -> str:
+    """CTE chain (no leading WITH, trailing comma) ending in
+    ``__hll_regs`` ({group_col}, __bucket, __m) — the DuckDB twin of
+    :func:`hll_registers`. ``rows_sql`` must yield ({group_col},
+    ``__v`` VARCHAR NOT NULL)."""
+    fnv = fnv1a32_duckdb_sql("__v")
     fmix_ctes = "".join(
         f"""
         __hll_f{i + 1} AS (
@@ -186,8 +197,7 @@ def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
         ),"""
         for i, step in enumerate(fmix32_duckdb_steps(_FMIX_NAMES))
     )
-    return f"""
-        WITH __hll_rows AS ({rows_sql}),
+    return f"""__hll_rows AS ({rows_sql}),
         __hll_f0 AS (
             SELECT {group_col}, {fnv} AS __f0 FROM __hll_rows
         ),{fmix_ctes}
@@ -205,7 +215,20 @@ def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
         __hll_regs AS (
             SELECT {group_col}, __bucket, max(__rho) AS __m
             FROM __hll_rho GROUP BY 1, 2
-        ),
+        ),"""
+
+
+def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
+    """DuckDB twin of :func:`hll_count_distinct`.
+
+    ``rows_sql`` must yield (``{group_col}``, ``__v`` VARCHAR NOT NULL) —
+    one row per observation, value already stringified. Returns a SELECT
+    producing ({group_col}, used_buckets, zero_buckets, sum_inv_scaled,
+    hll_estimate) with arithmetic mirroring the Spark side step for step.
+    """
+    est = hll_estimate_duckdb_expr("sum_inv_scaled", "zero_buckets")
+    return f"""
+        WITH {hll_registers_duckdb_ctes(rows_sql, group_col)}
         __hll_agg AS (
             SELECT {group_col},
                    count(*) AS used_buckets,
@@ -220,10 +243,6 @@ def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
                CAST(used_buckets AS BIGINT) AS used_buckets,
                CAST(zero_buckets AS BIGINT) AS zero_buckets,
                sum_inv_scaled,
-               floor(CASE WHEN {k_lit} / sum_inv_scaled <= {cutoff_lit}
-                           AND zero_buckets > 0
-                          THEN {m_lit} * ln({m_lit} / zero_buckets)
-                          ELSE {k_lit} / sum_inv_scaled
-                     END * 1e4 + 5e-1) / 1e4 AS hll_estimate
+               {est} AS hll_estimate
         FROM __hll_agg
     """

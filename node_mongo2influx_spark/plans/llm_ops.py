@@ -207,6 +207,242 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_hll_oracle() -> str:
+    from node_mongo2influx_spark.functions.hll import (
+        HLL_M,
+        HLL_MAXRHO,
+        hll_estimate_duckdb_expr,
+        hll_registers_duckdb_ctes,
+    )
+
+    regs = hll_registers_duckdb_ctes(
+        "SELECT source, md5(text) AS __v FROM documents "
+        "WHERE text IS NOT NULL",
+        "source",
+    )
+    shl = f"(CAST(1 AS BIGINT) << ({HLL_MAXRHO} - {{m}}))"
+    est_a = hll_estimate_duckdb_expr("sum_inv_a", "zero_a")
+    est_b = hll_estimate_duckdb_expr("sum_inv_b", "zero_b")
+    est_u = hll_estimate_duckdb_expr("sum_inv_u", "zero_u")
+    return f"""
+        WITH {regs}
+        tot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS used,
+                   CAST(sum({shl.format(m="__m")}) AS BIGINT) AS s
+            FROM __hll_regs GROUP BY 1
+        ),
+        sh AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS cnt_sh,
+                   CAST(sum({shl.format(m="greatest(a.__m, b.__m)")})
+                        AS BIGINT) AS s_max,
+                   CAST(sum({shl.format(m="a.__m")}) AS BIGINT) AS s_a_sh,
+                   CAST(sum({shl.format(m="b.__m")}) AS BIGINT) AS s_b_sh
+            FROM __hll_regs a
+            JOIN __hll_regs b ON a.__bucket = b.__bucket
+                             AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        parts AS (
+            SELECT sh.source_a, sh.source_b,
+                   ta.s + ({HLL_M} - ta.used)
+                        * (CAST(1 AS BIGINT) << {HLL_MAXRHO}) AS sum_inv_a,
+                   {HLL_M} - ta.used AS zero_a,
+                   tb.s + ({HLL_M} - tb.used)
+                        * (CAST(1 AS BIGINT) << {HLL_MAXRHO}) AS sum_inv_b,
+                   {HLL_M} - tb.used AS zero_b,
+                   sh.s_max + (ta.s - sh.s_a_sh) + (tb.s - sh.s_b_sh)
+                     + ({HLL_M} - (ta.used + tb.used - sh.cnt_sh))
+                       * (CAST(1 AS BIGINT) << {HLL_MAXRHO}) AS sum_inv_u,
+                   {HLL_M} - (ta.used + tb.used - sh.cnt_sh) AS zero_u
+            FROM sh
+            JOIN tot ta ON ta.source = sh.source_a
+            JOIN tot tb ON tb.source = sh.source_b
+        ),
+        est AS (
+            SELECT source_a, source_b,
+                   CAST(sum_inv_u AS BIGINT) AS union_sum_inv,
+                   {est_a} AS hll_a, {est_b} AS hll_b, {est_u} AS hll_union
+            FROM parts
+        ),
+        fp AS (SELECT DISTINCT source, md5(text) AS h FROM documents
+               WHERE text IS NOT NULL),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM fp GROUP BY 1),
+        ex AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS exact_shared
+            FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT e.source_a, e.source_b,
+               coalesce(ex.exact_shared, 0) AS exact_shared,
+               sa.n AS exact_a, sb.n AS exact_b,
+               e.hll_a, e.hll_b, e.hll_union,
+               floor((e.hll_a + e.hll_b - e.hll_union) * 1e4 + 5e-1) / 1e4
+                   AS hll_intersection,
+               e.union_sum_inv
+        FROM est e
+        LEFT JOIN ex ON ex.source_a = e.source_a
+                    AND ex.source_b = e.source_b
+        JOIN sizes sa ON sa.source = e.source_a
+        JOIN sizes sb ON sb.source = e.source_b
+    """
+
+
+@query(
+    "source_overlap_hll",
+    oracle=_overlap_hll_oracle(),
+    description="HLL SET ALGEBRA over the per-source sketches — the 100 TB "
+    "face of source_overlap_matrix: union registers are the bucket-wise "
+    "max of two sources' registers (computed by inclusion-exclusion on "
+    "the exact-integer harmonic sums: shared buckets take max, one-sided "
+    "buckets keep their own term — only a bucket equi-join of "
+    "sketch-sized tables, the corpus hash join disappears entirely), "
+    "|A∩B| ≈ |A| + |B| − |A∪B|. Every number derives from the exact "
+    "integer register algebra, so the whole matrix is bit-identical "
+    "across engines (FULL oracle), with the exact shared-hash counts "
+    "joined in-row as the accuracy witness. Per source pair the input "
+    "is ≤ 2·256 small ints at ANY corpus size; sketches can be "
+    "maintained incrementally (distinct_maintenance_stream) and "
+    "compared without touching data.",
+)
+def source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.hll import (
+        HLL_M,
+        HLL_MAXRHO,
+        hll_estimate_col,
+        hll_registers,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", F.md5("text").alias("h"))
+    )
+    # registers are consumed twice (totals + the bucket self-join)
+    # downstream of the full corpus scan — checkpoint the sketch-sized
+    # frame (≤ sources × 256 rows) so the scan runs once
+    regs = hll_registers(docs, ["source"], "h").localCheckpoint(eager=False)
+    shl = lambda m: F.expr(  # noqa: E731
+        f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - {m})"
+    )
+    tot = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("used"), F.sum(shl("__m")).alias("s")
+    )
+    ra = regs.select(
+        F.col("source").alias("source_a"), "__bucket",
+        F.col("__m").alias("ma"),
+    )
+    rb = regs.select(
+        F.col("source").alias("source_b"), "__bucket",
+        F.col("__m").alias("mb"),
+    )
+    sh = (
+        ra.join(rb, "__bucket")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_sh"),
+            F.sum(shl("greatest(ma, mb)")).alias("s_max"),
+            F.sum(shl("ma")).alias("s_a_sh"),
+            F.sum(shl("mb")).alias("s_b_sh"),
+        )
+    )
+    top = F.lit(1 << HLL_MAXRHO)
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("used").alias("used_a"),
+        F.col("s").alias("s_a"),
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("used").alias("used_b"),
+        F.col("s").alias("s_b"),
+    )
+    parts = (
+        sh.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("s_a") + (F.lit(HLL_M) - F.col("used_a")) * top).alias(
+                "sum_inv_a"
+            ),
+            (F.lit(HLL_M) - F.col("used_a")).alias("zero_a"),
+            (F.col("s_b") + (F.lit(HLL_M) - F.col("used_b")) * top).alias(
+                "sum_inv_b"
+            ),
+            (F.lit(HLL_M) - F.col("used_b")).alias("zero_b"),
+            (
+                F.col("s_max")
+                + (F.col("s_a") - F.col("s_a_sh"))
+                + (F.col("s_b") - F.col("s_b_sh"))
+                + (
+                    F.lit(HLL_M)
+                    - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
+                )
+                * top
+            ).alias("sum_inv_u"),
+            (
+                F.lit(HLL_M)
+                - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
+            ).alias("zero_u"),
+        )
+    )
+    est = parts.select(
+        "source_a",
+        "source_b",
+        F.col("sum_inv_u").alias("union_sum_inv"),
+        hll_estimate_col(F.col("sum_inv_a"), F.col("zero_a")).alias("hll_a"),
+        hll_estimate_col(F.col("sum_inv_b"), F.col("zero_b")).alias("hll_b"),
+        hll_estimate_col(F.col("sum_inv_u"), F.col("zero_u")).alias(
+            "hll_union"
+        ),
+    )
+    fp = docs.distinct()
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ex = (
+        fp.select(F.col("source").alias("source_a"), "h")
+        .join(fp.select(F.col("source").alias("source_b"), "h"), "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_shared"))
+    )
+    return (
+        est.join(ex, ["source_a", "source_b"], "left")
+        .join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n").alias("exact_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n").alias("exact_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("exact_shared"), F.lit(0)).alias("exact_shared"),
+            "exact_a",
+            "exact_b",
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            (
+                F.floor(
+                    (F.col("hll_a") + F.col("hll_b") - F.col("hll_union"))
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("hll_intersection"),
+            "union_sum_inv",
+        )
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=None,  # approximate: verified against exact Jaccard in tests
@@ -4209,18 +4445,19 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     qe = emb.select(q.alias("q"))
-    # 256 exact-integer sums in ONE map-side-combined aggregate, packed
-    # into the row-major g array (the matrix pivot comes for free)
+    # exact-integer sums in ONE map-side-combined aggregate — upper
+    # triangle only (G is symmetric: 136 expressions, not 256), the
+    # row-major g array mirrors the triangle so the pivot is still free
     sums = [
         F.sum(
             F.element_at("q", i + 1) * F.element_at("q", j + 1)
         ).alias(f"g_{i}_{j}")
         for i in range(d)
-        for j in range(d)
+        for j in range(i, d)
     ]
     g = F.array(
         *[
-            F.col(f"g_{i}_{j}").cast("double")
+            F.col(f"g_{min(i, j)}_{max(i, j)}").cast("double")
             for i in range(d)
             for j in range(d)
         ]

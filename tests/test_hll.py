@@ -180,3 +180,18 @@ def test_pca_power_probe_matches_numpy(spark):
     cos = abs(float(v_probe @ top_vec) / np.linalg.norm(v_probe))
     assert cos > 0.999, f"power iteration did not converge: |cos|={cos}"
     assert abs(r["eigval"] - top_val) / top_val < 0.01
+
+
+def test_source_overlap_hll_accuracy(spark):
+    # the sketch intersection must track the exact shared counts — at
+    # fixture scale (small sets, linear-counting regime) within a few
+    # docs; the estimate is deterministic so the bound is exact-repeatable
+    from node_mongo2influx_spark.plans.llm_ops import source_overlap_hll
+
+    rows = source_overlap_hll(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        # inclusion-exclusion noise can push the estimate slightly
+        # NEGATIVE for disjoint pairs (the union estimate is not
+        # guaranteed subadditive) — the bound is on the absolute error
+        assert abs(r["hll_intersection"] - r["exact_shared"]) <= 8.0, r
