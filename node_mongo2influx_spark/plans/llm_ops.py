@@ -398,7 +398,10 @@ def source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_union"
         ),
     )
-    fp = docs.distinct()
+    # the exact-witness tier: fp is consumed 3× (sizes + both sides of
+    # the pair self-join) downstream of the corpus scan + distinct —
+    # checkpoint it (CLAUDE.md consumed-≥2× rule) so the scan runs once
+    fp = docs.distinct().localCheckpoint(eager=False)
     sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ex = (
         fp.select(F.col("source").alias("source_a"), "h")
@@ -1866,7 +1869,14 @@ def countmin_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words, not corpus size); the fold is aliased in its OWN projection
     # (CollapseProject duplication rule), the fmix chain is cheap column
     # arithmetic and inlines fine.
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # wc feeds BOTH the cells pipeline and the top-20 selection — without
+    # the checkpoint the corpus scan + explode + count shuffle would run
+    # twice (CLAUDE.md consumed-≥2× rule); vocab-sized materialization
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     cells = (
         wc.select("word", "n", F.expr(fnv1a32_spark_sql("word")).alias("__h"))
         .select("word", "n", F.explode(rs).alias("r"), "__h")
@@ -2597,6 +2607,7 @@ def _pq_probe_oracle() -> str:
     return """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            WHERE embedding IS NOT NULL
         ),
         grid AS (SELECT unnest(range(0, 8)) AS j),
         cb AS (
@@ -2681,8 +2692,13 @@ def _pq_probe_oracle() -> str:
 def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        # drop NULL embeddings up front (oracle's e CTE mirrors this): a
+        # NULL among the first 16 rows would crash the driver-side
+        # codebook slicing, and a NULL corpus/query row scores as NULL
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     dot = similarity._dot
     m, dsub, n_codes = 8, 8, 16

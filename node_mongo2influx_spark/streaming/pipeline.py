@@ -714,9 +714,24 @@ def read_distinct_store(
 ) -> DataFrame:
     """Merge-on-read over :func:`distinct_maintenance_stream`'s register
     log: max-merge the per-batch registers, then estimate — identical
-    output contract to ``hll_count_distinct`` over the full raw data."""
-    from node_mongo2influx_spark.functions.hll import hll_estimate
+    output contract to ``hll_count_distinct`` over the full raw data.
 
+    A register-less store (first batch carried only NULL values, or a
+    compaction left no data files) reads as EMPTY — the CLAUDE.md r6
+    store-reader rule: a _SUCCESS-only directory is UNREADABLE
+    (UNABLE_TO_INFER_SCHEMA) and must not wedge later reads; keys here
+    are the string grouping values the stream wrote."""
+    import pathlib
+
+    from node_mongo2influx_spark.functions.hll import hll_estimate
+    from node_mongo2influx_spark.sinks.parquet import _has_data_files
+
+    if not _has_data_files(pathlib.Path(store_dir)):
+        return spark.createDataFrame(
+            [],
+            f"{key_col} string, used_buckets long, zero_buckets long, "
+            "sum_inv_scaled long, hll_estimate double",
+        )
     regs = (
         spark.read.parquet(store_dir)
         .groupBy(key_col, "bucket")

@@ -1213,3 +1213,17 @@ def test_distinct_store_compaction_preserves_estimate(
     assert (
         spark.read.parquet(store).select("ingest_batch").distinct().count() == 1
     )
+
+
+def test_read_distinct_store_no_data_files_reads_empty(spark, tmp_path):
+    # a register-less store (first batch all-NULL values, or compaction
+    # debris) leaves a _SUCCESS-only dir — the CLAUDE.md store-reader
+    # rule: must read as EMPTY, not UNABLE_TO_INFER_SCHEMA
+    store = tmp_path / "hll_store"
+    store.mkdir()
+    (store / "_SUCCESS").touch()
+    out = sp.read_distinct_store(spark, str(store))
+    assert out.count() == 0
+    assert "hll_estimate" in out.columns
+    # a fully absent dir reads the same way
+    assert sp.read_distinct_store(spark, str(tmp_path / "nope")).count() == 0
