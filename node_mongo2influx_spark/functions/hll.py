@@ -246,3 +246,112 @@ def hll_oracle_sql(rows_sql: str, group_col: str) -> str:
                {est} AS hll_estimate
         FROM __hll_agg
     """
+
+
+def hll_overlap_from_registers(regs: DataFrame, key_col: str) -> DataFrame:
+    """Pairwise set-algebra over per-key register sets: for every key pair
+    (a < b), estimate |A|, |B|, |A∪B| and |A∩B| = |A| + |B| − |A∪B| from
+    the registers ALONE — no access to the underlying values.
+
+    ``regs`` is (key_col, __bucket, __m) — :func:`hll_registers` output,
+    or a max-merged register store (streaming/pipeline.read_distinct_store
+    feeds this after its merge step). The union's harmonic sum comes from
+    inclusion-exclusion on the EXACT INTEGER per-key sums: shared buckets
+    contribute the max-register term via a bucket equi-join of
+    sketch-sized tables, one-sided buckets keep their own terms — so the
+    whole matrix is deterministic and engine-replayable. A pair sharing
+    ZERO buckets is absent from the output (astronomically unlikely for
+    real sets at m=256; such a pair has intersection ≈ 0 by construction).
+
+    Output: (key_a, key_b, union_sum_inv, hll_a, hll_b, hll_union,
+    hll_intersection).
+    """
+    regs = regs.localCheckpoint(eager=False)  # consumed 2× (totals + join)
+    shl = lambda m: F.expr(  # noqa: E731
+        f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - {m})"
+    )
+    tot = regs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("used"), F.sum(shl("__m")).alias("s")
+    )
+    ra = regs.select(
+        F.col(key_col).alias("key_a"), "__bucket", F.col("__m").alias("ma")
+    )
+    rb = regs.select(
+        F.col(key_col).alias("key_b"), "__bucket", F.col("__m").alias("mb")
+    )
+    sh = (
+        ra.join(rb, "__bucket")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_sh"),
+            F.sum(shl("greatest(ma, mb)")).alias("s_max"),
+            F.sum(shl("ma")).alias("s_a_sh"),
+            F.sum(shl("mb")).alias("s_b_sh"),
+        )
+    )
+    top = F.lit(1 << HLL_MAXRHO)
+    ta = tot.select(
+        F.col(key_col).alias("key_a"), F.col("used").alias("used_a"),
+        F.col("s").alias("s_a"),
+    )
+    tb = tot.select(
+        F.col(key_col).alias("key_b"), F.col("used").alias("used_b"),
+        F.col("s").alias("s_b"),
+    )
+    parts = (
+        sh.join(ta, "key_a")
+        .join(tb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("s_a") + (F.lit(HLL_M) - F.col("used_a")) * top).alias(
+                "sum_inv_a"
+            ),
+            (F.lit(HLL_M) - F.col("used_a")).alias("zero_a"),
+            (F.col("s_b") + (F.lit(HLL_M) - F.col("used_b")) * top).alias(
+                "sum_inv_b"
+            ),
+            (F.lit(HLL_M) - F.col("used_b")).alias("zero_b"),
+            (
+                F.col("s_max")
+                + (F.col("s_a") - F.col("s_a_sh"))
+                + (F.col("s_b") - F.col("s_b_sh"))
+                + (
+                    F.lit(HLL_M)
+                    - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
+                )
+                * top
+            ).alias("sum_inv_u"),
+            (
+                F.lit(HLL_M)
+                - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
+            ).alias("zero_u"),
+        )
+    )
+    est = parts.select(
+        "key_a",
+        "key_b",
+        F.col("sum_inv_u").alias("union_sum_inv"),
+        hll_estimate_col(F.col("sum_inv_a"), F.col("zero_a")).alias("hll_a"),
+        hll_estimate_col(F.col("sum_inv_b"), F.col("zero_b")).alias("hll_b"),
+        hll_estimate_col(F.col("sum_inv_u"), F.col("zero_u")).alias(
+            "hll_union"
+        ),
+    )
+    return est.select(
+        "key_a",
+        "key_b",
+        "union_sum_inv",
+        "hll_a",
+        "hll_b",
+        "hll_union",
+        (
+            F.floor(
+                (F.col("hll_a") + F.col("hll_b") - F.col("hll_union"))
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("hll_intersection"),
+    )

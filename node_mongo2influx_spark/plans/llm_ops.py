@@ -309,9 +309,7 @@ def _overlap_hll_oracle() -> str:
 )
 def source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.functions.hll import (
-        HLL_M,
-        HLL_MAXRHO,
-        hll_estimate_col,
+        hll_overlap_from_registers,
         hll_registers,
     )
 
@@ -320,83 +318,16 @@ def source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull())
         .select("source", F.md5("text").alias("h"))
     )
-    # registers are consumed twice (totals + the bucket self-join)
-    # downstream of the full corpus scan — checkpoint the sketch-sized
-    # frame (≤ sources × 256 rows) so the scan runs once
-    regs = hll_registers(docs, ["source"], "h").localCheckpoint(eager=False)
-    shl = lambda m: F.expr(  # noqa: E731
-        f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - {m})"
-    )
-    tot = regs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("used"), F.sum(shl("__m")).alias("s")
-    )
-    ra = regs.select(
-        F.col("source").alias("source_a"), "__bucket",
-        F.col("__m").alias("ma"),
-    )
-    rb = regs.select(
-        F.col("source").alias("source_b"), "__bucket",
-        F.col("__m").alias("mb"),
-    )
-    sh = (
-        ra.join(rb, "__bucket")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count(F.lit(1)).alias("cnt_sh"),
-            F.sum(shl("greatest(ma, mb)")).alias("s_max"),
-            F.sum(shl("ma")).alias("s_a_sh"),
-            F.sum(shl("mb")).alias("s_b_sh"),
-        )
-    )
-    top = F.lit(1 << HLL_MAXRHO)
-    ta = tot.select(
-        F.col("source").alias("source_a"), F.col("used").alias("used_a"),
-        F.col("s").alias("s_a"),
-    )
-    tb = tot.select(
-        F.col("source").alias("source_b"), F.col("used").alias("used_b"),
-        F.col("s").alias("s_b"),
-    )
-    parts = (
-        sh.join(ta, "source_a")
-        .join(tb, "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            (F.col("s_a") + (F.lit(HLL_M) - F.col("used_a")) * top).alias(
-                "sum_inv_a"
-            ),
-            (F.lit(HLL_M) - F.col("used_a")).alias("zero_a"),
-            (F.col("s_b") + (F.lit(HLL_M) - F.col("used_b")) * top).alias(
-                "sum_inv_b"
-            ),
-            (F.lit(HLL_M) - F.col("used_b")).alias("zero_b"),
-            (
-                F.col("s_max")
-                + (F.col("s_a") - F.col("s_a_sh"))
-                + (F.col("s_b") - F.col("s_b_sh"))
-                + (
-                    F.lit(HLL_M)
-                    - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
-                )
-                * top
-            ).alias("sum_inv_u"),
-            (
-                F.lit(HLL_M)
-                - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
-            ).alias("zero_u"),
-        )
-    )
-    est = parts.select(
-        "source_a",
-        "source_b",
-        F.col("sum_inv_u").alias("union_sum_inv"),
-        hll_estimate_col(F.col("sum_inv_a"), F.col("zero_a")).alias("hll_a"),
-        hll_estimate_col(F.col("sum_inv_b"), F.col("zero_b")).alias("hll_b"),
-        hll_estimate_col(F.col("sum_inv_u"), F.col("zero_u")).alias(
-            "hll_union"
-        ),
+    est = hll_overlap_from_registers(
+        hll_registers(docs, ["source"], "h"), "source"
+    ).select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "union_sum_inv",
+        "hll_a",
+        "hll_b",
+        "hll_union",
+        "hll_intersection",
     )
     # the exact-witness tier: fp is consumed 3× (sizes + both sides of
     # the pair self-join) downstream of the corpus scan + distinct —
@@ -433,14 +364,7 @@ def source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_a",
             "hll_b",
             "hll_union",
-            (
-                F.floor(
-                    (F.col("hll_a") + F.col("hll_b") - F.col("hll_union"))
-                    * F.lit(1e4)
-                    + F.lit(0.5)
-                )
-                / F.lit(1e4)
-            ).alias("hll_intersection"),
+            "hll_intersection",
             "union_sum_inv",
         )
     )

@@ -1227,3 +1227,58 @@ def test_read_distinct_store_no_data_files_reads_empty(spark, tmp_path):
     assert "hll_estimate" in out.columns
     # a fully absent dir reads the same way
     assert sp.read_distinct_store(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_overlap_matrix_from_streamed_register_store(spark, sf_dir, tmp_path):
+    # End-to-end sketch composition: a stream continuously maintains
+    # per-SOURCE content-hash registers; the cross-source overlap matrix
+    # then comes from the register STORE alone — no corpus access at
+    # compare time — and must match the batch sketch algebra
+    # (source_overlap_hll's estimates) exactly, because max-merged
+    # streamed registers equal the batch registers bit-for-bit.
+    from node_mongo2influx_spark.functions.hll import (
+        hll_overlap_from_registers,
+    )
+    from node_mongo2influx_spark.plans.llm_ops import source_overlap_hll
+    from node_mongo2influx_spark.plans.tables import load
+
+    src_dir = str(tmp_path / "docs_src")
+    (
+        load(spark, sf_dir, "documents")
+        .select("source", F.md5("text").alias("h"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    schema = spark.read.parquet(src_dir).schema
+    store = str(tmp_path / "src_regs")
+    q = sp.distinct_maintenance_stream(
+        sp.read_stream(spark, src_dir, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+        key_col="source",
+        value_col="h",
+    )
+    q.awaitTermination(120)
+
+    merged_regs = (
+        spark.read.parquet(store)
+        .groupBy("source", "bucket")
+        .agg(F.max("register").alias("__m"))
+        .withColumnRenamed("bucket", "__bucket")
+    )
+    from_store = {
+        (r["key_a"], r["key_b"]): (
+            r["union_sum_inv"], r["hll_a"], r["hll_b"],
+            r["hll_union"], r["hll_intersection"],
+        )
+        for r in hll_overlap_from_registers(merged_regs, "source").collect()
+    }
+    from_batch = {
+        (r["source_a"], r["source_b"]): (
+            r["union_sum_inv"], r["hll_a"], r["hll_b"],
+            r["hll_union"], r["hll_intersection"],
+        )
+        for r in source_overlap_hll(spark, sf_dir).collect()
+    }
+    assert from_store == from_batch and from_batch
