@@ -102,6 +102,18 @@ EXTENDED_R6 = (
     "pq_recall_probe",
 )
 
+#: Round-6 session-4 additions: the oracle-exact sketch tier (HLL /
+#: histogram quantiles / Count-Min / HLL set algebra) + the PCA power
+#: probe. sliding_distinct_hll is left out: its wall is dominated by the
+#: exact count_distinct it carries as an in-row witness, not the sketch.
+EXTENDED_R6B = (
+    "hll_portable_distinct",
+    "histogram_quantile_sketch",
+    "countmin_word_frequency",
+    "source_overlap_hll",
+    "pca_power_probe",
+)
+
 
 def main() -> None:
     from node_mongo2influx_spark.engine import Engine
@@ -155,6 +167,7 @@ def main() -> None:
     r4c_times, r4c_mins = run_set(EXTENDED_R4C)
     r5_times, r5_mins = run_set(EXTENDED_R5)
     r6_times, r6_mins = run_set(EXTENDED_R6)
+    r6b_times, r6b_mins = run_set(EXTENDED_R6B)
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -183,6 +196,9 @@ def main() -> None:
         "extended_r6": r6_times,
         "extended_r6_min": r6_mins,
         "extended_r6_total": round(sum(r6_times.values()), 3),
+        "extended_r6b": r6b_times,
+        "extended_r6b_min": r6b_mins,
+        "extended_r6b_total": round(sum(r6b_times.values()), 3),
         "headline_reps": 7,
         "sf": sf_val,
     }
@@ -209,6 +225,7 @@ def main() -> None:
                 "extended_r4c_total": detail["extended_r4c_total"],
                 "extended_r5_total": detail["extended_r5_total"],
                 "extended_r6_total": detail["extended_r6_total"],
+                "extended_r6b_total": detail["extended_r6b_total"],
                 "headline_reps": 7,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
