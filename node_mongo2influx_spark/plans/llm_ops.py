@@ -4279,7 +4279,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCA_DIMS = 16
-_PCA_ITERS = 12
+#: 6 iterations with G⁸ (three in-engine squarings) = 48 power steps + the
+#: final G multiply — same step count as 12×G⁴, at half the chained-select
+#: analysis cost (the probe's wall is plan compilation, not data).
+_PCA_ITERS = 6
 
 
 def _pca_mv_duckdb(mat: str) -> str:
@@ -4318,8 +4321,8 @@ def _pca_probe_oracle() -> str:
     nrm = _PCA_NRM_DUCK
     iters = "".join(
         f"""
-        it{k + 1}w AS (SELECT g, g4, {_pca_mv_duckdb("g4")} AS w FROM it{k}v),
-        it{k + 1}v AS (SELECT g, g4, w,
+        it{k + 1}w AS (SELECT g, g8, {_pca_mv_duckdb("g8")} AS w FROM it{k}v),
+        it{k + 1}v AS (SELECT g, g8, w,
                               list_transform(w, x -> x / {nrm}) AS v
                        FROM it{k + 1}w),"""
         for k in range(_PCA_ITERS)
@@ -4345,10 +4348,11 @@ def _pca_probe_oracle() -> str:
             FROM grams
         ),
         g2t AS (SELECT g, {_pca_sq_duckdb("g")} AS g2 FROM g1),
+        g4t AS (SELECT g, {_pca_sq_duckdb("g2")} AS g4 FROM g2t),
         it0v AS (
-            SELECT g, {_pca_sq_duckdb("g2")} AS g4,
+            SELECT g, {_pca_sq_duckdb("g4")} AS g8,
                    list_transform(range(0, {d}), i -> 2.5e-1) AS v
-            FROM g2t
+            FROM g4t
         ),{iters.rstrip(",")},
         fin AS (SELECT g, {_pca_mv_duckdb("g")} AS w FROM it{n}v),
         finv AS (SELECT w, list_transform(w, x -> x / {nrm}) AS v FROM fin)
@@ -4423,26 +4427,27 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqrt(aggregate(transform(w, x -> x * x), CAST(0 AS DOUBLE), "
         "(a, t) -> a + t))"
     )
-    # squared-matrix acceleration: iterating with G⁴ takes 4 power steps
-    # per matvec (the eigengap here is small — plain G needed ~4× the
-    # iterations for the same convergence); the FINAL multiply uses the
-    # original G so the reported eigenvalue is λ, not λ⁴.
+    # squared-matrix acceleration: iterating with G⁸ takes 8 power steps
+    # per matvec (the eigengap here is small — plain G needed many times
+    # the iterations for the same convergence); the FINAL multiply uses
+    # the original G so the reported eigenvalue is λ, not λ⁸.
     cur = (
         qe.agg(*sums)
         .select(g.alias("g"))
         .select("g", F.expr(sq("g")).alias("g2"))
+        .select("g", F.expr(sq("g2")).alias("g4"))
         .select(
             "g",
-            F.expr(sq("g2")).alias("g4"),
+            F.expr(sq("g4")).alias("g8"),
             F.expr(f"transform(sequence(0, {d - 1}), i -> 2.5e-1)").alias(
                 "v"
             ),
         )
     )
     for _ in range(_PCA_ITERS):
-        cur = cur.select("g", "g4", F.expr(mv("g4")).alias("w"))
+        cur = cur.select("g", "g8", F.expr(mv("g8")).alias("w"))
         cur = cur.select(
-            "g", "g4", "w", F.expr(f"transform(w, x -> x / {nrm})").alias("v")
+            "g", "g8", "w", F.expr(f"transform(w, x -> x / {nrm})").alias("v")
         )
     cur = cur.select("g", F.expr(mv("g")).alias("w"))
     cur = cur.select(
