@@ -3204,6 +3204,132 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom geometry: m = 2^17 bit positions, k = 4 fmix32-mixed FNV hashes.
+#: At sf0.1 the base inserts ~30k positions → fill ~0.2, FP ≈ 0.2%.
+_BLOOM_M, _BLOOM_K = 1 << 17, 4
+_BLOOM_SEED = 0x9E3779B1
+
+
+def _bloom_oracle() -> str:
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_duckdb_inline,
+        fnv1a32_duckdb_sql,
+    )
+
+    pos = (
+        fmix32_duckdb_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
+        + f" % {_BLOOM_M}"
+    )
+    return f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 10), ' '))
+                       AS fp,
+                   doc_id % 4 = 3 AS is_delta
+            FROM documents
+        ),
+        base AS (SELECT DISTINCT fp FROM fp WHERE NOT is_delta),
+        bh AS (SELECT fp, {fnv1a32_duckdb_sql("fp")} AS __h FROM base),
+        bloom AS (
+            SELECT DISTINCT {pos} AS pos
+            FROM bh, unnest([0, 1, 2, 3]) AS t(i)
+        ),
+        delta AS (SELECT doc_id, fp FROM fp WHERE is_delta),
+        dh AS (SELECT doc_id, fp, {fnv1a32_duckdb_sql("fp")} AS __h
+               FROM delta),
+        dpos AS (
+            SELECT doc_id, i, {pos} AS pos
+            FROM dh, unnest([0, 1, 2, 3]) AS t(i)
+        ),
+        hits AS (
+            SELECT d.doc_id,
+                   CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM dpos d LEFT JOIN bloom b ON b.pos = d.pos
+            GROUP BY 1
+        )
+        SELECT h.doc_id,
+               h.n_hit = {_BLOOM_K} AS bloom_hit,
+               base.fp IS NOT NULL AS exact_dup,
+               (base.fp IS NOT NULL AND h.n_hit <> {_BLOOM_K})
+                   AS false_negative
+        FROM hits h
+        JOIN dh ON dh.doc_id = h.doc_id
+        LEFT JOIN base ON base.fp = dh.fp
+    """
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle=_bloom_oracle(),
+    description="The MEMBERSHIP sketch (completing the tier: HLL = "
+    "distinct, histogram = quantiles, Count-Min = frequency, Bloom = "
+    "membership): classify an arriving crawl batch against a 2^17-bit / "
+    "4-hash Bloom filter of the base corpus's head fingerprints — the "
+    "same fingerprint and delta split as dedup_incremental_delta, so "
+    "the two faces compose. The filter is a DISTINCT set of fmix32-mixed "
+    "FNV bit positions: exact integers, mergeable (set union; a "
+    "streaming ingest appends per-batch position sets), and "
+    "bit-identical across engines (FULL oracle). Exact membership rides "
+    "along per delta doc, witnessing the one-sided guarantee in-row: "
+    "false_negative must be false for EVERY row by construction "
+    "(pytest-asserted), false positives are the measured εN. At 100 TB "
+    "the delta never joins the base fingerprint TABLE — only the "
+    "bit-position set (≤ m rows however large the base grows).",
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_spark_inline,
+        fnv1a32_spark_sql,
+    )
+
+    pos = F.expr(
+        fmix32_spark_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
+        + f" % {_BLOOM_M}"
+    )
+    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
+    fp = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+        ).alias("fp"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) == 3).alias("is_delta"),
+    )
+    base = fp.where(~F.col("is_delta")).select("fp").distinct()
+    bloom = (
+        base.select(F.expr(fnv1a32_spark_sql("fp")).alias("__h"))
+        .select("__h", F.explode(ks).alias("i"))
+        .select(pos.alias("pos"))
+        .distinct()
+        .withColumn("__marked", F.lit(1))
+    )
+    delta = fp.where(F.col("is_delta")).select("doc_id", "fp")
+    dpos = (
+        delta.select(
+            "doc_id", F.expr(fnv1a32_spark_sql("fp")).alias("__h")
+        )
+        .select("doc_id", F.explode(ks).alias("i"), "__h")
+        .select("doc_id", pos.alias("pos"))
+    )
+    hits = (
+        dpos.join(bloom, "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("__marked"), F.lit(0))).alias("n_hit"))
+    )
+    exact = delta.join(
+        base.withColumn("__in_base", F.lit(1)), "fp", "left"
+    ).select("doc_id", F.col("__in_base").isNotNull().alias("exact_dup"))
+    return hits.join(exact, "doc_id").select(
+        "doc_id",
+        (F.col("n_hit") == _BLOOM_K).alias("bloom_hit"),
+        "exact_dup",
+        (F.col("exact_dup") & (F.col("n_hit") != _BLOOM_K)).alias(
+            "false_negative"
+        ),
+    )
+
+
 @query(
     "cooccurrence_topk",
     oracle="""

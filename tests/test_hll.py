@@ -195,3 +195,19 @@ def test_source_overlap_hll_accuracy(spark):
         # NEGATIVE for disjoint pairs (the union estimate is not
         # guaranteed subadditive) — the bound is on the absolute error
         assert abs(r["hll_intersection"] - r["exact_shared"]) <= 8.0, r
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    # the Bloom guarantee: every exact dup is a bloom hit; false
+    # positives exist but must stay near the designed epsilon
+    from node_mongo2influx_spark.plans.llm_ops import dedup_incremental_bloom
+
+    rows = dedup_incremental_bloom(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert not any(r["false_negative"] for r in rows)
+    assert all(r["bloom_hit"] for r in rows if r["exact_dup"])
+    non_dup = [r for r in rows if not r["exact_dup"]]
+    if non_dup:
+        fp_rate = sum(r["bloom_hit"] for r in non_dup) / len(non_dup)
+        # designed epsilon ~0.2% at sf0.1 fill; 5% is a generous ceiling
+        assert fp_rate < 0.05, fp_rate
