@@ -1282,3 +1282,87 @@ def test_overlap_matrix_from_streamed_register_store(spark, sf_dir, tmp_path):
         for r in source_overlap_hll(spark, sf_dir).collect()
     }
     assert from_store == from_batch and from_batch
+
+
+def test_bloom_positions_stream_union_merge(spark, sf_dir, tmp_path):
+    # The Bloom filter's streaming maintenance shape: each micro-batch
+    # appends its DISTINCT bit positions under its own ingest_batch
+    # partition; union-merge-on-read (distinct over the log) must give a
+    # filter that classifies the delta EXACTLY like the batch query's —
+    # set union is associative/commutative/idempotent, the same algebra
+    # that makes the HLL register log replay-safe.
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_spark_inline,
+        fnv1a32_spark_sql,
+    )
+    from node_mongo2influx_spark.plans.llm_ops import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_SEED,
+        dedup_incremental_bloom,
+    )
+    from node_mongo2influx_spark.plans.tables import load
+
+    pos = F.expr(
+        fmix32_spark_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
+        + f" % {_BLOOM_M}"
+    )
+    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
+    fp = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+        ).alias("fp"),
+        (F.pmod(F.col("doc_id"), F.lit(4)) == 3).alias("is_delta"),
+    )
+    base_src = str(tmp_path / "base_src")
+    fp.where(~F.col("is_delta")).select("fp").repartition(3).write.parquet(
+        base_src
+    )
+    store = str(tmp_path / "bloom_store")
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(F.expr(fnv1a32_spark_sql("fp")).alias("__h"))
+            .select("__h", F.explode(ks).alias("i"))
+            .select(pos.alias("pos"))
+            .distinct()
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store)
+        )
+
+    schema = spark.read.parquet(base_src).schema
+    q = (
+        sp.read_stream(spark, base_src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (
+        spark.read.parquet(store).select("ingest_batch").distinct().count()
+        >= 2
+    )
+
+    merged = spark.read.parquet(store).select("pos").distinct()
+    delta = fp.where(F.col("is_delta")).select("doc_id", "fp")
+    dpos = (
+        delta.select("doc_id", F.expr(fnv1a32_spark_sql("fp")).alias("__h"))
+        .select("doc_id", F.explode(ks).alias("i"), "__h")
+        .select("doc_id", pos.alias("pos"))
+    )
+    hits = (
+        dpos.join(merged.withColumn("__mk", F.lit(1)), "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce("__mk", F.lit(0))) == _BLOOM_K).alias("hit"))
+    )
+    streamed = {r["doc_id"]: r["hit"] for r in hits.collect()}
+    batch = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in dedup_incremental_bloom(spark, sf_dir).collect()
+    }
+    assert streamed == batch and batch
