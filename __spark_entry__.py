@@ -77,6 +77,10 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("mad_robust_outliers", 6),
     ("cusum_drift_alarms", 6),
     ("cusum_drift_chunked", 6),
+    # round 6 session 4: fingerprint/split expressions extracted into
+    # shared helpers used by BOTH incremental-dedup faces (values
+    # identical — re-verified at all SFs — but the code changed).
+    ("dedup_incremental_delta", 6),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

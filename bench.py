@@ -111,6 +111,7 @@ EXTENDED_R6B = (
     "histogram_quantile_sketch",
     "countmin_word_frequency",
     "source_overlap_hll",
+    "dedup_incremental_bloom",
     "pca_power_probe",
 )
 

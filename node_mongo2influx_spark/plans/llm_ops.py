@@ -3155,15 +3155,35 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The incremental-dedup fingerprint and delta split, shared by the exact
+#: face (dedup_incremental_delta) and the Bloom membership face
+#: (dedup_incremental_bloom) — the two compose ONLY while these stay
+#: bit-identical, so both queries (Spark bodies AND oracles) read them
+#: from here.
+_HEAD_FP_DUCKDB = (
+    "md5(array_to_string("
+    "list_slice(string_split(text, ' '), 1, 10), ' '))"
+)
+_DELTA_SPLIT_DUCKDB = "doc_id % 4 = 3"
+
+
+def _head_fp_spark():
+    return F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    )
+
+
+def _delta_split_spark():
+    return F.pmod(F.col("doc_id"), F.lit(4)) == 3
+
+
 @query(
     "dedup_incremental_delta",
-    oracle="""
+    oracle=f"""
         WITH fp AS (
             SELECT doc_id,
-                   md5(array_to_string(
-                       list_slice(string_split(text, ' '), 1, 10), ' '))
-                       AS fp,
-                   doc_id % 4 = 3 AS is_delta
+                   {_HEAD_FP_DUCKDB} AS fp,
+                   {_DELTA_SPLIT_DUCKDB} AS is_delta
             FROM documents
         ),
         base AS (SELECT DISTINCT fp FROM fp WHERE NOT is_delta),
@@ -3192,15 +3212,12 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "future increment join co-located.",
 )
 def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    head_fp = F.md5(
-        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
-    )
     return dedup.incremental_exact(
         load(spark, sf_dir, "documents"),
-        is_delta=F.pmod(F.col("doc_id"), F.lit(4)) == 3,
+        is_delta=_delta_split_spark(),
         text_col="text",
         id_col="doc_id",
-        fingerprint=head_fp,
+        fingerprint=_head_fp_spark(),
     )
 
 
@@ -3223,10 +3240,8 @@ def _bloom_oracle() -> str:
     return f"""
         WITH fp AS (
             SELECT doc_id,
-                   md5(array_to_string(
-                       list_slice(string_split(text, ' '), 1, 10), ' '))
-                       AS fp,
-                   doc_id % 4 = 3 AS is_delta
+                   {_HEAD_FP_DUCKDB} AS fp,
+                   {_DELTA_SPLIT_DUCKDB} AS is_delta
             FROM documents
         ),
         base AS (SELECT DISTINCT fp FROM fp WHERE NOT is_delta),
@@ -3289,14 +3304,24 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f" % {_BLOOM_M}"
     )
     ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
-    fp = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(
-            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
-        ).alias("fp"),
-        (F.pmod(F.col("doc_id"), F.lit(4)) == 3).alias("is_delta"),
+    # fp feeds base AND delta; base feeds the bloom build AND the exact
+    # join — checkpoint both (CLAUDE.md consumed-≥2× rule) so the corpus
+    # scan + md5 runs once and the base distinct shuffle runs once
+    fp = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            _head_fp_spark().alias("fp"),
+            _delta_split_spark().alias("is_delta"),
+        )
+        .localCheckpoint(eager=False)
     )
-    base = fp.where(~F.col("is_delta")).select("fp").distinct()
+    base = (
+        fp.where(~F.col("is_delta"))
+        .select("fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bloom = (
         base.select(F.expr(fnv1a32_spark_sql("fp")).alias("__h"))
         .select("__h", F.explode(ks).alias("i"))
@@ -4496,8 +4521,9 @@ def _pca_probe_oracle() -> str:
     "matrix by UNROLLED POWER ITERATION, bit-identical across engines "
     "because every number stays deterministic — embeddings quantize to "
     "exact integer milli-units, the Gram matrix is exact BIGINT sums "
-    "(partition- and engine-proof, no double accumulation), and the 12 "
-    "iterations use only identical-order left-fold +/·, IEEE division "
+    "(partition- and engine-proof, no double accumulation), and the "
+    "iterations (6 with G⁸ = 49 power steps) use only identical-order "
+    "left-fold +/·, IEEE division "
     "and correctly-rounded sqrt. Sign canonicalized on the first "
     "loading. embedding_pca_project stays the production path (numpy "
     "eigh on the driver-side Gram); this proves the iteration algebra "

@@ -650,12 +650,35 @@ def ann_index_maintenance_stream(
     )
 
 
-def read_rollup_store(spark, store_dir: str, key_col: str = "event_type") -> DataFrame:
+def _store_is_empty(store_dir: str) -> bool:
+    """The CLAUDE.md r6 store-reader rule, shared by the partial-log
+    readers below: a directory holding only _SUCCESS/metadata (an
+    all-empty first batch, compaction debris) is UNREADABLE
+    (UNABLE_TO_INFER_SCHEMA) and must read as EMPTY, not wedge."""
+    import pathlib
+
+    from node_mongo2influx_spark.sinks.parquet import _has_data_files
+
+    return not _has_data_files(pathlib.Path(store_dir))
+
+
+def read_rollup_store(
+    spark, store_dir: str, key_col: str = "event_type",
+    key_type: str = "string",
+) -> DataFrame:
     """Merge-on-read over the partial log written by
     :func:`rollup_maintenance_stream`: one groupBy collapses all
     per-batch partials into the current rollup. Exact-integer partials
     make the merge bit-identical to a single-pass aggregate over the raw
-    events, however the batches sliced them."""
+    events, however the batches sliced them. A data-file-less store
+    reads as EMPTY (``key_type`` pins the key column's type on that
+    path — parquet footers can't supply it when there are none)."""
+    if _store_is_empty(store_dir):
+        return spark.createDataFrame(
+            [],
+            f"{key_col} {key_type}, bucket timestamp, n long, "
+            "c_sum long, c_min long, c_max long",
+        )
     p = spark.read.parquet(store_dir)
     return p.groupBy(key_col, "bucket").agg(
         F.sum("n").alias("n"),
@@ -710,7 +733,8 @@ def distinct_maintenance_stream(
 
 
 def read_distinct_store(
-    spark, store_dir: str, key_col: str = "event_type"
+    spark, store_dir: str, key_col: str = "event_type",
+    key_type: str = "string",
 ) -> DataFrame:
     """Merge-on-read over :func:`distinct_maintenance_stream`'s register
     log: max-merge the per-batch registers, then estimate — identical
@@ -719,17 +743,15 @@ def read_distinct_store(
     A register-less store (first batch carried only NULL values, or a
     compaction left no data files) reads as EMPTY — the CLAUDE.md r6
     store-reader rule: a _SUCCESS-only directory is UNREADABLE
-    (UNABLE_TO_INFER_SCHEMA) and must not wedge later reads; keys here
-    are the string grouping values the stream wrote."""
-    import pathlib
-
+    (UNABLE_TO_INFER_SCHEMA) and must not wedge later reads. On that
+    path ``key_type`` pins the key column's type (no footers to infer
+    from) so the empty frame's schema matches a populated store's."""
     from node_mongo2influx_spark.functions.hll import hll_estimate
-    from node_mongo2influx_spark.sinks.parquet import _has_data_files
 
-    if not _has_data_files(pathlib.Path(store_dir)):
+    if _store_is_empty(store_dir):
         return spark.createDataFrame(
             [],
-            f"{key_col} string, used_buckets long, zero_buckets long, "
+            f"{key_col} {key_type}, used_buckets long, zero_buckets long, "
             "sum_inv_scaled long, hll_estimate double",
         )
     regs = (
