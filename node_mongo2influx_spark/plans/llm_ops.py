@@ -1927,6 +1927,105 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact-INTEGER quality score for canonical selection: token count
+#: dominates (×10^6), alpha-character count breaks near-ties — both
+#: exact integers, so the per-cluster argmax is deterministic and
+#: engine-identical (no float quality, no rounding question). NULL text
+#: coalesces to −1 so an all-null cluster still keeps one member.
+_QSCORE_DUCKDB = (
+    "coalesce(1000000 * len(string_split(text, ' ')) "
+    "+ length(regexp_replace(text, '[^a-zA-Z]', '', 'g')), -1)"
+)
+
+
+def _qscore_spark():
+    return F.coalesce(
+        F.lit(1_000_000) * F.size(F.split(F.col("text"), " "))
+        + F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")),
+        F.lit(-1),
+    ).cast("long")
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_CTE},
+        edges(src, dst) AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY node
+        ),
+        scored AS (
+            SELECT c.doc_id, c.component_id,
+                   CAST({_QSCORE_DUCKDB} AS BIGINT) AS score
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, component_id, score,
+                   row_number() OVER (
+                       PARTITION BY component_id
+                       ORDER BY score DESC, doc_id
+                   ) AS rn
+            FROM scored
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST({_QSCORE_DUCKDB} AS BIGINT) AS score
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ranked r
+            WHERE r.doc_id = d.doc_id AND r.rn <> 1
+        )
+    """,
+    description="Quality-aware canonical selection: like "
+    "dedup_filtered_corpus, but each near-dup cluster keeps its "
+    "HIGHEST-QUALITY member instead of the smallest id — what real "
+    "corpus prep does (the longest/cleanest copy survives, truncated "
+    "mirrors drop). Quality is an exact-INTEGER composite (tokens ×10^6 "
+    "+ alpha chars, doc_id tie-break) so the per-cluster argmax is "
+    "deterministic and engine-identical; the argmax itself is the "
+    "lexicographic struct-max reduction (no window over the corpus — "
+    "only cluster MEMBERS rank, O(duplicates) rows). Full oracle "
+    "replays pairs → recursive-CTE components → per-component "
+    "row_number. Unpaired docs pass through untouched.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+    comp = dedup.components_from_pairs(pairs)
+    members = comp.join(
+        docs.select("doc_id", _qscore_spark().alias("score")), "doc_id"
+    )
+    # deterministic argmax per cluster: lexicographic struct-max on
+    # (score, -doc_id) — ties go to the SMALLEST id, matching the
+    # oracle's ORDER BY score DESC, doc_id
+    best = members.groupBy("component_id").agg(
+        F.max(
+            F.struct(F.col("score"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "component_id", (-F.col("best.neg_id")).alias("keep_id")
+    )
+    drop = (
+        members.join(best, "component_id")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars", _qscore_spark().alias("score")
+    )
+
+
 @query(
     "dedup_containment_pairs",
     oracle="""

@@ -232,3 +232,51 @@ def test_components_from_pairs_string_ids(spark):
     got = {r["doc_id"]: r["component_id"] for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     assert dict(out.dtypes) == {"doc_id": "string", "component_id": "string"}
+
+
+def test_keep_best_quality_vs_min_id_canonicals(spark):
+    # Same clusters as dedup_filtered_corpus (identical pair generation),
+    # so the SURVIVOR COUNT matches — but the canonical CHOICE prefers
+    # the highest integer quality score, and on the fixture that must
+    # actually change at least one pick (otherwise the query proves
+    # nothing beyond min-id).
+    from node_mongo2influx_spark.plans.llm_ops import (
+        dedup_filtered_corpus,
+        dedup_keep_best_quality,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    by_quality = {
+        r["doc_id"]: r["score"]
+        for r in dedup_keep_best_quality(spark, sf).collect()
+    }
+    by_min_id = {
+        r["doc_id"] for r in dedup_filtered_corpus(spark, sf).collect()
+    }
+    assert len(by_quality) == len(by_min_id)
+    assert set(by_quality) != by_min_id, (
+        "quality selection never differed from min-id on the fixture"
+    )
+
+    # every kept member carries the max score of its cluster: rebuild
+    # clusters and check the argmax directly
+    docs = load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+    comp = dedup.components_from_pairs(pairs)
+    from node_mongo2influx_spark.plans.llm_ops import _qscore_spark
+
+    members = comp.join(
+        docs.select("doc_id", _qscore_spark().alias("score")), "doc_id"
+    ).collect()
+    clusters: dict = {}
+    for r in members:
+        clusters.setdefault(r["component_id"], []).append(
+            (r["score"], r["doc_id"])
+        )
+    for cid, rows in clusters.items():
+        best_score, best_id = max((s, -d) for s, d in rows)
+        kept = [d for _, d in rows if d in by_quality]
+        assert kept == [-best_id], (cid, rows, kept)
+        assert by_quality[-best_id] == best_score
