@@ -81,6 +81,9 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # shared helpers used by BOTH incremental-dedup faces (values
     # identical — re-verified at all SFs — but the code changed).
     ("dedup_incremental_delta", 6),
+    # round 6 session 4: fp consumed 3× — localCheckpoint added (values
+    # identical, lineage only).
+    ("source_overlap_matrix", 6),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -171,10 +171,15 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-pair counts — O(sources²) output regardless of corpus size.",
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fp is consumed 3× (sizes + both sides of the pair self-join)
+    # downstream of the corpus scan + distinct — checkpoint it
+    # (CLAUDE.md consumed-≥2× rule; same fix as source_overlap_hll's
+    # exact-witness tier)
     fp = (
         load(spark, sf_dir, "documents")
         .select("source", F.md5("text").alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = fp.select(F.col("source").alias("source_a"), "h")
