@@ -139,6 +139,28 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The incremental-dedup fingerprint and delta split, shared by the exact
+#: face (dedup_incremental_delta) and the Bloom membership face
+#: (dedup_incremental_bloom) — the two compose ONLY while these stay
+#: bit-identical, so both queries (Spark bodies AND oracles) read them
+#: from here.
+_HEAD_FP_DUCKDB = (
+    "md5(array_to_string("
+    "list_slice(string_split(text, ' '), 1, 10), ' '))"
+)
+_DELTA_SPLIT_DUCKDB = "doc_id % 4 = 3"
+
+
+def _head_fp_spark():
+    return F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    )
+
+
+def _delta_split_spark():
+    return F.pmod(F.col("doc_id"), F.lit(4)) == 3
+
+
 @query(
     "source_overlap_matrix",
     oracle="""
@@ -221,7 +243,7 @@ def _overlap_hll_oracle() -> str:
     )
 
     regs = hll_registers_duckdb_ctes(
-        "SELECT source, md5(text) AS __v FROM documents "
+        f"SELECT source, {_HEAD_FP_DUCKDB} AS __v FROM documents "
         "WHERE text IS NOT NULL",
         "source",
     )
@@ -270,7 +292,7 @@ def _overlap_hll_oracle() -> str:
                    {est_a} AS hll_a, {est_b} AS hll_b, {est_u} AS hll_union
             FROM parts
         ),
-        fp AS (SELECT DISTINCT source, md5(text) AS h FROM documents
+        fp AS (SELECT DISTINCT source, {_HEAD_FP_DUCKDB} AS h FROM documents
                WHERE text IS NOT NULL),
         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
                   FROM fp GROUP BY 1),
@@ -321,7 +343,12 @@ def source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("source", F.md5("text").alias("h"))
+        # identity = the HEAD fingerprint shared with the incremental
+        # faces: byte-exact md5(text) finds ZERO cross-source dups on
+        # the fixtures (a degenerate witness); the normalized head is
+        # what crawl-overlap comparisons actually key on and gives the
+        # exact_shared column non-zero mass to check the sketch against
+        .select("source", _head_fp_spark().alias("h"))
     )
     est = hll_overlap_from_registers(
         hll_registers(docs, ["source"], "h"), "source"
@@ -3257,28 +3284,6 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_words=10,
         max_docs=1,
     )
-
-
-#: The incremental-dedup fingerprint and delta split, shared by the exact
-#: face (dedup_incremental_delta) and the Bloom membership face
-#: (dedup_incremental_bloom) — the two compose ONLY while these stay
-#: bit-identical, so both queries (Spark bodies AND oracles) read them
-#: from here.
-_HEAD_FP_DUCKDB = (
-    "md5(array_to_string("
-    "list_slice(string_split(text, ' '), 1, 10), ' '))"
-)
-_DELTA_SPLIT_DUCKDB = "doc_id % 4 = 3"
-
-
-def _head_fp_spark():
-    return F.md5(
-        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
-    )
-
-
-def _delta_split_spark():
-    return F.pmod(F.col("doc_id"), F.lit(4)) == 3
 
 
 @query(

@@ -1239,13 +1239,17 @@ def test_overlap_matrix_from_streamed_register_store(spark, sf_dir, tmp_path):
     from node_mongo2influx_spark.functions.hll import (
         hll_overlap_from_registers,
     )
-    from node_mongo2influx_spark.plans.llm_ops import source_overlap_hll
+    from node_mongo2influx_spark.plans.llm_ops import (
+        _head_fp_spark,
+        source_overlap_hll,
+    )
     from node_mongo2influx_spark.plans.tables import load
 
     src_dir = str(tmp_path / "docs_src")
     (
         load(spark, sf_dir, "documents")
-        .select("source", F.md5("text").alias("h"))
+        .where(F.col("text").isNotNull())
+        .select("source", _head_fp_spark().alias("h"))
         .repartition(4)
         .write.mode("overwrite")
         .parquet(src_dir)
