@@ -84,6 +84,11 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # round 6 session 4: fp consumed 3× — localCheckpoint added (values
     # identical, lineage only).
     ("source_overlap_matrix", 6),
+    # round 7 (VERDICT r6 #1): Bloom geometry is now DATA-SIZED (m =
+    # 16·|base fps| instead of static 2^17) — position VALUES change, so
+    # the r6 green row no longer witnesses this code. Re-verified green
+    # vs the (also re-derived) oracle at all three SFs this session.
+    ("dedup_incremental_bloom", 7),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -931,3 +931,197 @@ def cdc_chunks(
             F.expr("substring(__t, __se.s, __se.e - __se.s + 1)")
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter with data-sized geometry (round 7)
+# ---------------------------------------------------------------------------
+#: Golden-ratio odd constant stepping the k hash functions apart.
+BLOOM_SEED = 0x9E3779B1
+
+#: Projected fill fraction above which a filter is considered saturated.
+#: fill = 1 - exp(-k*n/m); at the default geometry (16 bits/key, k=4)
+#: fill ~= 0.22 and FP = fill^k ~= 0.25%. At fill 0.5 the FP rate is
+#: already 6.25% and rising steeply — past that the filter silently
+#: degrades toward "everything is a duplicate", which at 100 TB is data
+#: LOSS, not slowness. Appends that would cross this refuse by default.
+BLOOM_MAX_FILL = 0.5
+
+
+class BloomSaturatedError(ValueError):
+    """An append/replay would push the persisted filter past
+    :data:`BLOOM_MAX_FILL` — the geometry was sized for a smaller base
+    corpus. Rebuild with :func:`bloom_build` (which re-derives ``m`` from
+    the CURRENT key count) instead of growing a filter whose false-
+    positive rate is no longer bounded."""
+
+
+def bloom_geometry(
+    n_keys: int, bits_per_key: int = 16, k: int = 4, floor: int = 2048
+) -> dict:
+    """Derive Bloom geometry FROM the data: ``m = max(bits_per_key * n,
+    floor)`` bit positions, ``k`` hashes. With the default 16 bits/key
+    and k=4 the projected fill is 1-exp(-4/16) ~= 0.22 and the FP rate
+    ~= 0.25% — and both stay constant however large ``n`` is, because m
+    scales with it. (A STATIC m saturates at some growth factor and then
+    classifies every probe as a member — the failure mode this function
+    exists to remove.) Exact integers only, so the same rule is
+    replayable bit-identically by any engine."""
+    m = max(bits_per_key * max(int(n_keys), 0), floor)
+    return {
+        "m": m,
+        "k": int(k),
+        "bits_per_key": int(bits_per_key),
+        "n_keys": max(int(n_keys), 0),
+        "seed": BLOOM_SEED,
+    }
+
+
+def bloom_fill(geom: dict, n_keys: int | None = None) -> float:
+    """Projected fill fraction 1 - exp(-k*n/m) for ``n_keys`` keys
+    (default: the geometry's recorded count) under ``geom``."""
+    import math
+
+    n = geom["n_keys"] if n_keys is None else n_keys
+    return 1.0 - math.exp(-geom["k"] * n / geom["m"])
+
+
+def bloom_positions(df: DataFrame, fp_col: str, geom: dict) -> DataFrame:
+    """The filter itself: the DISTINCT set of set-bit positions for the
+    fingerprints in ``df[fp_col]`` — one row per set bit (≤ m rows
+    however large the key set grows), mergeable by set union, and
+    bit-identical across engines (portable FNV-1a + fmix32, exact
+    integer arithmetic; CLAUDE.md: FNV alone is low-byte-biased on
+    sequential keys, the fmix32 finalizer is load-bearing)."""
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_spark_inline,
+        fnv1a32_spark_sql,
+    )
+
+    pos = F.expr(
+        fmix32_spark_inline(f"(__h + i * {BLOOM_SEED}) % 4294967296")
+        + f" % {geom['m']}"
+    )
+    ks = F.array([F.lit(i) for i in range(geom["k"])])
+    return (
+        df.select(F.expr(fnv1a32_spark_sql(fp_col)).alias("__h"))
+        .select("__h", F.explode(ks).alias("i"))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+
+
+def _bloom_geom_path(path: str):
+    import pathlib
+
+    return pathlib.Path(path) / "geometry.json"
+
+
+def _bloom_write_geom(path: str, geom: dict) -> None:
+    import json
+    import os
+    import pathlib
+
+    p = _bloom_geom_path(path)
+    pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(geom))
+    os.replace(tmp, p)  # atomic swap: readers never see a torn file
+
+
+def bloom_read_geometry(path: str) -> dict:
+    import json
+
+    return json.loads(_bloom_geom_path(path).read_text())
+
+
+def bloom_build(
+    df: DataFrame,
+    fp_col: str,
+    path: str,
+    bits_per_key: int = 16,
+    k: int = 4,
+    floor: int = 2048,
+) -> dict:
+    """Build and persist a Bloom filter of the DISTINCT fingerprints in
+    ``df[fp_col]``: geometry is derived from the measured key count (one
+    count over the distinct-fp frame — the only data-sized action, and
+    it returns a scalar), the position set lands at ``path/positions``
+    and the geometry (m, k, seed, n_keys) rides along in
+    ``path/geometry.json`` so every later append/classify replays
+    against the SAME m. Returns the geometry dict."""
+    fps = df.select(F.col(fp_col).alias("fp")).distinct()
+    fps = fps.localCheckpoint(eager=False)  # counted AND hashed below
+    geom = bloom_geometry(fps.count(), bits_per_key=bits_per_key, k=k, floor=floor)
+    bloom_positions(fps, "fp", geom).write.mode("overwrite").parquet(
+        f"{path}/positions"
+    )
+    _bloom_write_geom(path, geom)
+    return geom
+
+
+def bloom_append(
+    df: DataFrame, fp_col: str, path: str, max_fill: float = BLOOM_MAX_FILL
+) -> dict:
+    """Union a new batch's positions into the persisted filter — the
+    streaming-ingest face (position sets merge by set union, so appends
+    commute). Refuses with :class:`BloomSaturatedError` when the
+    PROJECTED fill after the append exceeds ``max_fill``: the persisted
+    geometry was sized for a smaller corpus and its FP bound no longer
+    holds — rebuild instead (the error says so, with the numbers)."""
+    geom = bloom_read_geometry(path)
+    fps = df.select(F.col(fp_col).alias("fp")).distinct()
+    fps = fps.localCheckpoint(eager=False)
+    n_total = geom["n_keys"] + fps.count()
+    fill = bloom_fill(geom, n_total)
+    if fill > max_fill:
+        need = bloom_geometry(n_total, geom["bits_per_key"], geom["k"])
+        raise BloomSaturatedError(
+            f"append would put {n_total} keys in an m={geom['m']} filter "
+            f"(projected fill {fill:.2f} > {max_fill}); geometry was sized "
+            f"for {geom['n_keys']} keys — rebuild with m>={need['m']}"
+        )
+    bloom_positions(fps, "fp", geom).write.mode("append").parquet(
+        f"{path}/positions"
+    )
+    geom = {**geom, "n_keys": n_total}
+    _bloom_write_geom(path, geom)
+    return geom
+
+
+def bloom_classify(
+    df: DataFrame, fp_col: str, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Membership-check ``df`` against the persisted filter: per row,
+    ``bloom_hit`` = all k positions set. One-sided by construction — a
+    fingerprint that was inserted ALWAYS hits (no false negatives); a
+    hit may be a false positive at the geometry's bounded rate. The join
+    moves only (id, pos) pairs against the ≤ m-row position set — the
+    base corpus is never rescanned, however large it has grown."""
+    geom = bloom_read_geometry(path)
+    spark = df.sparkSession
+    bloom = spark.read.parquet(f"{path}/positions").distinct().withColumn(
+        "__marked", F.lit(1)
+    )
+    # per-row positions (NOT distinct — each row needs its own k checks)
+    from node_mongo2influx_spark.functions.phash import (
+        fmix32_spark_inline,
+        fnv1a32_spark_sql,
+    )
+
+    pos = F.expr(
+        fmix32_spark_inline(f"(__h + i * {BLOOM_SEED}) % 4294967296")
+        + f" % {geom['m']}"
+    )
+    ks = F.array([F.lit(i) for i in range(geom["k"])])
+    dpos = (
+        df.select(F.col(id_col), F.expr(fnv1a32_spark_sql(fp_col)).alias("__h"))
+        .select(id_col, F.explode(ks).alias("i"), "__h")
+        .select(id_col, pos.alias("pos"))
+    )
+    return (
+        dpos.join(bloom, "pos", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("__marked"), F.lit(0))).alias("n_hit"))
+        .select(id_col, (F.col("n_hit") == geom["k"]).alias("bloom_hit"))
+    )

@@ -3330,9 +3330,17 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Bloom geometry: m = 2^17 bit positions, k = 4 fmix32-mixed FNV hashes.
-#: At sf0.1 the base inserts ~30k positions → fill ~0.2, FP ≈ 0.2%.
-_BLOOM_M, _BLOOM_K = 1 << 17, 4
+#: Bloom geometry is DATA-SIZED (round 7, VERDICT r6 #1): m =
+#: max(16 * |base distinct fps|, 2048) bit positions, k = 4 fmix32-mixed
+#: FNV hashes — fill ≈ 1-exp(-4/16) ≈ 0.22 and FP ≈ 0.25% at EVERY
+#: corpus size, because m grows with the base. (The r6 static m = 2^17
+#: saturated at ~64× base growth and then classified every delta as dup
+#: — silent data loss at scale.) Both engines derive m from the same
+#: exact-integer rule: Spark via one scalar count action, DuckDB via a
+#: geom CTE cross-joined into the position arithmetic.
+_BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_FLOOR = 2048
 _BLOOM_SEED = 0x9E3779B1
 
 
@@ -3344,7 +3352,7 @@ def _bloom_oracle() -> str:
 
     pos = (
         fmix32_duckdb_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
-        + f" % {_BLOOM_M}"
+        + " % (SELECT m FROM geom)"
     )
     return f"""
         WITH fp AS (
@@ -3354,6 +3362,11 @@ def _bloom_oracle() -> str:
             FROM documents
         ),
         base AS (SELECT DISTINCT fp FROM fp WHERE NOT is_delta),
+        geom AS (
+            SELECT greatest({_BLOOM_BITS_PER_KEY} * count(*),
+                            {_BLOOM_FLOOR}) AS m
+            FROM base
+        ),
         bh AS (SELECT fp, {fnv1a32_duckdb_sql("fp")} AS __h FROM base),
         bloom AS (
             SELECT DISTINCT {pos} AS pos
@@ -3392,7 +3405,12 @@ def _bloom_oracle() -> str:
     "membership): classify an arriving crawl batch against a 2^17-bit / "
     "4-hash Bloom filter of the base corpus's head fingerprints — the "
     "same fingerprint and delta split as dedup_incremental_delta, so "
-    "the two faces compose. The filter is a DISTINCT set of fmix32-mixed "
+    "the two faces compose. Geometry is DATA-SIZED: m = "
+    "max(16*|base fps|, 2048) derived identically in both engines (one "
+    "scalar count in Spark, a geom CTE in DuckDB), so fill (~0.22) and "
+    "FP (~0.25%) are corpus-size invariants — a static m would saturate "
+    "and mislabel every delta as dup at some growth factor. The filter "
+    "is a DISTINCT set of fmix32-mixed "
     "FNV bit positions: exact integers, mergeable (set union; a "
     "streaming ingest appends per-batch position sets), and "
     "bit-identical across engines (FULL oracle). Exact membership rides "
@@ -3408,14 +3426,10 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         fnv1a32_spark_sql,
     )
 
-    pos = F.expr(
-        fmix32_spark_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
-        + f" % {_BLOOM_M}"
-    )
-    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
-    # fp feeds base AND delta; base feeds the bloom build AND the exact
-    # join — checkpoint both (CLAUDE.md consumed-≥2× rule) so the corpus
-    # scan + md5 runs once and the base distinct shuffle runs once
+    # fp feeds base AND delta; base feeds the geometry count, the bloom
+    # build AND the exact join — checkpoint both (CLAUDE.md consumed-≥2×
+    # rule) so the corpus scan + md5 runs once and the base distinct
+    # shuffle runs once (the count below materializes them).
     fp = (
         load(spark, sf_dir, "documents")
         .select(
@@ -3431,6 +3445,18 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Data-sized geometry: ONE scalar count of the (checkpointed) base
+    # fingerprint set — the same exact-integer m rule as the oracle's
+    # geom CTE. The count doubles as the checkpoint materializer.
+    geom = dedup.bloom_geometry(
+        base.count(), bits_per_key=_BLOOM_BITS_PER_KEY, k=_BLOOM_K,
+        floor=_BLOOM_FLOOR,
+    )
+    pos = F.expr(
+        fmix32_spark_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
+        + f" % {geom['m']}"
+    )
+    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
     bloom = (
         base.select(F.expr(fnv1a32_spark_sql("fp")).alias("__h"))
         .select("__h", F.explode(ks).alias("i"))

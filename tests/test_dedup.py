@@ -280,3 +280,71 @@ def test_keep_best_quality_vs_min_id_canonicals(spark):
         kept = [d for _, d in rows if d in by_quality]
         assert kept == [-best_id], (cid, rows, kept)
         assert by_quality[-best_id] == best_score
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership store (round 7: data-sized geometry, VERDICT r6 #1)
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def bloom_base(spark):
+    # 400 distinct fingerprints: fp_0 .. fp_399
+    return spark.range(400).selectExpr("concat('fp_', id) AS fp")
+
+
+def test_bloom_geometry_scales_with_keys():
+    g1 = dedup.bloom_geometry(1_000)
+    g64 = dedup.bloom_geometry(64_000)
+    assert g64["m"] == 64 * g1["m"] == 64 * 16_000
+    # fill/FP are corpus-size invariants under the data-sized rule
+    assert abs(dedup.bloom_fill(g1) - dedup.bloom_fill(g64)) < 1e-12
+    assert dedup.bloom_fill(g1) < 0.25
+    # tiny corpora floor out instead of degenerating
+    assert dedup.bloom_geometry(3)["m"] == 2048
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, bloom_base, tmp_path):
+    path = str(tmp_path / "bloom")
+    geom = dedup.bloom_build(bloom_base, "fp", path)
+    assert geom["n_keys"] == 400 and geom["m"] == 400 * 16
+    assert dedup.bloom_read_geometry(path)["m"] == geom["m"]
+    # members: every inserted fp must hit (one-sided guarantee)
+    members = bloom_base.selectExpr("fp", "CAST(substr(fp, 4) AS LONG) AS doc_id")
+    hits = dedup.bloom_classify(members, "fp", path).collect()
+    assert len(hits) == 400 and all(r["bloom_hit"] for r in hits)
+    # non-members: FP rate bounded well under the geometry's design point
+    probes = spark.range(2_000).selectExpr(
+        "id AS doc_id", "concat('absent_', id) AS fp"
+    )
+    fp_rate = sum(
+        r["bloom_hit"] for r in dedup.bloom_classify(probes, "fp", path).collect()
+    ) / 2_000
+    assert fp_rate < 0.02  # design FP ~0.25% at fill ~0.22
+
+
+def test_bloom_append_merges_and_updates_geometry(spark, bloom_base, tmp_path):
+    path = str(tmp_path / "bloom")
+    dedup.bloom_build(bloom_base, "fp", path)
+    batch = spark.range(400, 450).selectExpr("concat('fp_', id) AS fp")
+    geom = dedup.bloom_append(batch, "fp", path)
+    assert geom["n_keys"] == 450  # tracked for later saturation checks
+    new_members = batch.selectExpr("fp", "CAST(substr(fp, 4) AS LONG) AS doc_id")
+    assert all(
+        r["bloom_hit"]
+        for r in dedup.bloom_classify(new_members, "fp", path).collect()
+    )
+
+
+def test_bloom_saturated_replay_refused(spark, bloom_base, tmp_path):
+    # geometry sized for 400 keys; a 64x-growth append must REFUSE, not
+    # silently degrade into classify-everything-as-duplicate
+    path = str(tmp_path / "bloom")
+    dedup.bloom_build(bloom_base, "fp", path)
+    big = spark.range(1_000, 27_000).selectExpr("concat('fp_', id) AS fp")
+    with pytest.raises(dedup.BloomSaturatedError, match="rebuild with m>="):
+        dedup.bloom_append(big, "fp", path)
+    # the refused append left the store untouched
+    assert dedup.bloom_read_geometry(path)["n_keys"] == 400
+    # the prescribed recovery — rebuild — re-derives m from the new count
+    rebuilt = dedup.bloom_build(bloom_base.union(big), "fp", path)
+    assert rebuilt["m"] == 16 * 26_400
+    assert dedup.bloom_fill(rebuilt) < 0.25

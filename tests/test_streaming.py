@@ -1299,19 +1299,16 @@ def test_bloom_positions_stream_union_merge(spark, sf_dir, tmp_path):
         fmix32_spark_inline,
         fnv1a32_spark_sql,
     )
+    from node_mongo2influx_spark.operators import dedup as dd
     from node_mongo2influx_spark.plans.llm_ops import (
+        _BLOOM_BITS_PER_KEY,
+        _BLOOM_FLOOR,
         _BLOOM_K,
-        _BLOOM_M,
         _BLOOM_SEED,
         dedup_incremental_bloom,
     )
     from node_mongo2influx_spark.plans.tables import load
 
-    pos = F.expr(
-        fmix32_spark_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
-        + f" % {_BLOOM_M}"
-    )
-    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
     fp = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(
@@ -1319,6 +1316,19 @@ def test_bloom_positions_stream_union_merge(spark, sf_dir, tmp_path):
         ).alias("fp"),
         (F.pmod(F.col("doc_id"), F.lit(4)) == 3).alias("is_delta"),
     )
+    # same DATA-SIZED geometry rule as the batch query (r7): m from the
+    # base distinct-fp count, so streamed and batch filters agree.
+    _m = dd.bloom_geometry(
+        fp.where(~F.col("is_delta")).select("fp").distinct().count(),
+        bits_per_key=_BLOOM_BITS_PER_KEY,
+        k=_BLOOM_K,
+        floor=_BLOOM_FLOOR,
+    )["m"]
+    pos = F.expr(
+        fmix32_spark_inline(f"(__h + i * {_BLOOM_SEED}) % 4294967296")
+        + f" % {_m}"
+    )
+    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
     base_src = str(tmp_path / "base_src")
     fp.where(~F.col("is_delta")).select("fp").repartition(3).write.parquet(
         base_src

