@@ -89,6 +89,20 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # the r6 green row no longer witnesses this code. Re-verified green
     # vs the (also re-derived) oracle at all three SFs this session.
     ("dedup_incremental_bloom", 7),
+    # round 7 (VERDICT r6 #3): the three approx_* queries converted from
+    # rows-only to bounded-witness FULL oracles — output shapes changed
+    # (exacts + guarantee booleans; the sketch values stay Spark-side).
+    ("approx_distinct_users", 7),
+    ("approx_percentiles_by_type", 7),
+    ("approx_top_words", 7),
+    # round 7 (VERDICT r6 #2): the same-session A/B adjudicated
+    # knn_cosine_pq's 1.22x as REAL — pq_encode's kernel spread is now
+    # size-gated (values identical: per-row encode is partitioning-
+    # independent; re-verified recall gates + probes green), and every
+    # query traversing pq_encode gets a re-witness row.
+    ("knn_cosine_pq", 7),
+    ("pq_recall_probe", 7),
+    ("knn_cosine_ivfpq_batch", 7),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

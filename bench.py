@@ -132,6 +132,54 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Machine-drift canary (round 7, VERDICT r6 #2): a FIXED synthetic
+    # workload touching the two cost centers every real query pays —
+    # whole-stage-codegen scan + hash-aggregate shuffle, and an
+    # Arrow/Python-worker roundtrip — with NO parquet and NO repo code
+    # under test. Its wall moves with the MACHINE, not the diff, so
+    # future rounds can normalize cross-round ratios (query_r7/canary_r7
+    # vs query_r6/canary_r6) instead of cloning commits for an A/B.
+    # Measured ambient drift on identical code is ~10% across hours and
+    # ±12% run-to-run (CLAUDE.md); 3 reps, min + all runs recorded.
+    from pyspark.sql import functions as F
+
+    def _canary() -> dict:
+        runs_jvm, runs_arrow = [], []
+        for _ in range(3):
+            t0 = time.monotonic()
+            (
+                spark.range(20_000_000)
+                .select(
+                    (F.col("id") * 2654435761 % 1000003).alias("k"),
+                    F.col("id"),
+                )
+                .groupBy("k")
+                .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            runs_jvm.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            (
+                spark.range(1_000_000)
+                .repartition(int(CPUS) if str(CPUS).isdigit() else 32)
+                .mapInPandas(lambda it: it, schema="id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            runs_arrow.append(time.monotonic() - t0)
+        return {
+            "jvm_min": round(min(runs_jvm), 3),
+            "arrow_min": round(min(runs_arrow), 3),
+            "jvm_runs": [round(x, 3) for x in runs_jvm],
+            "arrow_runs": [round(x, 3) for x in runs_arrow],
+        }
+
+    canary = _canary()
+    print(f"# canary: {canary}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     def run_set(names, reps=3):
@@ -201,6 +249,7 @@ def main() -> None:
         "extended_r6b_min": r6b_mins,
         "extended_r6b_total": round(sum(r6b_times.values()), 3),
         "headline_reps": 7,
+        "canary": canary,
         "sf": sf_val,
     }
     # Full per-query detail goes to a committed file; stdout carries a
@@ -228,6 +277,7 @@ def main() -> None:
                 "extended_r6_total": detail["extended_r6_total"],
                 "extended_r6b_total": detail["extended_r6b_total"],
                 "headline_reps": 7,
+                "canary": canary["jvm_min"],
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             },

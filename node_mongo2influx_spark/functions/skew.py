@@ -80,9 +80,18 @@ def salted_sum(
     return partial.groupBy(*keys).agg(F.sum("__partial").alias(sum_col))
 
 
-def ensure_min_partitions(df, target: int):
+def ensure_min_partitions(df, target: int, min_bytes: int = 0):
     """Round-robin repartition ``df`` to ``target`` partitions — but ONLY
     if it is a narrow (few-split) scan-shaped frame.
+
+    ``min_bytes`` additionally gates the spread on the optimizer's
+    size estimate (plan stats — file sizes, no job): a narrow scan
+    SMALLER than this is returned untouched, because shuffling it costs
+    more than the single-core kernel it would parallelize. Use for
+    kernels whose per-row work is LIGHT (e.g. PQ encode's m tiny
+    matmuls — the round-7 A/B measured the unconditional spread as a
+    1.22x net loss at sf0.1); heavy-per-row kernels (minhash, IVF
+    assign) keep the default 0 = always spread narrow scans.
 
     For an Arrow kernel (``mapInPandas``) the input partitioning IS the
     parallelism: a small table arriving as one parquet split runs the
@@ -106,6 +115,14 @@ def ensure_min_partitions(df, target: int):
     )
     if "Exchange" in plan:
         return df
+    if min_bytes > 0:
+        est = int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
+        if est < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df

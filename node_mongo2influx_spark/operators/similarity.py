@@ -184,18 +184,30 @@ def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
 
 
 
-def _spread_kernel_input(df: DataFrame) -> DataFrame:
+#: Size gate for LIGHT-kernel spreads (see pq_encode): below this the
+#: exchange costs more than the one-core kernel it parallelizes. The
+#: round-7 same-session A/B (tools/bench_ab.py, r5 ade4410 vs HEAD)
+#: measured the unconditional spread as knn_cosine_pq's 1.22x bench
+#: regression at sf0.1 (~6 MB of vectors); a single split is at most
+#: spark.sql.files.maxPartitionBytes (128 MB), so 32 MB splits the
+#: range — big narrow scans still spread, bench-sized ones don't.
+_LIGHT_KERNEL_MIN_SPREAD_BYTES = 32 * 1024 * 1024
+
+
+def _spread_kernel_input(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Widen a narrow (single-split) frame to the shuffle width before a
     mapInPandas kernel — kernel parallelism IS the input partitioning, so
     a one-split parquet table would run the whole Arrow matmul on one
     core. Pass-through for already-wide or post-shuffle frames (see
-    functions/skew.ensure_min_partitions)."""
+    functions/skew.ensure_min_partitions). ``min_bytes`` > 0 marks a
+    LIGHT kernel: narrow scans below that estimated size skip the
+    spread (the exchange would cost more than it buys)."""
     from node_mongo2influx_spark.functions.skew import ensure_min_partitions
 
     n_shuffle = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200"
     )
-    return ensure_min_partitions(df, n_shuffle)
+    return ensure_min_partitions(df, n_shuffle, min_bytes=min_bytes)
 
 
 def _nn(pdf, col="vec"):
@@ -1459,7 +1471,8 @@ def pq_encode(
     base = _spread_kernel_input(
         df.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-        )
+        ),
+        min_bytes=_LIGHT_KERNEL_MIN_SPREAD_BYTES,
     )
     return base.mapInPandas(kernel, schema="vid long, codes array<int>, nrm double")
 

@@ -1222,18 +1222,70 @@ def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_percentiles_by_type",
-    oracle=None,  # t-digest sketch; tolerance vs exact asserted in tests
-    description="approx_percentile (t-digest, accuracy 10000): the "
-    "mergeable-sketch percentile path for 100 TB — map-side partial "
-    "sketches, constant memory per group. Tolerance vs the exact "
-    "percentiles_by_type asserted in tests/test_relational_extra.py.",
+    # Bounded-witness FULL oracle (round 7, VERDICT r6 #3): the sketch
+    # value itself is engine-specific, but its GUARANTEE is not — the
+    # Greenwald-Khanna contract says the returned element's rank
+    # interval [count(<p)+1, count(<=p)] overlaps q·n ± n/accuracy.
+    # Spark outputs per-group exact counts plus ok_* booleans checking
+    # that contract IN-ROW; DuckDB replays the exacts and literal TRUE.
+    oracle="""
+        SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+               TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+        FROM events GROUP BY event_type
+    """,
+    description="approx_percentile (Greenwald-Khanna, accuracy 10000): "
+    "the mergeable-sketch percentile path for 100 TB — map-side partial "
+    "sketches, constant memory per group. Converted from rows-only to a "
+    "bounded-witness FULL oracle: each group carries its exact non-null "
+    "count n and one boolean per quantile asserting the GK rank "
+    "guarantee (the returned value's rank interval overlaps q*n +- "
+    "n/accuracy, +-1 slack for interpolation) — the sketch value stays "
+    "Spark-native, the GUARANTEE is what both engines agree on. The "
+    "rank check joins the 3 per-group sketch outputs back to the rows "
+    "(a broadcast of the bounded per-type aggregate) and counts "
+    "value < p / value <= p per group.",
 )
 def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
-        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
-        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    ap = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+        F.count("value").alias("n"),
+    )
+    j = e.join(F.broadcast(ap), "event_type")
+    eps = 1.0 / 10000
+
+    def lo(p):  # min possible rank of the returned element
+        return F.sum(F.when(F.col("value") < F.col(p), 1).otherwise(0)) + 1
+
+    def hi(p):  # max possible rank of the returned element
+        return F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0))
+
+    ranks = j.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        *[x for p in ("p50", "p90", "p99") for x in (
+            lo(p).alias(f"lo_{p}"), hi(p).alias(f"hi_{p}"))],
+    )
+
+    def ok(p, q):
+        n = F.col("n").cast("double")
+        slack = F.lit(eps) * n + F.lit(1.0)
+        cond = (F.col(f"hi_{p}") >= q * n - slack) & (
+            F.col(f"lo_{p}") <= q * n + slack
+        )
+        # all-NULL group: the sketch returns NULL, counts are 0 — the
+        # contract is vacuous, matching the oracle's unconditional TRUE
+        return F.when(F.col("n") == 0, F.lit(True)).otherwise(cond).alias(
+            f"ok_{p}"
+        )
+
+    return ranks.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        ok("p50", F.lit(0.5)),
+        ok("p90", F.lit(0.9)),
+        ok("p99", F.lit(0.99)),
     )
 
 
@@ -1275,17 +1327,54 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # sketch-based; exactness asserted against count_distinct in tests
+    # Bounded-witness FULL oracle (round 7, VERDICT r6 #3): the HLL++
+    # estimate is engine-specific; its rsd-derived error bound is not.
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """,
     description="approx_count_distinct (HyperLogLog++, rsd=0.01): the "
-    "mergeable-sketch path for distinct counts at 100 TB — map-side partial "
-    "sketches, no exact-distinct expand. Accuracy vs exact asserted in "
-    "tests/test_relational_extra.py.",
+    "mergeable-sketch path for distinct counts at 100 TB — map-side "
+    "partial sketches, no exact-distinct expand. Converted from "
+    "rows-only to a bounded-witness FULL oracle: each group outputs its "
+    "exact distinct count (computed via a pre-aggregated distinct-pair "
+    "count — never in the same groupBy as the sketch, which would plan "
+    "an Expand) and within_bound = |approx - exact| <= max(5*rsd*exact, "
+    "2) — five standard deviations plus absolute slack for tiny groups; "
+    "HLL++ at rsd=0.01 holds a sparse exact representation well past "
+    "these cardinalities, so the bound is comfortably loose. DuckDB "
+    "replays the exact count and literal TRUE.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+    exact = (
+        e.where(F.col("user_id").isNotNull())
+        .distinct()
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    # left join from approx: a group whose users are all NULL has an
+    # approx row (estimate 0) but no exact row — coalesce to 0 like
+    # count(DISTINCT) would give
+    out = approx.join(exact, "event_type", "left").select(
+        "event_type",
+        F.coalesce("exact_users", F.lit(0)).cast("long").alias("exact_users"),
+        "approx_users",
+    )
+    bound = F.greatest(
+        F.ceil(F.lit(0.05) * F.col("exact_users")).cast("long"), F.lit(2)
+    )
+    return out.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) <= bound
+        ).alias("within_bound"),
     )
 
 

@@ -375,6 +375,7 @@ _SCALAR_CROSSJOIN_OK = {
     "join_key_skew_report",   # two 1-row aggregates (key stats × top-10 sum)
     "curriculum_training_order",  # 1-row quantile-cutoff record × docs
     "embedding_neardup_sampled",  # exact tier over the rate^2 hash sample
+    "approx_top_words",       # 1-row err/c20 scalars × ≤20-row sketch items (r7 witness)
 }
 
 #: Queries whose Python-eval node is the deliverable itself.

@@ -9,10 +9,14 @@ from node_mongo2influx_spark.plans.tables import load
 
 
 def test_approx_distinct_close_to_exact(spark, sf_dir):
-    reg = load_registry()
+    # independent accuracy gate: run the SKETCH directly (the query now
+    # outputs bounded-witness booleans, r7) and compare to exact counts
     approx = {
-        r["event_type"]: r["approx_users"]
-        for r in reg["approx_distinct_users"].fn(spark, sf_dir).collect()
+        r["event_type"]: r["a"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+        .collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -23,19 +27,31 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+    # and the registry query's in-row witnesses agree
+    reg = load_registry()
+    rows = reg["approx_distinct_users"].fn(spark, sf_dir).collect()
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact
+    assert all(r["within_bound"] for r in rows)
 
 
 def test_approx_percentiles_rank_accurate(spark, sf_dir):
     # approx_percentile returns an actual sample (no interpolation), so in
     # a sparse tail its VALUE can differ a lot from the interpolated exact
     # percentile while still being rank-correct. Assert rank: the fraction
-    # of values <= approx_pq must be within ~1.5% of q.
-    reg = load_registry()
+    # of values <= approx_pq must be within ~1.5% of q. (Independent of
+    # the registry query, which now outputs this check as in-row
+    # bounded-witness booleans — asserted at the end.)
+    e = load(spark, sf_dir, "events")
     approx = {
         r["event_type"]: r
-        for r in reg["approx_percentiles_by_type"].fn(spark, sf_dir).collect()
+        for r in e.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(value, 0.9, 10000)").alias("p90"),
+            F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+        )
+        .collect()
     }
-    e = load(spark, sf_dir, "events")
     for k, row in approx.items():
         vals = [
             r["value"] for r in e.where(F.col("event_type") == k).select("value").collect()
@@ -46,6 +62,18 @@ def test_approx_percentiles_rank_accurate(spark, sf_dir):
             assert q - 0.015 <= frac <= min(1.0, q + 0.015 + 1.0 / n), (
                 k, name, row[name], frac,
             )
+    reg = load_registry()
+    wit = reg["approx_percentiles_by_type"].fn(spark, sf_dir).collect()
+    assert wit and all(
+        r["ok_p50"] and r["ok_p90"] and r["ok_p99"] for r in wit
+    )
+    assert {r["event_type"]: r["n"] for r in wit} == {
+        k: len(
+            [x for x in e.where(F.col("event_type") == k).select("value").collect()
+             if x["value"] is not None]
+        )
+        for k in approx
+    }
 
 
 def test_components_deep_chain_converges(spark):

@@ -153,11 +153,23 @@ def test_bm25_matches_python(spark, sf_dir):
 
 
 def test_approx_top_words_accuracy(spark, sf_dir):
+    # independent accuracy gate: run the SKETCH directly (the registry
+    # query now outputs bounded-witness booleans, r7) vs exact counts
     from collections import Counter
 
-    from node_mongo2influx_spark.plans import load_registry
+    from pyspark.sql import functions as F
 
-    rows = load_registry()["approx_top_words"].fn(spark, sf_dir).collect()
+    from node_mongo2influx_spark.plans import load_registry
+    from node_mongo2influx_spark.plans.tables import load
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .agg(F.expr("approx_top_k(word, 20, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("approx_count"))
+        .collect()
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
     exact = Counter(w for d in docs for w in d["text"].lower().split(" "))
     got = {r["word"]: r["approx_count"] for r in rows}
@@ -168,6 +180,12 @@ def test_approx_top_words_accuracy(spark, sf_dir):
     for w in top10:
         assert w in got, w
         assert abs(got[w] - exact[w]) <= max(1, 0.05 * exact[w]), (w, got[w], exact[w])
+    # and the registry query's witness row holds
+    wit = load_registry()["approx_top_words"].fn(spark, sf_dir).collect()
+    assert len(wit) == 1
+    w0 = wit[0]
+    assert w0["n_items"] == min(20, len(exact))
+    assert w0["all_within_bound"] and w0["heavy_hitters_covered"]
 
 
 def test_bm25_multi_agrees_with_fixed_query_path(spark, sf_dir):
