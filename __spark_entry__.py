@@ -108,6 +108,12 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # aggregate) — values bit-identical (re-verified at all three SFs),
     # but the code changed; steady-state wall 3.0 s -> 0.9 s.
     ("pca_power_probe", 7),
+    # round 7 (VERDICT r6 #6): all three ADC paths unified onto one core
+    # (_adc_block_scores) — the driver-LUT kernels now tie-break by vid
+    # like the cogroup path, and knn_cosine_ivfpq gained the large-batch
+    # delegation gate. Rows-only queries; recall gates + determinism +
+    # sweeps re-verified green.
+    ("knn_cosine_ivfpq", 7),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -193,6 +193,13 @@ def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
 #: range — big narrow scans still spread, bench-sized ones don't.
 _LIGHT_KERNEL_MIN_SPREAD_BYTES = 32 * 1024 * 1024
 
+#: Row-count gate for the driver-LUT ANN entry points (VERDICT r6 #6):
+#: past this many query rows, knn_cosine_ivfpq hands off to the cogroup
+#: batch path instead of collecting query vectors to the driver. 4096
+#: queries × 64 dims × 8 B ≈ 2 MB of driver state — comfortably
+#: model-class; a million-query batch is not.
+_DRIVER_LUT_MAX_QUERIES = 4096
+
 
 def _spread_kernel_input(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Widen a narrow (single-split) frame to the shuffle width before a
@@ -1477,6 +1484,50 @@ def pq_encode(
     return base.mapInPandas(kernel, schema="vid long, codes array<int>, nrm double")
 
 
+def _adc_block_scores(
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    qnorm: np.ndarray,
+    books: np.ndarray,
+    vids: np.ndarray,
+    cds: np.ndarray,
+    nrm: np.ndarray,
+    short: int,
+    anchor: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """THE single ADC implementation (all three knn paths call it —
+    driver-LUT PQ, driver-LUT IVFPQ, cogroup batch IVFPQ): score one code
+    block (an IVF cell, or a plain-PQ partition chunk) against the queries
+    probing it, return each query's within-block shortlist.
+
+    approx dot = dot(q, anchor) + Σ_j LUT[j, code_j] (anchor=None → raw
+    PQ, no residual term); approx cosine divides by the stored exact
+    corpus norm and the query norm. ``vids``/``cds``/``nrm`` MUST be
+    vid-sorted: the stable argsort then breaks ADC-score ties by
+    ascending vid, so the shortlist cut is partition-invariant (exact-
+    duplicate embeddings produce bit-equal scores and would otherwise
+    survive or drop by shuffle order). Returns flat (query_id,
+    neighbor_id, adc) arrays.
+    """
+    m = books.shape[0]
+    dsub = books.shape[2]
+    if anchor is not None:
+        approx = np.tile((qmat @ anchor)[:, None], (1, len(vids)))
+    else:
+        approx = np.zeros((len(qids), len(vids)))
+    for j in range(m):
+        lut = qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T  # (q, n_codes)
+        approx += lut[:, cds[:, j]]
+    score = approx / (qnorm[:, None] * np.maximum(nrm, 1e-12)[None, :])
+    n_keep = min(short, len(vids))
+    order = np.argsort(-score, axis=1, kind="stable")[:, :n_keep]
+    return (
+        np.repeat(qids, n_keep),
+        vids[order.ravel()],
+        np.take_along_axis(score, order, axis=1).ravel(),
+    )
+
+
 def knn_cosine_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1532,38 +1583,28 @@ def knn_cosine_pq(
     qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
-    dsub = dim // m
-    # (n_queries, m, n_codes) ADC lookup tables
-    luts = np.stack(
-        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
-        axis=1,
-    )
+    bk = books
     topn = short
 
     def adc_kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            cds = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
-            if not len(cds):
+            if not len(pdf):
                 continue
-            nrm = np.maximum(pdf["nrm"].to_numpy(), 1e-12)
-            vids = pdf["vid"].to_numpy()
-            out_q, out_v, out_s = [], [], []
-            for qi in range(len(qids)):
-                # gather: Σ_j LUT[qi, j, code_j] per corpus row
-                approx = luts[qi][np.arange(m)[None, :], cds].sum(1)
-                score = approx / (nrm * qnorm[qi])
-                keep = score.argsort()[::-1][:topn]
-                out_q.append(np.full(len(keep), qids[qi]))
-                out_v.append(vids[keep])
-                out_s.append(score[keep])
+            pdf = pdf.sort_values("vid")
+            out_q, out_v, out_s = _adc_block_scores(
+                qids,
+                qmat,
+                qnorm,
+                bk,
+                pdf["vid"].to_numpy(),
+                np.asarray(pdf["codes"].tolist(), dtype=np.int64),
+                pdf["nrm"].to_numpy(),
+                topn,
+            )
             yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_v),
-                    "adc": np.concatenate(out_s),
-                }
+                {"query_id": out_q, "neighbor_id": out_v, "adc": out_s}
             )
 
     local = codes.mapInPandas(
@@ -1744,10 +1785,13 @@ def knn_cosine_ivfpq(
     * exact rerank touches full vectors for the shortlist only.
 
     Driver state: centroids (n_cells×dim) + codebooks (m×n_codes×dim/m)
-    + per-query LUTs — all model-sized, corpus-independent.
+    + per-query LUTs — all model-sized, corpus-independent. That makes
+    this entry point bounded-batch by design; batches past
+    ``_DRIVER_LUT_MAX_QUERIES`` delegate to the fully distributed
+    :func:`knn_cosine_ivfpq_batch` (same quantizer, same ADC core, same
+    output contract), so no caller can drive query-sized state onto the
+    driver by accident.
     """
-    from pyspark.sql import Window
-
     short = shortlist if shortlist is not None else 4 * k
     try:
         cents = kmeans_centroids(
@@ -1758,6 +1802,17 @@ def knn_cosine_ivfpq(
         )
     except EmptyTrainingInput:
         return _empty_knn_result(corpus, queries, id_col)
+    # row-count gate (one bounded scan): large batches take the cogroup
+    # path — the driver-LUT fast path is for bounded top-k use
+    if (
+        queries.limit(_DRIVER_LUT_MAX_QUERIES + 1).count()
+        > _DRIVER_LUT_MAX_QUERIES
+    ):
+        return knn_cosine_ivfpq_batch(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+            n_probe=n_probe, dim=dim, shortlist=short, round_to=round_to,
+            centroids=cents, model=(books, anchors),
+        )
     codes = ivfpq_encode(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
@@ -1789,8 +1844,6 @@ def _ivfpq_candidates(
     vectors."""
     from pyspark.sql import Window
 
-    m = books.shape[0]
-    dsub = books.shape[2]
     qrows = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()
@@ -1806,38 +1859,44 @@ def _ivfpq_candidates(
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
     qcos = (qmat / qnorm[:, None]) @ cents.T          # (q, n_cells)
     probed = np.argsort(-qcos, axis=1)[:, :n_probe]    # (q, n_probe)
-    qcent = qmat @ anchors.T                           # dot(q, anchor)
-    luts = np.stack(
-        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
-        axis=1,
-    )                                                  # (q, m, n_codes)
+    anc = anchors
+    bk = books
     topn = short
 
     def adc_kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            cds = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
-            if not len(cds):
+            if not len(pdf):
                 continue
+            pdf = pdf.sort_values("vid")
+            cds = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
             cell = pdf["cell"].to_numpy()
-            nrm = np.maximum(pdf["nrm"].to_numpy(), 1e-12)
+            nrm = pdf["nrm"].to_numpy()
             vids = pdf["vid"].to_numpy()
             out_q, out_v, out_s = [], [], []
-            for qi in range(len(qids)):
-                mask = np.isin(cell, probed[qi])
-                if not mask.any():
+            # per-cell blocks through the shared core — the same block
+            # shape the cogroup batch path scores, so both paths emit
+            # identical candidates
+            for c in np.unique(cell):
+                qsel = np.nonzero((probed == c).any(axis=1))[0]
+                if not len(qsel):
                     continue
-                sub = cds[mask]
-                approx = (
-                    qcent[qi, cell[mask]]
-                    + luts[qi][np.arange(sub.shape[1])[None, :], sub].sum(1)
+                mask = cell == c
+                oq, ov, os_ = _adc_block_scores(
+                    qids[qsel],
+                    qmat[qsel],
+                    qnorm[qsel],
+                    bk,
+                    vids[mask],
+                    cds[mask],
+                    nrm[mask],
+                    topn,
+                    anchor=anc[c],
                 )
-                score = approx / (nrm[mask] * qnorm[qi])
-                keep = score.argsort()[::-1][:topn]
-                out_q.append(np.full(len(keep), qids[qi]))
-                out_v.append(vids[mask][keep])
-                out_s.append(score[keep])
+                out_q.append(oq)
+                out_v.append(ov)
+                out_s.append(os_)
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -1931,7 +1990,6 @@ def knn_cosine_ivfpq_batch(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
     n_probe_eff = min(n_probe, len(cents))
-    mm, _, dsub = books.shape
 
     def probe_kernel(batches):
         import pandas as pd
@@ -1973,36 +2031,23 @@ def knn_cosine_ivfpq_batch(
             return empty
         cell_id = int(code_pdf["cell"].iloc[0])
         # deterministic layout BOTH sides (cogroup row order is not
-        # stable): the corpus sort makes the stable argsort below break
-        # ADC-score ties by vid, so the shortlist cut is identical at
-        # any partition count — exact-duplicate embeddings produce
-        # bit-equal ADC scores and would otherwise survive or drop by
-        # shuffle order.
+        # stable): vid-sorted corpus columns let the shared core break
+        # ADC-score ties by vid (see _adc_block_scores).
         code_pdf = code_pdf.sort_values("vid")
-        cds = np.asarray(code_pdf["codes"].tolist(), dtype=np.int64)
-        nrm = np.maximum(code_pdf["nrm"].to_numpy(), 1e-12)
-        vids = code_pdf["vid"].to_numpy()
         q_pdf = q_pdf.sort_values("query_id")
-        qids = q_pdf["query_id"].to_numpy()
         qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=np.float64)
-        qn = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
-        # ADC: dot(q, anchor[cell]) + Σ_j LUT[j, code_j], LUTs built for
-        # JUST the queries probing this cell
-        approx = np.tile(
-            (qmat @ anchors[cell_id])[:, None], (1, len(vids))
+        # LUTs built for JUST the queries probing this cell
+        out_q, out_v, out_s = _adc_block_scores(
+            q_pdf["query_id"].to_numpy(),
+            qmat,
+            np.maximum(np.linalg.norm(qmat, axis=1), 1e-12),
+            books,
+            code_pdf["vid"].to_numpy(),
+            np.asarray(code_pdf["codes"].tolist(), dtype=np.int64),
+            code_pdf["nrm"].to_numpy(),
+            short,
+            anchor=anchors[cell_id],
         )
-        for j in range(mm):
-            lut = qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T  # (q, n_codes)
-            approx += lut[:, cds[:, j]]
-        score = approx / (qn[:, None] * nrm[None, :])
-        n_keep = min(short, len(vids))
-        # within-cell shortlist per query; STABLE argsort over the
-        # vid-sorted columns = ties broken by ascending vid,
-        # partition-invariant
-        order = np.argsort(-score, axis=1, kind="stable")[:, :n_keep]
-        out_q = np.repeat(qids, n_keep)
-        out_v = vids[order.ravel()]
-        out_s = np.take_along_axis(score, order, axis=1).ravel()
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_v, "adc": out_s}
         )

@@ -601,6 +601,22 @@ def test_pq_paths_handle_all_null_query_sets(spark):
     assert out2.count() == 0
 
 
+def test_ivfpq_large_batch_gate_delegates_to_batch_path(
+    spark, emb, monkeypatch
+):
+    # Past _DRIVER_LUT_MAX_QUERIES the per-query entry point must hand
+    # off to the cogroup batch path (nothing query-sized on the driver)
+    # and produce IDENTICAL rows: same quantizer (deterministic
+    # training), same shared ADC core, same rerank contract.
+    monkeypatch.setattr(similarity, "_DRIVER_LUT_MAX_QUERIES", 4)
+    queries = emb.where("vec_id < 10")
+    kw = dict(k=5, n_cells=8, n_probe=4, m=8, n_codes=8, dim=64)
+    gated = similarity.knn_cosine_ivfpq(emb, queries, **kw).collect()
+    direct = similarity.knn_cosine_ivfpq_batch(emb, queries, **kw).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    assert sorted(gated, key=key) == sorted(direct, key=key)
+
+
 def test_two_level_assignment_tracks_flat():
     # The hierarchical coarse quantizer must (a) partition all cells into
     # L1 children exactly once, and (b) agree with flat assignment on the
