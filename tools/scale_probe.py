@@ -403,6 +403,40 @@ def main() -> None:
             n_codes=16,
             dim=64,
         ),
+        # round-7 (VERDICT r6 #5): batch ANN with the CORPUS scaled —
+        # queries fixed at 50, n_cells ∝ corpus (constant expected cell
+        # population, the documented IVF posture; n_probe fixed at 8 so
+        # the probed fraction shrinks as the corpus grows). Claimed
+        # linear-class: training/encode are one-pass, the cogroup
+        # moves each code row at most n_probe-cell times, ADC work per
+        # query tracks probed-cell population (constant), rerank is
+        # k-bounded.
+        "ivfpq_batch_corpus": lambda k: similarity.knn_cosine_ivfpq_batch(
+            uniquified_embeddings(k),
+            uniquified_embeddings(1).where(F.col("vec_id") < 50),
+            id_col="vec_id",
+            vec_col="embedding",
+            k=10,
+            n_cells=16 * k,
+            n_probe=8,
+            m=16,
+            n_codes=16,
+            dim=64,
+        ),
+        # ...and with corpus AND query count scaled together (25·k
+        # queries over k× corpus): the full-system growth path.
+        "ivfpq_batch_both": lambda k: similarity.knn_cosine_ivfpq_batch(
+            uniquified_embeddings(k),
+            uniquified_embeddings(1).where(F.col("vec_id") < 25 * k),
+            id_col="vec_id",
+            vec_col="embedding",
+            k=10,
+            n_cells=16 * k,
+            n_probe=8,
+            m=16,
+            n_codes=16,
+            dim=64,
+        ),
         # round-6 session 2: the skew-pathological corpus the fused
         # backend's AUTO split exists for — HALF the rows land in one
         # pre-trained quantizer cell (axis centroids passed in, so
