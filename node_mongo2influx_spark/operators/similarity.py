@@ -1967,8 +1967,6 @@ def knn_cosine_ivfpq_batch(
     index across batches; recall vs :func:`knn_cosine` is gated in
     tests/test_similarity.py.
     """
-    from pyspark.sql import Window
-
     short = shortlist if shortlist is not None else 4 * k
     try:
         cents = (
@@ -1989,7 +1987,27 @@ def knn_cosine_ivfpq_batch(
     codes = ivfpq_encode(
         corpus, cents, anchors, books, id_col=id_col, vec_col=vec_col
     )
-    n_probe_eff = min(n_probe, len(cents))
+    cand = _ivfpq_batch_candidates(
+        codes, queries, cents, anchors, books,
+        id_col=id_col, vec_col=vec_col, n_probe=n_probe, short=short,
+    )
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to,
+        broadcast_queries=False,
+    )
+
+
+def _ivfpq_probe_table(
+    queries: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_probe_eff: int,
+) -> DataFrame:
+    """(query_id, cell, qvec) probe table: each query row replicated to
+    its n_probe nearest coarse cells, assigned on the EXECUTORS (the
+    same cosine-argmax quantizer as the corpus side — one model, both
+    sides). Map-only; nothing query-sized touches the driver."""
 
     def probe_kernel(batches):
         import pandas as pd
@@ -2009,12 +2027,37 @@ def knn_cosine_ivfpq_batch(
                 }
             )
 
-    qprobe = _spread_kernel_input(
+    return _spread_kernel_input(
         queries.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
         )
     ).mapInPandas(
         probe_kernel, schema="query_id long, cell int, qvec array<double>"
+    )
+
+
+def _ivfpq_batch_candidates(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    anchors: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    short: int,
+) -> DataFrame:
+    """Fully distributed IVFPQ candidate generation: the probe table
+    cogroups with the cell-encoded codes, one applyInPandas per cell
+    builds ADC LUTs for just the queries probing that cell (through the
+    shared :func:`_adc_block_scores` core), a per-query rank window
+    trims to the global shortlist. Shared by the build-and-query batch
+    path (knn_cosine_ivfpq_batch) and the persisted-index large-batch
+    face (knn_cosine_ivfpq_query)."""
+    from pyspark.sql import Window
+
+    qprobe = _ivfpq_probe_table(
+        queries, cents, id_col, vec_col, min(n_probe, len(cents))
     )
 
     def adc_cogroup(code_pdf, q_pdf):
@@ -2063,14 +2106,10 @@ def knn_cosine_ivfpq_batch(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")
     )
-    cand = (
+    return (
         local.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= short)
         .select("query_id", "neighbor_id")
-    )
-    return _score_candidates_topk(
-        cand, corpus, queries, id_col, vec_col, k, round_to,
-        broadcast_queries=False,
     )
 
 
@@ -2499,7 +2538,12 @@ def knn_cosine_ivfpq_query(
     model (one small collect), prune the codes scan to the union of
     the queries' probed cells (partition pruning against the
     cell-partitioned layout), ADC-score, exact-rerank the shortlist
-    against the vectors table."""
+    against the vectors table.
+
+    Batches past ``_DRIVER_LUT_MAX_QUERIES`` take the fully distributed
+    face: probed cells computed on the executors, the DISTINCT cell set
+    (bounded by n_cells — model-class) still prunes the codes read,
+    candidates via the shared cogroup generator, hash-joined rerank."""
     cents, anchors, books = load_ivfpq_model(spark, path)
     if not _has_data_files(pathlib.Path(f"{path}/codes")):
         # a fully-retired index (every list deleted) is EMPTY, not
@@ -2511,16 +2555,51 @@ def knn_cosine_ivfpq_query(
     short = shortlist if shortlist is not None else 4 * k
     n_probe = min(n_probe, len(cents))
 
-    qmat = np.asarray(
-        [
-            r["qv"]
-            for r in queries.select(
-                _as_double(F.col(vec_col)).alias("qv")
-            ).collect()
-            if r["qv"] is not None
-        ],
-        dtype=np.float64,
+    # the gate reuses the pruning collect (limit caps it at gate+1 rows,
+    # so it never pulls a huge batch to the driver), costing the small
+    # path no extra job
+    qrows = (
+        queries.select(_as_double(F.col(vec_col)).alias("qv"))
+        .limit(_DRIVER_LUT_MAX_QUERIES + 1)
+        .collect()
     )
+    if len(qrows) > _DRIVER_LUT_MAX_QUERIES:
+        # the cells-only probe pass is deliberately recomputed inside
+        # _ivfpq_batch_candidates (a map-only scan) rather than caching
+        # the n_probe-replicated probe table for reuse
+        probed_cells = [
+            int(r["cell"])
+            for r in _ivfpq_probe_table(
+                queries, cents, id_col, vec_col, n_probe
+            )
+            .select("cell")
+            .distinct()
+            .collect()
+        ]
+        codes = spark.read.parquet(f"{path}/codes").where(
+            F.col("cell").isin(probed_cells)
+        )
+        cand = _ivfpq_batch_candidates(
+            codes, queries, cents, anchors, books,
+            id_col=id_col, vec_col=vec_col, n_probe=n_probe, short=short,
+        )
+        vectors = spark.read.parquet(f"{path}/vectors").select(
+            F.col("vid").alias(id_col), F.col("vec").alias(vec_col)
+        )
+        return _score_candidates_topk(
+            cand, vectors, queries, id_col, vec_col, k, round_to,
+            broadcast_queries=False,
+        )
+
+    qmat = np.asarray(
+        [r["qv"] for r in qrows if r["qv"] is not None], dtype=np.float64
+    )
+    if not len(qmat):
+        # every query vector NULL (or no queries): empty result, not an
+        # AxisError from np.linalg.norm over a (0,)-shaped array
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     probed = np.argsort(-((qmat / qnorm) @ cents.T), axis=1)[:, :n_probe]
     all_cells = sorted({int(c) for row in probed for c in row})

@@ -548,6 +548,33 @@ def test_ivfpq_index_build_query_roundtrip(spark, emb, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_ivfpq_query_large_batch_gate_matches_driver_path(
+    spark, emb, tmp_path, monkeypatch
+):
+    # Past _DRIVER_LUT_MAX_QUERIES the persisted-index query path must
+    # take the fully distributed face (executor-side probing, DISTINCT
+    # probed cells still pruning the codes read, cogroup candidates,
+    # hash-joined rerank) and return the SAME rows as the driver-LUT
+    # face: both cut candidates through the shared vid-tie-break ADC
+    # core, and the exact rerank is the same Spark expression.
+    path = str(tmp_path / "ivfpq_gate")
+    similarity.build_ivfpq_index(
+        emb, path, n_cells=16, m=16, n_codes=16, dim=64
+    )
+    queries = emb.where("vec_id < 6")
+    kw = dict(k=5, n_probe=4, shortlist=40)
+    small = similarity.knn_cosine_ivfpq_query(
+        spark, path, queries, **kw
+    ).collect()
+    monkeypatch.setattr(similarity, "_DRIVER_LUT_MAX_QUERIES", 4)
+    big_df = similarity.knn_cosine_ivfpq_query(spark, path, queries, **kw)
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    big = big_df.collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    assert sorted(big, key=key) == sorted(small, key=key)
+
+
 def test_ivfpq_index_incremental_append(spark, emb, tmp_path):
     # FAISS add() semantics: build on half the corpus, append the other
     # half with the FROZEN quantizer — queries over the full index reach
