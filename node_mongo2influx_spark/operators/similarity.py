@@ -2848,3 +2848,123 @@ def _prune_rewrite(
         if d.exists():
             shutil.rmtree(d)
     spark.catalog.refreshByPath(store_path)
+
+
+def _ivfpq_relative_recon_error(
+    df: DataFrame,
+    cents: np.ndarray,
+    anchors: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-row IVFPQ reconstruction error under a FROZEN model: assign →
+    residual-encode → decode, emit (err = ‖resid − decode‖², energy =
+    ‖x‖²). Sum(err)/Sum(energy) is the scale-free relative error the
+    drift probe compares across populations. Map-only Arrow kernel."""
+    cts, anc, bk = cents, anchors, books
+
+    def kernel(batches):
+        import pandas as pd
+
+        m, _, dsub = bk.shape
+        for pdf in batches:
+            pdf = _nn(pdf)
+            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if not len(mat):
+                continue
+            norms = np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cell = ((mat / norms) @ cts.T).argmax(axis=1)
+            resid = mat - anc[cell]
+            err = np.zeros(len(mat))
+            for j in range(m):
+                x = resid[:, j * dsub : (j + 1) * dsub]
+                code = (x @ bk[j].T - 0.5 * (bk[j] ** 2).sum(1)).argmax(1)
+                err += ((x - bk[j][code]) ** 2).sum(1)
+            yield pd.DataFrame({"err": err, "energy": (mat**2).sum(1)})
+
+    base = _spread_kernel_input(
+        df.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        ),
+        min_bytes=_LIGHT_KERNEL_MIN_SPREAD_BYTES,
+    )
+    return base.mapInPandas(kernel, schema="err double, energy double")
+
+
+def ivfpq_drift_probe(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    rebuild_factor: float = 2.0,
+) -> dict:
+    """Decide whether a delta has DRIFTED past what the index's frozen
+    quantizer can represent — the measurable trigger for the documented
+    rebuild rule (an out-of-distribution vector under frozen PQ
+    codebooks is ADC-unrankable: reconstruction error inverts its rank,
+    so recall decays silently while every query still 'succeeds').
+
+    Compares the delta's relative reconstruction error (‖residual −
+    decode‖²/‖x‖², frozen model) against the same metric over a
+    deterministic hash-sample of the index's OWN vectors — the
+    in-distribution yardstick, so the threshold is self-calibrating (no
+    absolute error scale to tune per corpus). Both passes are map-only
+    Arrow kernels + one tiny aggregate; the sample read is
+    ``sample_rows``-bounded however big the index is.
+
+    Returns ``{base_rel_err, delta_rel_err, ratio, rebuild, n_base,
+    n_delta}``; ``rebuild`` is True when ratio > ``rebuild_factor``.
+    Empty delta (or an empty/ absent vectors store) never recommends a
+    rebuild — it reports ``ratio=None``. Maintenance cadence: run on
+    each append batch; on ``rebuild`` re-train via
+    :func:`build_ivfpq_index` (appends themselves stay cheap — this
+    probe is O(delta + sample))."""
+    cents, anchors, books = load_ivfpq_model(spark, path)
+
+    def _rel(df: DataFrame) -> tuple[float | None, int]:
+        row = (
+            _ivfpq_relative_recon_error(
+                df, cents, anchors, books, id_col, vec_col
+            )
+            .agg(
+                F.sum("err").alias("e"),
+                F.sum("energy").alias("g"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        if not row["n"] or not row["g"]:
+            return None, int(row["n"] or 0)
+        return float(row["e"]) / float(row["g"]), int(row["n"])
+
+    base_rel, n_base = None, 0
+    if _has_data_files(pathlib.Path(f"{path}/vectors")):
+        sample = (
+            spark.read.parquet(f"{path}/vectors")
+            .select(F.col("vid").alias(id_col), F.col("vec").alias(vec_col))
+            .orderBy(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit("drift-base"))
+            )
+            .limit(sample_rows)
+        )
+        base_rel, n_base = _rel(sample)
+    delta_rel, n_delta = _rel(delta)
+
+    ratio = (
+        delta_rel / base_rel
+        if (base_rel is not None and base_rel > 0 and delta_rel is not None)
+        else None
+    )
+    return {
+        "base_rel_err": base_rel,
+        "delta_rel_err": delta_rel,
+        "ratio": ratio,
+        "rebuild": bool(ratio is not None and ratio > rebuild_factor),
+        "n_base": n_base,
+        "n_delta": n_delta,
+    }

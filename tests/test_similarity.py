@@ -602,6 +602,33 @@ def test_ivfpq_index_incremental_append(spark, emb, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_ivfpq_drift_probe_flags_distribution_shift(spark, emb, tmp_path):
+    # The measurable trigger for the rebuild rule: an OOD delta under
+    # frozen codebooks is ADC-unrankable, so the probe must flag it
+    # BEFORE appends silently decay recall — while an in-distribution
+    # delta (the held-out half of the same corpus) must not cry wolf.
+    path = str(tmp_path / "ivfpq_drift")
+    similarity.build_ivfpq_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=16, m=16, n_codes=16,
+        dim=64,
+    )
+    ind = emb.where("vec_id % 2 = 1")
+    rep = similarity.ivfpq_drift_probe(spark, path, ind)
+    assert rep["n_base"] > 0 and rep["n_delta"] > 0
+    assert rep["ratio"] is not None and not rep["rebuild"], rep
+    # distribution shift: every component reflected around 10 — far
+    # outside anything the anchors/codebooks saw
+    ood = ind.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> 1e1 - cast(x as double)) AS embedding",
+    )
+    rep2 = similarity.ivfpq_drift_probe(spark, path, ood)
+    assert rep2["rebuild"] and rep2["ratio"] > rep["ratio"], (rep, rep2)
+    # empty delta reports ratio=None and never recommends a rebuild
+    rep3 = similarity.ivfpq_drift_probe(spark, path, ind.where("vec_id < 0"))
+    assert rep3["ratio"] is None and not rep3["rebuild"], rep3
+
+
 def test_pq_paths_handle_all_null_query_sets(spark):
     # Every query vector NULL (or an empty query frame) must yield an
     # EMPTY result, not an AxisError from np.linalg.norm over a
