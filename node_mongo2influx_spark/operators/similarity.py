@@ -2362,7 +2362,11 @@ def build_ivfpq_index(
     * ``model/``   — centroids, residual anchors, PQ codebooks as
       (kind, i, j, vals) rows — model-sized, read with one collect at
       query time. Carries ``vec_buckets`` so every later mutation uses
-      the same bucketing.
+      the same bucketing, and ``drift_baseline`` — the build corpus's
+      relative reconstruction error over a bounded hash-sample, frozen
+      with the model so :func:`ivfpq_drift_probe` always judges deltas
+      against the TRAINING distribution (a current-store sample would
+      drift along with gradual corpus drift and stop flagging it).
     """
     if vec_buckets < 1:
         # pmod(hash, 0) is NULL → rows land in __HIVE_DEFAULT_PARTITION__
@@ -2394,6 +2398,9 @@ def build_ivfpq_index(
         .partitionBy("__vb")
         .parquet(f"{path}/vectors")
     )
+    base_rel, n_base = _ivfpq_baseline_rel_err(
+        corpus, cents, anchors, books, id_col, vec_col
+    )
     rows = []
     for i, v in enumerate(cents):
         rows.append(("centroid", i, 0, [float(x) for x in v]))
@@ -2403,6 +2410,8 @@ def build_ivfpq_index(
         for c in range(books.shape[1]):
             rows.append(("codebook", j, c, [float(x) for x in books[j][c]]))
     rows.append(("vec_buckets", int(vec_buckets), 0, []))
+    if base_rel is not None:
+        rows.append(("drift_baseline", n_base, 0, [float(base_rel)]))
     spark.createDataFrame(
         rows, "kind string, i int, j int, vals array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model")
@@ -2894,6 +2903,48 @@ def _ivfpq_relative_recon_error(
     return base.mapInPandas(kernel, schema="err double, energy double")
 
 
+def _ivfpq_rel_err_of(
+    df: DataFrame,
+    cents: np.ndarray,
+    anchors: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> tuple[float | None, int]:
+    """(Sum err / Sum energy, row count) over a frame — the scalar face
+    of :func:`_ivfpq_relative_recon_error`."""
+    row = (
+        _ivfpq_relative_recon_error(df, cents, anchors, books, id_col, vec_col)
+        .agg(
+            F.sum("err").alias("e"),
+            F.sum("energy").alias("g"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    if not row["n"] or not row["g"]:
+        return None, int(row["n"] or 0)
+    return float(row["e"]) / float(row["g"]), int(row["n"])
+
+
+def _ivfpq_baseline_rel_err(
+    df: DataFrame,
+    cents: np.ndarray,
+    anchors: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int = 4096,
+) -> tuple[float | None, int]:
+    """Relative reconstruction error of a deterministic hash-sample of
+    ``df`` under the (just-trained) model — computed at BUILD time and
+    frozen into the model store as the drift yardstick."""
+    sample = df.select(id_col, vec_col).orderBy(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit("drift-base"))
+    ).limit(sample_rows)
+    return _ivfpq_rel_err_of(sample, cents, anchors, books, id_col, vec_col)
+
+
 def ivfpq_drift_probe(
     spark,
     path: str,
@@ -2910,50 +2961,47 @@ def ivfpq_drift_probe(
     so recall decays silently while every query still 'succeeds').
 
     Compares the delta's relative reconstruction error (‖residual −
-    decode‖²/‖x‖², frozen model) against the same metric over a
-    deterministic hash-sample of the index's OWN vectors — the
-    in-distribution yardstick, so the threshold is self-calibrating (no
-    absolute error scale to tune per corpus). Both passes are map-only
-    Arrow kernels + one tiny aggregate; the sample read is
-    ``sample_rows``-bounded however big the index is.
+    decode‖²/‖x‖², frozen model) against the index's ``drift_baseline``
+    — the same metric over a hash-sample of the BUILD corpus, frozen
+    into the model store at train time. Judging against the training
+    distribution (not a current-store sample) is what keeps GRADUAL
+    drift visible: a rolling baseline would drift along with the corpus
+    and stop flagging, while the codebooks stay frozen at build time
+    regardless. Pre-baseline indexes fall back to a current-store
+    sample (``sample_rows``-bounded). The delta pass is one map-only
+    Arrow kernel + a 1-row aggregate.
 
     Returns ``{base_rel_err, delta_rel_err, ratio, rebuild, n_base,
     n_delta}``; ``rebuild`` is True when ratio > ``rebuild_factor``.
-    Empty delta (or an empty/ absent vectors store) never recommends a
-    rebuild — it reports ``ratio=None``. Maintenance cadence: run on
-    each append batch; on ``rebuild`` re-train via
-    :func:`build_ivfpq_index` (appends themselves stay cheap — this
-    probe is O(delta + sample))."""
+    Empty delta (or no baseline and an empty vectors store) never
+    recommends a rebuild — it reports ``ratio=None``. Maintenance
+    cadence: run on each append batch (or let
+    :func:`ann_index_maintenance_stream
+    <node_mongo2influx_spark.streaming.pipeline.ann_index_maintenance_stream>`
+    log it per batch via ``drift_log_dir``); on ``rebuild`` re-train
+    via :func:`build_ivfpq_index`."""
     cents, anchors, books = load_ivfpq_model(spark, path)
 
-    def _rel(df: DataFrame) -> tuple[float | None, int]:
-        row = (
-            _ivfpq_relative_recon_error(
-                df, cents, anchors, books, id_col, vec_col
-            )
-            .agg(
-                F.sum("err").alias("e"),
-                F.sum("energy").alias("g"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .first()
+    brow = (
+        spark.read.parquet(f"{path}/model")
+        .where(F.col("kind") == "drift_baseline")
+        .collect()
+    )
+    if brow:
+        base_rel, n_base = float(brow[0]["vals"][0]), int(brow[0]["i"])
+    elif _has_data_files(pathlib.Path(f"{path}/vectors")):
+        # pre-r7 index without a stored baseline: current-store sample
+        sample = spark.read.parquet(f"{path}/vectors").select(
+            F.col("vid").alias(id_col), F.col("vec").alias(vec_col)
         )
-        if not row["n"] or not row["g"]:
-            return None, int(row["n"] or 0)
-        return float(row["e"]) / float(row["g"]), int(row["n"])
-
-    base_rel, n_base = None, 0
-    if _has_data_files(pathlib.Path(f"{path}/vectors")):
-        sample = (
-            spark.read.parquet(f"{path}/vectors")
-            .select(F.col("vid").alias(id_col), F.col("vec").alias(vec_col))
-            .orderBy(
-                F.xxhash64(F.col(id_col).cast("string"), F.lit("drift-base"))
-            )
-            .limit(sample_rows)
+        base_rel, n_base = _ivfpq_baseline_rel_err(
+            sample, cents, anchors, books, id_col, vec_col, sample_rows
         )
-        base_rel, n_base = _rel(sample)
-    delta_rel, n_delta = _rel(delta)
+    else:
+        base_rel, n_base = None, 0
+    delta_rel, n_delta = _ivfpq_rel_err_of(
+        delta, cents, anchors, books, id_col, vec_col
+    )
 
     ratio = (
         delta_rel / base_rel

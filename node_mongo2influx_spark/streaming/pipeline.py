@@ -581,6 +581,9 @@ def ann_index_maintenance_stream(
     vec_col: str = "embedding",
     op_col: str | None = None,
     delete_op: str = "d",
+    drift_log_dir: str | None = None,
+    drift_rebuild_factor: float = 2.0,
+    drift_sample_rows: int = 4096,
 ) -> StreamingQuery:
     """Continuous maintenance of a persisted IVFPQ index from a vector
     change feed — the ANN-side companion of :func:`cdc_apply_stream`
@@ -607,10 +610,25 @@ def ann_index_maintenance_stream(
     cells + touched buckets) plus the thin (vid, cell) location scan —
     the quantizer is never retrained (drift means rebuild, the
     documented FAISS add() trade).
+
+    Pass ``drift_log_dir`` to make that trade OBSERVABLE: each batch
+    with live keys runs :func:`operators.similarity.ivfpq_drift_probe`
+    on its reduced delta — judged against the ``drift_baseline`` frozen
+    into the model at build time, so the row values are a pure function
+    of (model, delta): byte-identical under replay, and gradual corpus
+    drift can't normalize itself away. One row (ratio, rebuild, counts)
+    lands under the batch's own ``ingest_batch`` partition — dynamic
+    overwrite, so a replayed batch rewrites its own row and the log
+    stays replay-idempotent like the index itself. Read
+    it back with :func:`read_drift_log`; a ``rebuild=true`` row is the
+    operator's signal to schedule :func:`build_ivfpq_index` — appends
+    keep applying either way (availability over recall, the caller
+    decides when to pay the retrain).
     """
     from node_mongo2influx_spark.operators.similarity import (
         append_to_ivfpq_index,
         delete_from_ivfpq_index,
+        ivfpq_drift_probe,
     )
 
     spark = source.sparkSession
@@ -636,10 +654,33 @@ def ann_index_maintenance_stream(
             delete_from_ivfpq_index(
                 spark, index_path, clear, vacuum_vectors="located"
             )
+        rep = None
         if live.limit(1).count() > 0:
+            if drift_log_dir is not None:
+                rep = ivfpq_drift_probe(
+                    spark, index_path, live, id_col=id_col, vec_col=vec_col,
+                    sample_rows=drift_sample_rows,
+                    rebuild_factor=drift_rebuild_factor,
+                )
             append_to_ivfpq_index(
                 live, index_path, id_col=id_col, vec_col=vec_col
             )
+        if rep is not None:
+            # logged AFTER the append: a crash in between replays the
+            # whole batch (delete-then-append converges), and the row is
+            # dynamic-overwrite idempotent under its batch partition
+            spark.createDataFrame(
+                [(
+                    rep["base_rel_err"], rep["delta_rel_err"], rep["ratio"],
+                    rep["rebuild"], rep["n_base"], rep["n_delta"],
+                    int(batch_id),
+                )],
+                "base_rel_err double, delta_rel_err double, ratio double, "
+                "rebuild boolean, n_base long, n_delta long, "
+                "ingest_batch long",
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("ingest_batch").parquet(drift_log_dir)
 
     return (
         source.writeStream.foreachBatch(write_batch)
@@ -660,6 +701,19 @@ def _store_is_empty(store_dir: str) -> bool:
     from node_mongo2influx_spark.sinks.parquet import _has_data_files
 
     return not _has_data_files(pathlib.Path(store_dir))
+
+
+def read_drift_log(spark, log_dir: str) -> DataFrame:
+    """The drift log written by :func:`ann_index_maintenance_stream`
+    (``drift_log_dir``): one row per live-key batch. A data-file-less
+    store reads as EMPTY (the shared store-reader rule)."""
+    if _store_is_empty(log_dir):
+        return spark.createDataFrame(
+            [],
+            "base_rel_err double, delta_rel_err double, ratio double, "
+            "rebuild boolean, n_base long, n_delta long, ingest_batch long",
+        )
+    return spark.read.parquet(log_dir)
 
 
 def read_rollup_store(

@@ -1128,6 +1128,75 @@ def test_ann_index_maintenance_stream(spark, tmp_path):
     assert snapshot() == (codes, vecs)
 
 
+def test_ann_maintenance_stream_drift_log(spark, tmp_path):
+    # drift_log_dir makes the frozen-quantizer trade observable: an
+    # in-distribution batch logs rebuild=false, an out-of-distribution
+    # batch flags rebuild=true, and because the baseline is FROZEN into
+    # the model at build time the log replays byte-identically.
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.operators import similarity
+
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 4] = 1.0
+        v[4 + (i % 4)] = 0.01 * (i % 7)
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ann_drift_idx")
+    similarity.build_ivfpq_index(corpus, path, n_cells=4, m=4, n_codes=4, dim=8)
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<double>, op string, __seq int"
+    rows1 = [(100 + i, vec(100 + i), "u", 1) for i in range(5)]
+    rows2 = [(200 + i, [10.0 + x for x in vec(i)], "u", 2) for i in range(5)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/.t1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/.t2")
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/.t1/*.parquet"))
+        + sorted(glob.glob(src + "/.t2/*.parquet"))
+    ):
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    log = str(tmp_path / "drift_log")
+
+    def run(ck):
+        q = sp.ann_index_maintenance_stream(
+            sp.read_stream(spark, src, spark.read.parquet(src).schema,
+                           max_files_per_trigger=1),
+            path, checkpoint_dir=str(tmp_path / ck), op_col="op",
+            drift_log_dir=log,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    rows = {
+        int(r["ingest_batch"]): r
+        for r in sp.read_drift_log(spark, log).collect()
+    }
+    assert len(rows) == 2, rows
+    in_d, ood = rows[min(rows)], rows[max(rows)]
+    assert not in_d["rebuild"] and in_d["n_delta"] == 5, in_d
+    assert ood["rebuild"] and ood["ratio"] > in_d["ratio"], (in_d, ood)
+    # frozen baseline == a pure function of (model, delta): replay with a
+    # fresh checkpoint rewrites each batch's partition byte-identically
+    before = sorted(map(tuple, sp.read_drift_log(spark, log).collect()))
+    run("ck2")
+    after = sorted(map(tuple, sp.read_drift_log(spark, log).collect()))
+    assert after == before
+    # a log dir that was never written reads as EMPTY, not a wedge
+    assert sp.read_drift_log(spark, str(tmp_path / "nolog")).count() == 0
+
+
 def test_distinct_maintenance_stream_merge_equals_batch(
     spark, events_stream_dir, tmp_path
 ):
