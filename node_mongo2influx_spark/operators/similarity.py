@@ -54,7 +54,11 @@ def knn_cosine(
     """Exact top-k cosine neighbors per query vector.
 
     Returns (query_id, neighbor_id, cosine), neighbors ranked by cosine desc
-    with id tie-break; a query never matches itself.
+    with id tie-break; a query never matches itself. This is the exact
+    O(corpus·queries) YARDSTICK the ANN tiers are recall-gated against —
+    for production batches use an ANN path (huge batch + huge corpus
+    is intrinsically the wrong workload for brute force, whatever the
+    join strategy).
     """
     from pyspark.sql import Window
 
@@ -199,6 +203,33 @@ _LIGHT_KERNEL_MIN_SPREAD_BYTES = 32 * 1024 * 1024
 #: queries × 64 dims × 8 B ≈ 2 MB of driver state — comfortably
 #: model-class; a million-query batch is not.
 _DRIVER_LUT_MAX_QUERIES = 4096
+
+#: Broadcast-hint gate for query-sized join sides (hints are for
+#: bounded tables only — an explicit broadcast() OVERRIDES Spark's own
+#: autoBroadcastJoinThreshold, so a million-query batch would be forced
+#: onto the driver). Sized to the default 10 MB auto threshold's order.
+_QUERY_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
+
+
+def _bounded_query_batch(queries: DataFrame) -> bool:
+    """True when the optimizer's size estimate (plan stats — file sizes,
+    NO job) says the query batch is broadcast-class. Unknown or huge
+    estimates return False: only the static hint is withheld, and AQE
+    still converts the join to broadcast at runtime if the REAL size
+    turns out small — a conservative verdict costs nothing, while a
+    false 'bounded' would force a huge table through the driver."""
+    try:
+        est = int(
+            str(
+                queries._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # exotic plan without stats: withhold the hint
+        return False
+    return 0 <= est <= _QUERY_BROADCAST_MAX_BYTES
 
 
 def _spread_kernel_input(df: DataFrame, min_bytes: int = 0) -> DataFrame:
@@ -429,9 +460,14 @@ def knn_cosine_lsh(
     ~8× and ~72× respectively. The (small, id-only) probe table broadcasts;
     candidate (query_id, neighbor_id) pairs then pick up corpus vectors
     with one hash join on id and query vectors with one broadcast join.
+    Both broadcast hints are GATED on batch size (hints are for
+    bounded tables only, by the optimizer's size estimate — no job):
+    for a big batch the probe table and the rerank's query side
+    hash-join instead, and AQE picks the strategy from real sizes.
     """
     d = _vec_dim(corpus, vec_col, dim)
     planes_t, weights = _srp_planes(n_tables, n_planes, d, seed)
+    bounded = _bounded_query_batch(queries)
 
     c = _srp_bucket_table(
         corpus, id_col, vec_col, planes_t, weights, n_tables, n_planes
@@ -464,12 +500,15 @@ def knn_cosine_lsh(
     )
 
     cand = (
-        c.join(F.broadcast(q), ["t", "bucket"])
+        c.join(F.broadcast(q) if bounded else q, ["t", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _score_candidates_topk(cand, corpus, queries, id_col, vec_col, k, round_to)
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to,
+        broadcast_queries=bounded,
+    )
 
 
 def _score_candidates_topk(
@@ -747,11 +786,14 @@ def knn_cosine_ivf(
     incrementally as the corpus grows).
 
     Scale shape mirrors the LSH tier: the corpus cell table is (id, cell)
-    only; the probe table is (query_id, cell), broadcast; vectors rejoin
-    the candidate pairs by id. Recall vs :func:`knn_cosine` is asserted in
-    tests.
+    only; the probe table is (query_id, cell), broadcast when the batch
+    is bounded (by the optimizer's size estimate, no job — hints are
+    for bounded tables only; a big batch's cell join and rerank
+    hash-join under AQE instead); vectors rejoin the candidate pairs by
+    id. Recall vs :func:`knn_cosine` is asserted in tests.
     """
     d = _vec_dim(corpus, vec_col, dim)
+    bounded = _bounded_query_batch(queries)
     if centroids is None:
         try:
             centroids = kmeans_centroids(
@@ -800,12 +842,15 @@ def knn_cosine_ivf(
     ).mapInPandas(probe_kernel, schema="query_id long, cell int")
 
     cand = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q) if bounded else q, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _score_candidates_topk(cand, corpus, queries, id_col, vec_col, k, round_to)
+    return _score_candidates_topk(
+        cand, corpus, queries, id_col, vec_col, k, round_to,
+        broadcast_queries=bounded,
+    )
 
 
 def two_level_index(
@@ -1554,6 +1599,12 @@ def knn_cosine_pq(
     identical output contract to :func:`knn_cosine`. At 100 TB the full
     vectors are touched for shortlist·queries rows only; everything
     data-sized reads codes.
+
+    Bounded-batch by design (query LUTs live on the driver) and kept so
+    deliberately: raw PQ has no cell structure to cogroup on, so there
+    is no distributed twin at this tier — a huge batch belongs on
+    :func:`knn_cosine_ivfpq_batch`, whose IVF level exists precisely to
+    give the cogroup its key.
     """
     from pyspark.sql import Window
 
