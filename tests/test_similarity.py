@@ -671,6 +671,33 @@ def test_ivfpq_large_batch_gate_delegates_to_batch_path(
     assert sorted(gated, key=key) == sorted(direct, key=key)
 
 
+def test_unhinted_query_joins_match_broadcast_paths(emb, monkeypatch):
+    # Forcing the size gate to 'unbounded' must only change the JOIN
+    # STRATEGY (hash/AQE instead of the static broadcast hint), never
+    # the rows — pins the unhinted path that big batches take at scale.
+    queries = emb.where("vec_id < 8")
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    hinted_lsh = sorted(
+        similarity.knn_cosine_lsh(emb, queries, k=5, dim=64).collect(),
+        key=key,
+    )
+    hinted_ivf = sorted(
+        similarity.knn_cosine_ivf(emb, queries, k=5, n_cells=8,
+                                  n_probe=4, dim=64).collect(),
+        key=key,
+    )
+    monkeypatch.setattr(similarity, "_QUERY_BROADCAST_MAX_BYTES", 0)
+    assert sorted(
+        similarity.knn_cosine_lsh(emb, queries, k=5, dim=64).collect(),
+        key=key,
+    ) == hinted_lsh
+    assert sorted(
+        similarity.knn_cosine_ivf(emb, queries, k=5, n_cells=8,
+                                  n_probe=4, dim=64).collect(),
+        key=key,
+    ) == hinted_ivf
+
+
 def test_two_level_assignment_tracks_flat():
     # The hierarchical coarse quantizer must (a) partition all cells into
     # L1 children exactly once, and (b) agree with flat assignment on the

@@ -214,6 +214,31 @@ def main() -> None:
         cdc_sink.upsert(lambda p: spark.read.parquet(p), delta, "t", keys=("event_id",))
         return None
 
+    # Persisted-index batch-query probe (round 7): the DISTRIBUTED face
+    # of knn_cosine_ivfpq_query (executor probing, distinct-cell-pruned
+    # codes read, shared cogroup candidates, hash rerank) at k× QUERY
+    # count over a FIXED 8×-corpus index. The index is built here, at
+    # setup, so the timed region is query-only; the row-count gate is
+    # forced to 0 inside the probe so every factor runs the SAME code
+    # path (it would otherwise route small factors through the
+    # driver-LUT face and compare different implementations).
+    _ivfpq_store: dict = {}
+    if not ONLY or "ivfpq_query_batch_persisted" in ONLY:
+        _ivfpq_store["path"] = (
+            tempfile.mkdtemp(prefix="scale_probe_ivfpq_") + "/idx"
+        )
+        similarity.build_ivfpq_index(
+            uniquified_embeddings(8), _ivfpq_store["path"],
+            n_cells=64, m=16, n_codes=16, dim=64,
+        )
+
+    def ivfpq_query_batch_persisted(k: int):
+        similarity._DRIVER_LUT_MAX_QUERIES = 0
+        return similarity.knn_cosine_ivfpq_query(
+            spark, _ivfpq_store["path"], uniquified_embeddings(k),
+            k=10, n_probe=8,
+        )
+
     # Bloom incremental-dedup probe (round 7, VERDICT r6 #1): build the
     # persisted filter from a k-scaled BASE corpus, classify the k-scaled
     # delta, and measure the false-positive rate. Geometry is data-sized
@@ -483,6 +508,7 @@ def main() -> None:
         # ~linear-ish; the naive full-rescan reference is quadratic-class
         # (measured 18× wall at 4×).
         "bpe_merge_loop_vocab": lambda k: _bpe_vocab_probe(k),
+        "ivfpq_query_batch_persisted": ivfpq_query_batch_persisted,
     }
 
     # warm up session + python workers
