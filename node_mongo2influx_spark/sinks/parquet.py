@@ -121,7 +121,14 @@ class ParquetSink(Sink):
         # reference's DELETE-then-insert (index.js:328).
         self._truncated.add(series)
 
-    def upsert(self, df_reader, delta: DataFrame, series: str, keys: tuple[str, ...]) -> int:
+    def upsert(
+        self,
+        df_reader,
+        delta: DataFrame,
+        series: str,
+        keys: tuple[str, ...],
+        order_col: str | None = None,
+    ) -> int:
         """MERGE-style upsert without a table format: rows in ``delta``
         REPLACE stored rows with the same key; new keys append. Requires
         ``dynamic_overwrite`` (and so ``partition_by``): only partitions
@@ -133,6 +140,19 @@ class ParquetSink(Sink):
         after the upsert when keys can migrate (``cdc_apply_stream``
         wires both). Returns the number of touched partitions.
 
+        ``order_col`` makes the merge OUT-OF-ORDER TOLERANT: the column
+        (a monotonic version, e.g. ``__seq``) is persisted with the
+        rows, and on key collision the LARGER version wins — a late-
+        arriving stale delta row loses to the newer stored row instead
+        of silently regressing it (the plain mode's cross-batch
+        correctness is an ordered-delivery assumption on the feed). The
+        delta wins version ties, which keeps replays byte-idempotent
+        (a replayed identical delta re-picks the same rows). The guard
+        compares within the touched partitions: it requires the key's
+        partition value to be STABLE (a stale row landing in a
+        DIFFERENT partition than the stored one cannot see it —
+        ``cdc_apply_stream(guard_seq=True)`` enforces that constraint).
+
         This is the continuous-load companion to the reference's
         truncate-then-load (index.js:328): the reference rewrites the
         world per run; at 100 TB an upsert rewrites only the partitions
@@ -140,6 +160,12 @@ class ParquetSink(Sink):
         """
         if not self.dynamic_overwrite:
             raise ValueError("upsert requires dynamic_overwrite (and partition_by)")
+        if order_col is not None and order_col not in delta.columns:
+            raise ValueError(
+                f"order_col {order_col!r} is not a delta column — the "
+                "guarded merge persists it with the rows and compares "
+                "versions on key collision"
+            )
         pcols = list(self.partition_by)
         touched = [
             tuple(r[c] for c in pcols)
@@ -159,15 +185,41 @@ class ParquetSink(Sink):
         store_dir = self.path / series
         existing = df_reader(target) if _has_data_files(store_dir) else None
         if existing is not None:
-            kept = existing.where(_partition_pred(pcols, touched)).join(
-                delta.select(*keys).distinct(), list(keys), "left_anti"
-            )
+            stored = existing.where(_partition_pred(pcols, touched))
+            if order_col is None:
+                kept = stored.join(
+                    delta.select(*keys).distinct(), list(keys), "left_anti"
+                )
+                merged = kept.unionByName(delta)
+            else:
+                if order_col not in stored.columns:
+                    raise ValueError(
+                        f"order_col {order_col!r} is not in the stored "
+                        "schema — the store was written without the "
+                        "version guard; rebuild it (or upsert unguarded)"
+                    )
+                from pyspark.sql import Window
+
+                # versioned merge: per key keep the row with the larger
+                # version; the delta wins ties (__src desc) so a replayed
+                # identical delta leaves the store byte-equal
+                tagged = stored.withColumn("__src", F.lit(0)).unionByName(
+                    delta.withColumn("__src", F.lit(1))
+                )
+                w = Window.partitionBy(*keys).orderBy(
+                    F.col(order_col).desc(), F.col("__src").desc()
+                )
+                merged = (
+                    tagged.withColumn("__rk", F.row_number().over(w))
+                    .where(F.col("__rk") == 1)
+                    .drop("__rk", "__src")
+                )
             # Materialize BEFORE the overwrite: the merge reads the very
             # partitions dynamic overwrite is about to replace, and Spark
             # (rightly) refuses to overwrite a path still in its read
             # lineage. localCheckpoint truncates the lineage to the
             # materialized blocks — O(touched partitions) data.
-            merged = kept.unionByName(delta).localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=True)
         else:
             merged = delta
         (

@@ -387,6 +387,7 @@ def _reduce_last_write(
     keys: tuple[str, ...],
     op_col: str | None = None,
     delete_op: str = "d",
+    keep_order_col: bool = False,
 ):
     """Deterministic last-write-wins reduction of a CDC micro-batch,
     shared by :func:`cdc_apply_stream` and
@@ -395,7 +396,9 @@ def _reduce_last_write(
     downstream action would otherwise re-execute the window/struct-max
     subtree); ``dels`` is None when no op column is in play, else the
     keys whose FINAL event retracts. The op/order columns are dropped
-    from ``live``; ``dels`` keeps every batch column.
+    from ``live`` — unless ``keep_order_col`` (the guarded-upsert path
+    persists the version with the rows); ``dels`` keeps every batch
+    column.
 
     Ordering: a monotonic ``__seq`` column when present (REQUIRED with
     ``op_col`` — retraction is an order decision and the fallback
@@ -418,11 +421,16 @@ def _reduce_last_write(
             "— the deterministic struct-max fallback orders rows by "
             "VALUE, which cannot decide delete-vs-upsert recency"
         )
+    if keep_order_col and not order_col:
+        raise ValueError(
+            "keep_order_col requires a monotonic __seq column in the feed"
+        )
     if order_col:
+        drop_cols = ["__rk"] if keep_order_col else ["__rk", order_col]
         last = batch_df.withColumn(
             "__rk",
             F.row_number().over(w.orderBy(F.col(order_col).desc())),
-        ).where(F.col("__rk") == 1).drop("__rk", order_col)
+        ).where(F.col("__rk") == 1).drop(*drop_cols)
     else:
         # Deterministic reduction (dropDuplicates keeps a
         # scheduling-dependent row, which would break replay
@@ -483,6 +491,7 @@ def cdc_apply_stream(
     prev_cols: tuple[str, ...] | None = None,
     op_col: str | None = None,
     delete_op: str = "d",
+    guard_seq: bool = False,
 ) -> StreamingQuery:
     """Apply a change feed to a partitioned parquet store: each
     micro-batch of (key, new values) rows MERGEs via
@@ -521,19 +530,45 @@ def cdc_apply_stream(
     too — without before-images that costs the same key-location scan
     the sweep uses.
 
+    ``guard_seq=True`` persists ``__seq`` with the stored rows and makes
+    the per-batch MERGE version-guarded (``ParquetSink.upsert``'s
+    ``order_col``): a stale update arriving in a LATER batch loses to
+    the newer stored version instead of silently regressing it — the
+    plain mode's cross-batch correctness is an ordered-delivery
+    assumption on the feed. Two scope constraints, both enforced or
+    documented: keys must not MIGRATE partitions (the guard compares
+    within the touched partitions; ``sweep_moved_keys`` is therefore
+    refused — a stale delta's claimed partition would mis-drive the
+    sweep), and retraction ordering still assumes the delete arrives
+    after the updates it supersedes (a late pre-delete update
+    resurrects the key; full tolerance needs a persisted tombstone log,
+    which this deliberately is not).
+
     ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
     delta must carry the sink's partition columns.
     """
+    if guard_seq and sweep_moved_keys:
+        raise ValueError(
+            "guard_seq requires partition-stable keys — sweep_moved_keys "
+            "exists for migrating keys, and a STALE delta's claimed "
+            "partition would mis-drive the sweep (it would delete the "
+            "newer row's partition copies). Pick one."
+        )
     spark = source.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last, dels = _reduce_last_write(batch_df, keys, op_col, delete_op)
+        last, dels = _reduce_last_write(
+            batch_df, keys, op_col, delete_op, keep_order_col=guard_seq
+        )
         rd = lambda p: spark.read.parquet(p)  # noqa: E731
         if dels is not None:
             dels_has_rows = dels.limit(1).count() > 0
         # before-image / op columns ride the sweep, never the store
         stored = last.drop(*prev_cols) if prev_cols else last
-        sink.upsert(rd, stored, series, keys=keys)
+        sink.upsert(
+            rd, stored, series, keys=keys,
+            order_col="__seq" if guard_seq else None,
+        )
         if sweep_moved_keys:
             sink.sweep_moved_keys(
                 rd,

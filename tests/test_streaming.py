@@ -698,6 +698,89 @@ def test_cdc_apply_stream_converges_to_last_write_wins(spark, sf_dir, tmp_path):
     assert got2 == expect
 
 
+def test_cdc_apply_stream_guard_seq_tolerates_out_of_order_batches(
+    spark, tmp_path
+):
+    # Plain mode's cross-batch correctness is an ordered-delivery
+    # assumption: a stale event in a LATER batch regresses the store.
+    # guard_seq persists __seq and version-guards the merge, so the
+    # stale row loses — and the unguarded contrast run proves the guard
+    # is load-bearing, not vacuous.
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    schema = "event_id long, value double, day string, __seq int"
+    # batch 1: key 1 at seq 5; batch 2 arrives LATER but carries an
+    # OLDER event for key 1 (seq 3) plus a genuinely new key 2
+    rows1 = [(1, 50.0, "2024-01-01", 5)]
+    rows2 = [(1, 30.0, "2024-01-01", 3), (2, 10.0, "2024-01-02", 1)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/.t1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/.t2")
+    for i, f in enumerate(
+        sorted(glob.glob(src + "/.t1/*.parquet"))
+        + sorted(glob.glob(src + "/.t2/*.parquet"))
+    ):
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    feed_schema = spark.read.parquet(src).schema
+
+    def run(store, ck, guard):
+        sink = ParquetSink(store, partition_by=("day",),
+                           dynamic_overwrite=True)
+        q = sp.cdc_apply_stream(
+            sp.read_stream(spark, src, feed_schema, max_files_per_trigger=1),
+            sink, "t", keys=("event_id",),
+            checkpoint_dir=str(tmp_path / ck), guard_seq=guard,
+        )
+        q.awaitTermination(120)
+
+    guarded = str(tmp_path / "guarded")
+    run(guarded, "ckg1", True)
+    got = {
+        r["event_id"]: (r["value"], r["__seq"])
+        for r in spark.read.parquet(guarded + "/t").collect()
+    }
+    # stale seq-3 event lost; the version is persisted with the row
+    assert got == {1: (50.0, 5), 2: (10.0, 1)}, got
+    # fresh-checkpoint replay: byte-equal (delta wins version TIES, and
+    # the tied rows are identical)
+    before = sorted(
+        map(tuple, spark.read.parquet(guarded + "/t").collect())
+    )
+    run(guarded, "ckg2", True)
+    assert sorted(
+        map(tuple, spark.read.parquet(guarded + "/t").collect())
+    ) == before
+    # the unguarded contrast: the same feed DOES regress key 1
+    plain = str(tmp_path / "plain")
+    run(plain, "ckp1", False)
+    got_plain = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(plain + "/t").collect()
+    }
+    assert got_plain[1] == 30.0, got_plain
+
+    # guard_seq + sweep_moved_keys is refused (a stale delta's claimed
+    # partition would mis-drive the sweep)
+    import pytest
+
+    with pytest.raises(ValueError, match="partition-stable"):
+        sp.cdc_apply_stream(
+            sp.read_stream(spark, src, feed_schema),
+            ParquetSink(str(tmp_path / "x"), partition_by=("day",),
+                        dynamic_overwrite=True),
+            "t", keys=("event_id",),
+            checkpoint_dir=str(tmp_path / "ckx"),
+            guard_seq=True, sweep_moved_keys=True,
+        )
+
+
 def test_cdc_apply_stream_without_seq_reduces_deterministically(spark, tmp_path):
     # No __seq column: in-batch duplicate keys must reduce via the
     # documented lexicographic max over the struct of non-key columns —
