@@ -641,7 +641,12 @@ def ann_index_maintenance_stream(
     Replay-idempotent WITHOUT coordination: delete-then-append of the
     same reduced batch converges to the same index state (the delete
     removes whatever the previous attempt appended), and a replayed
-    pure delete locates nothing. Cost per batch is O(|delta| + touched
+    pure delete locates nothing. CROSS-batch ordering is an
+    ordered-delivery assumption on the feed (same as plain
+    :func:`cdc_apply_stream`): a stale vector update in a LATER batch
+    overwrites a newer one — the index stores carry no version column,
+    so there is no ``guard_seq`` twin here; feed this stream from a
+    per-key-ordered log. Cost per batch is O(|delta| + touched
     cells + touched buckets) plus the thin (vid, cell) location scan —
     the quantizer is never retrained (drift means rebuild, the
     documented FAISS add() trade).

@@ -214,6 +214,29 @@ def main() -> None:
         cdc_sink.upsert(lambda p: spark.read.parquet(p), delta, "t", keys=("event_id",))
         return None
 
+    # r7: the version-GUARDED merge (order_col) replaces the anti-join +
+    # union with a per-key rank window over the touched partitions —
+    # same O(touched) class; this probe quantifies the constant.
+    cdcv_dir = tempfile.mkdtemp(prefix="scale_probe_cdcv_")
+    cdcv_sink = ParquetSink(
+        cdcv_dir, partition_by=("day",), dynamic_overwrite=True
+    )
+    cdcv_base = cdc_base.withColumn("__seq", F.lit(1))
+    cdcv_sink.write(cdcv_base, "t")
+
+    def cdc_upsert_delta_guarded(k: int):
+        days = cdc_days[:k]
+        delta = (
+            cdcv_base.where(F.col("day").isin(days))
+            .withColumn("value", F.col("value") + 1.0)
+            .withColumn("__seq", F.lit(2))
+        )
+        cdcv_sink.upsert(
+            lambda p: spark.read.parquet(p), delta, "t",
+            keys=("event_id",), order_col="__seq",
+        )
+        return None
+
     # Persisted-index batch-query probe (round 7): the DISTRIBUTED face
     # of knn_cosine_ivfpq_query (executor probing, distinct-cell-pruned
     # codes read, shared cogroup candidates, hash rerank) at k× QUERY
@@ -348,6 +371,7 @@ def main() -> None:
         "modality_agreement_sampled": modality_agreement_sampled,
         "bm25_multi_qcount": bm25_multi_queries,
         "cdc_upsert_delta": cdc_upsert_delta,
+        "cdc_upsert_delta_guarded": cdc_upsert_delta_guarded,
         # round-5 library additions: BPE trains over the word-frequency
         # aggregate (the only corpus pass — driver merge-loop time is
         # corpus-size independent); the C4 cleaner is a map-only rewrite.
