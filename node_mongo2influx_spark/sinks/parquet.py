@@ -128,6 +128,7 @@ class ParquetSink(Sink):
         series: str,
         keys: tuple[str, ...],
         order_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE-style upsert without a table format: rows in ``delta``
         REPLACE stored rows with the same key; new keys append. Requires
@@ -152,6 +153,18 @@ class ParquetSink(Sink):
         partition value to be STABLE (a stale row landing in a
         DIFFERENT partition than the stored one cannot see it —
         ``cdc_apply_stream(guard_seq=True)`` enforces that constraint).
+
+        ``evolve_schema=True`` lets the delta ADD columns (the continuous
+        face of migrating a schemaless Mongo collection that grew a
+        field): the merge unions with ``allowMissingColumns`` in both
+        directions, so stored rows null-fill new delta columns and delta
+        rows null-fill columns only history has. Only TOUCHED partitions
+        are rewritten with the widened schema — an evolved store is
+        mixed-schema on disk and MUST be read with
+        ``spark.read.option("mergeSchema", "true")`` (pass such a reader
+        as ``df_reader`` too; ``cdc_apply_stream(evolve_schema=True)``
+        does both). Without the flag a schema mismatch fails loudly
+        (unionByName), never silently drops a column.
 
         This is the continuous-load companion to the reference's
         truncate-then-load (index.js:328): the reference rewrites the
@@ -190,7 +203,9 @@ class ParquetSink(Sink):
                 kept = stored.join(
                     delta.select(*keys).distinct(), list(keys), "left_anti"
                 )
-                merged = kept.unionByName(delta)
+                merged = kept.unionByName(
+                    delta, allowMissingColumns=evolve_schema
+                )
             else:
                 if order_col not in stored.columns:
                     raise ValueError(
@@ -204,7 +219,8 @@ class ParquetSink(Sink):
                 # version; the delta wins ties (__src desc) so a replayed
                 # identical delta leaves the store byte-equal
                 tagged = stored.withColumn("__src", F.lit(0)).unionByName(
-                    delta.withColumn("__src", F.lit(1))
+                    delta.withColumn("__src", F.lit(1)),
+                    allowMissingColumns=evolve_schema,
                 )
                 w = Window.partitionBy(*keys).orderBy(
                     F.col(order_col).desc(), F.col("__src").desc()

@@ -492,6 +492,7 @@ def cdc_apply_stream(
     op_col: str | None = None,
     delete_op: str = "d",
     guard_seq: bool = False,
+    evolve_schema: bool = False,
 ) -> StreamingQuery:
     """Apply a change feed to a partitioned parquet store: each
     micro-batch of (key, new values) rows MERGEs via
@@ -544,6 +545,14 @@ def cdc_apply_stream(
     resurrects the key; full tolerance needs a persisted tombstone log,
     which this deliberately is not).
 
+    ``evolve_schema=True`` passes the flag to ``ParquetSink.upsert`` and
+    reads the store with ``mergeSchema`` — the continuous face of a
+    schemaless source collection that grew a field: stored history
+    null-fills the new column, only touched partitions are rewritten
+    with the widened schema. (The STREAM's own schema is fixed per run
+    — restart the query with the widened feed schema; older feed files
+    null-fill under it.)
+
     ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
     delta must carry the sink's partition columns.
     """
@@ -560,7 +569,14 @@ def cdc_apply_stream(
         last, dels = _reduce_last_write(
             batch_df, keys, op_col, delete_op, keep_order_col=guard_seq
         )
-        rd = lambda p: spark.read.parquet(p)  # noqa: E731
+        if evolve_schema:
+            # an evolved store is mixed-schema across partitions; a plain
+            # read samples one footer and would miss history-only columns
+            rd = lambda p: spark.read.option(  # noqa: E731
+                "mergeSchema", "true"
+            ).parquet(p)
+        else:
+            rd = lambda p: spark.read.parquet(p)  # noqa: E731
         if dels is not None:
             dels_has_rows = dels.limit(1).count() > 0
         # before-image / op columns ride the sweep, never the store
@@ -568,6 +584,7 @@ def cdc_apply_stream(
         sink.upsert(
             rd, stored, series, keys=keys,
             order_col="__seq" if guard_seq else None,
+            evolve_schema=evolve_schema,
         )
         if sweep_moved_keys:
             sink.sweep_moved_keys(

@@ -514,6 +514,51 @@ def test_delete_keys_feed_named_and_scan_paths(spark, tmp_path):
     } == got
 
 
+def test_upsert_evolve_schema_widens_touched_partitions(spark, tmp_path):
+    # The continuous face of a schemaless source that grew a field: the
+    # delta ADDS a column; history null-fills it, columns only history
+    # has null-fill on the delta side, untouched partitions keep their
+    # narrow files, and a mergeSchema read sees the union. Without the
+    # flag the mismatch fails LOUDLY (never silently drops a column).
+    import pytest
+
+    sink = ParquetSink(
+        str(tmp_path), partition_by=("day",), dynamic_overwrite=True
+    )
+    base = spark.createDataFrame(
+        [(1, 10.0, "d1"), (2, 20.0, "d2")], "id long, v double, day string"
+    )
+    sink.write(base, "t")
+    rd = lambda p: spark.read.option("mergeSchema", "true").parquet(p)  # noqa: E731
+
+    wide = spark.createDataFrame(
+        [(1, 11.0, "d1", "x"), (3, 30.0, "d1", "y")],
+        "id long, v double, day string, tag string",
+    )
+    with pytest.raises(Exception, match="UNION|union|column"):
+        sink.upsert(rd, wide, "t", keys=("id",))
+    assert sink.upsert(rd, wide, "t", keys=("id",), evolve_schema=True) == 1
+
+    got = {r["id"]: (r["v"], r["tag"]) for r in rd(str(tmp_path / "t")).collect()}
+    assert got == {1: (11.0, "x"), 2: (20.0, None), 3: (30.0, "y")}, got
+
+    # ...and a later delta MISSING a historical column null-fills it on
+    # its new key, replacement on an existing key keeps the delta's view
+    narrow2 = spark.createDataFrame(
+        [(3, "d1", "z"), (4, "d2", "w")], "id long, day string, tag string"
+    )
+    sink.upsert(rd, narrow2, "t", keys=("id",), evolve_schema=True)
+    got2 = {
+        r["id"]: (r["v"], r["tag"]) for r in rd(str(tmp_path / "t")).collect()
+    }
+    assert got2 == {
+        1: (11.0, "x"),
+        2: (20.0, None),
+        3: (None, "z"),
+        4: (None, "w"),
+    }, got2
+
+
 def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
     # Model-based check: a sequence of random upserts must leave the
     # store equal to a plain dict keyed by (event_id) — replacement on

@@ -781,6 +781,51 @@ def test_cdc_apply_stream_guard_seq_tolerates_out_of_order_batches(
         )
 
 
+def test_cdc_apply_stream_evolves_schema(spark, tmp_path):
+    # A store built by an earlier (narrower) pipeline generation keeps
+    # serving while the feed gains a column: evolve_schema widens only
+    # the touched partitions, history null-fills the new column, and
+    # the merged read sees the union schema.
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+    sink.write(
+        spark.createDataFrame(
+            [(1, 10.0, "d1"), (2, 20.0, "d2")],
+            "event_id long, value double, day string",
+        ),
+        "t",
+    )
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    wide = "event_id long, value double, day string, tag string"
+    spark.createDataFrame([(1, 11.0, "d1", "x")], wide).coalesce(
+        1
+    ).write.parquet(src + "/.t1")
+    for i, f in enumerate(sorted(glob.glob(src + "/.t1/*.parquet"))):
+        shutil.copy(f, f"{src}/{i:03d}.parquet")
+
+    q = sp.cdc_apply_stream(
+        sp.read_stream(spark, src, spark.read.parquet(src).schema),
+        sink, "t", keys=("event_id",),
+        checkpoint_dir=str(tmp_path / "ck"), evolve_schema=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["value"], r["tag"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(store + "/t")
+        .collect()
+    }
+    assert got == {1: (11.0, "x"), 2: (20.0, None)}, got
+
+
 def test_cdc_apply_stream_without_seq_reduces_deterministically(spark, tmp_path):
     # No __seq column: in-batch duplicate keys must reduce via the
     # documented lexicographic max over the struct of non-key columns —
