@@ -563,6 +563,12 @@ def cdc_apply_stream(
             "partition would mis-drive the sweep (it would delete the "
             "newer row's partition copies). Pick one."
         )
+    if guard_seq and "__seq" not in source.columns:
+        # fail at construction, not mid-batch inside foreachBatch
+        raise ValueError(
+            "guard_seq needs a monotonic __seq column in the feed — it "
+            "is the persisted version the merge compares"
+        )
     spark = source.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -779,6 +779,18 @@ def test_cdc_apply_stream_guard_seq_tolerates_out_of_order_batches(
             checkpoint_dir=str(tmp_path / "ckx"),
             guard_seq=True, sweep_moved_keys=True,
         )
+    # ...and a feed without __seq is refused at CONSTRUCTION, not
+    # mid-batch inside foreachBatch
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="__seq"):
+        sp.cdc_apply_stream(
+            sp.read_stream(spark, src, feed_schema).drop("__seq"),
+            ParquetSink(str(tmp_path / "y"), partition_by=("day",),
+                        dynamic_overwrite=True),
+            "t", keys=("event_id",),
+            checkpoint_dir=str(tmp_path / "cky"), guard_seq=True,
+        )
 
 
 def test_cdc_apply_stream_evolves_schema(spark, tmp_path):
