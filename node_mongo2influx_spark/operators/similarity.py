@@ -2490,9 +2490,41 @@ def _ivfpq_vec_buckets(spark, path: str) -> int:
     return int(rows[0]["i"]) if rows else 0
 
 
+def _recover_rebuild(path: str) -> None:
+    """Finish or roll back an interrupted in-place rebuild
+    (:func:`rebuild_ivfpq_index`). The swap is TWO whole-index renames
+    (live → ``__rebuild_old``, ``__rebuild_tmp`` → live), so a crash
+    can only leave: leftovers beside a live index (remove them), or no
+    live index with a COMPLETE tmp (roll forward) or with the old
+    (roll back). Called by every persisted-index entry point before it
+    touches the stores — pure pathlib, no Spark job."""
+    import shutil
+
+    p = pathlib.Path(path)
+    old = pathlib.Path(str(p) + "__rebuild_old")
+    tmp = pathlib.Path(str(p) + "__rebuild_tmp")
+    if p.exists():
+        # live index: a crash before the first rename leaves tmp, one
+        # after the second leaves old — both are garbage now
+        for d in (old, tmp):
+            if d.exists():
+                shutil.rmtree(d)
+        return
+    if tmp.exists() and _has_data_files(tmp / "model"):
+        tmp.rename(p)  # complete rebuild: roll FORWARD
+        if old.exists():
+            shutil.rmtree(old)
+    elif old.exists():
+        old.rename(p)  # incomplete rebuild: roll BACK
+        if tmp.exists():
+            shutil.rmtree(tmp)
+
+
 def load_ivfpq_model(spark, path: str):
     """(centroids, anchors, codebooks) back from ``path``/model — one
-    model-sized collect, no vector data touched."""
+    model-sized collect, no vector data touched. Completes any
+    interrupted in-place rebuild first (:func:`_recover_rebuild`)."""
+    _recover_rebuild(path)
     rows = spark.read.parquet(f"{path}/model").collect()
     cents = {r["i"]: r["vals"] for r in rows if r["kind"] == "centroid"}
     anchors = {r["i"]: r["vals"] for r in rows if r["kind"] == "anchor"}
@@ -2521,6 +2553,7 @@ def ivfpq_cell_populations(spark, path: str) -> np.ndarray:
     reads id+vec of the whole corpus; this reads metadata. Cells with no
     inverted list (or a fully-retired store) report 0.
     """
+    _recover_rebuild(path)
     n_cells = (
         spark.read.parquet(f"{path}/model")
         .where(F.col("kind") == "centroid")
@@ -2561,6 +2594,7 @@ def cosine_pairs_ivf_index(
     :func:`cosine_pairs_ivf`: (vec_a, vec_b, cosine), exact scores,
     every edge true.
     """
+    _recover_rebuild(path)
     if not _has_data_files(pathlib.Path(f"{path}/vectors")):
         return spark.createDataFrame(
             [], "vec_a long, vec_b long, cosine double"
@@ -2837,6 +2871,7 @@ def compact_ivfpq_index(spark, path: str) -> dict:
     """
     import shutil
 
+    _recover_rebuild(path)
     out = {}
     for store, part_col in (("codes", "cell"), ("vectors", "__vb")):
         target = pathlib.Path(path) / store
@@ -2908,6 +2943,86 @@ def _prune_rewrite(
         if d.exists():
             shutil.rmtree(d)
     spark.catalog.refreshByPath(store_path)
+
+
+def rebuild_ivfpq_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    vec_buckets: int | None = None,
+) -> dict:
+    """Retrain the quantizer from the index's CURRENT vectors store and
+    swap the whole index in place — the action
+    :func:`ivfpq_drift_probe`'s ``rebuild=True`` recommends (frozen
+    codebooks can't represent a drifted distribution; appends stay
+    cheap precisely because nobody retrains them).
+
+    Geometry defaults to the live model's (same n_cells / m / n_codes /
+    vec_buckets). The ``drift_baseline`` is recomputed over the
+    post-drift corpus — the yardstick moves WITH the retrain, which is
+    the point: the new codebooks represent the new distribution, so
+    data that used to flag is in-distribution again.
+
+    Swap protocol: a COMPLETE sibling index is built at
+    ``__rebuild_tmp`` (reads only the vectors store), then TWO
+    whole-index renames (live → ``__rebuild_old``, tmp → live) and the
+    old is dropped — readers see the old or the new index, never a
+    mixed model/codes view (the hazard a per-store swap would have).
+    Every persisted-index entry point runs :func:`_recover_rebuild`
+    first, so a crash between the renames rolls forward (complete tmp)
+    or back (otherwise) on the next touch. Maintenance-window
+    operation like :func:`compact_ivfpq_index`: crash-safe, not
+    concurrent-writer-safe. Raises ``EmptyTrainingInput`` on an empty
+    vectors store (there is nothing to train on — delete the index
+    instead). Returns the geometry used plus the row count."""
+    import shutil
+
+    _recover_rebuild(path)
+    cents, _, books = load_ivfpq_model(spark, path)
+    if vec_buckets is None:
+        vb_row = (
+            spark.read.parquet(f"{path}/model")
+            .where(F.col("kind") == "vec_buckets")
+            .first()
+        )
+        vec_buckets = int(vb_row["i"]) if vb_row is not None else 64
+    n_cells = n_cells or len(cents)
+    m = m or int(books.shape[0])
+    n_codes = n_codes or int(books.shape[1])
+    dim = int(cents.shape[1])
+    if not _has_data_files(pathlib.Path(f"{path}/vectors")):
+        raise EmptyTrainingInput(
+            "rebuild_ivfpq_index: the vectors store is empty — nothing "
+            "to retrain on (delete the index instead)"
+        )
+    vecs = spark.read.parquet(f"{path}/vectors").select(
+        F.col("vid").alias("vec_id"), F.col("vec").alias("embedding")
+    )
+    n = vecs.count()
+    tmp = str(path) + "__rebuild_tmp"
+    if pathlib.Path(tmp).exists():
+        shutil.rmtree(tmp)
+    # every read of the live store completes inside this call's write
+    # jobs — by the time the renames run, nothing holds the old path
+    build_ivfpq_index(
+        vecs, tmp, n_cells=n_cells, m=m, n_codes=n_codes, dim=dim,
+        vec_buckets=vec_buckets,
+    )
+    old = str(path) + "__rebuild_old"
+    pathlib.Path(path).rename(old)
+    pathlib.Path(tmp).rename(path)
+    shutil.rmtree(old)
+    for store in ("codes", "vectors", "model"):
+        spark.catalog.refreshByPath(f"{path}/{store}")
+    return {
+        "rows": int(n),
+        "n_cells": int(n_cells),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "vec_buckets": int(vec_buckets),
+    }
 
 
 def _ivfpq_relative_recon_error(

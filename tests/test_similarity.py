@@ -629,6 +629,83 @@ def test_ivfpq_drift_probe_flags_distribution_shift(spark, emb, tmp_path):
     assert rep3["ratio"] is None and not rep3["rebuild"], rep3
 
 
+def test_ivfpq_rebuild_resets_drift_and_preserves_geometry(
+    spark, emb, tmp_path
+):
+    # The action rebuild=True recommends: retrain from the current
+    # vectors store, in place. After the swap the formerly-drifted
+    # population is in-distribution (the baseline moves WITH the
+    # retrain), geometry is preserved by default, and the index stays
+    # queryable with both populations findable.
+    path = str(tmp_path / "idx_rebuild")
+    similarity.build_ivfpq_index(
+        emb.where("vec_id % 2 = 0"), path, n_cells=16, m=16, n_codes=16,
+        dim=64,
+    )
+    drifted = emb.where("vec_id % 2 = 1").selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(embedding, x -> 1e1 - cast(x as double)) AS embedding",
+    )
+    similarity.append_to_ivfpq_index(drifted, path)
+    rep = similarity.ivfpq_drift_probe(spark, path, drifted)
+    assert rep["rebuild"], rep
+
+    info = similarity.rebuild_ivfpq_index(spark, path)
+    assert info["n_cells"] == 16 and info["m"] == 16 and info["n_codes"] == 16
+    rep2 = similarity.ivfpq_drift_probe(spark, path, drifted)
+    assert not rep2["rebuild"], (rep, rep2)
+    # queryable; a drifted query's neighbors come from the drifted
+    # population (ADC ranks it properly under the retrained codebooks)
+    q = drifted.where("vec_id = 1000001")
+    got = similarity.knn_cosine_ivfpq_query(
+        spark, path, q, k=5, n_probe=8
+    ).collect()
+    assert got and all(r["neighbor_id"] >= 1000000 for r in got), got
+    # no swap leftovers
+    import os
+
+    assert not os.path.exists(path + "__rebuild_tmp")
+    assert not os.path.exists(path + "__rebuild_old")
+
+
+def test_ivfpq_rebuild_crash_windows_recover(spark, emb, tmp_path):
+    # Simulate both crash points around the two-rename swap: with a
+    # COMPLETE tmp the next reader rolls forward; with an incomplete
+    # tmp it rolls back to the old index. Either way the index loads.
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx_crash")
+    similarity.build_ivfpq_index(
+        emb.where("vec_id < 200"), path, n_cells=8, m=8, n_codes=8, dim=64
+    )
+    # crash AFTER the first rename, tmp complete -> roll forward
+    similarity.build_ivfpq_index(
+        emb.where("vec_id < 200"), path + "__rebuild_tmp",
+        n_cells=8, m=8, n_codes=8, dim=64,
+    )
+    os.rename(path, path + "__rebuild_old")
+    cents, _, _ = similarity.load_ivfpq_model(spark, path)
+    assert len(cents) == 8
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "__rebuild_old")
+    assert not os.path.exists(path + "__rebuild_tmp")
+    # crash AFTER the first rename, tmp INCOMPLETE (no model data)
+    # -> roll back
+    os.makedirs(path + "__rebuild_tmp/model")
+    os.rename(path, path + "__rebuild_old")
+    cents, _, _ = similarity.load_ivfpq_model(spark, path)
+    assert len(cents) == 8
+    assert not os.path.exists(path + "__rebuild_tmp")
+    # leftovers beside a LIVE index are garbage and get cleared
+    os.makedirs(path + "__rebuild_tmp")
+    shutil.copytree(path, path + "__rebuild_old")
+    similarity._recover_rebuild(path)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "__rebuild_tmp")
+    assert not os.path.exists(path + "__rebuild_old")
+
+
 def test_pq_paths_handle_all_null_query_sets(spark):
     # Every query vector NULL (or an empty query frame) must yield an
     # EMPTY result, not an AxisError from np.linalg.norm over a
