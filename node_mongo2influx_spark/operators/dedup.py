@@ -998,14 +998,29 @@ def bloom_positions(df: DataFrame, fp_col: str, geom: dict) -> DataFrame:
         fnv1a32_spark_sql,
     )
 
+    return _bloom_positions_from_hashes(_bloom_hashes(df, fp_col), geom)
+
+
+def _bloom_hashes(df: DataFrame, fp_col: str) -> DataFrame:
+    """Distinct portable 32-bit hashes of ``df[fp_col]`` — the
+    membership-effective key set (positions and classification depend
+    only on ``__h``, so two fingerprints that collide in FNV-1a are ONE
+    key to the filter)."""
+    from node_mongo2influx_spark.functions.phash import fnv1a32_spark_sql
+
+    return df.select(F.expr(fnv1a32_spark_sql(fp_col)).alias("__h")).distinct()
+
+
+def _bloom_positions_from_hashes(hs: DataFrame, geom: dict) -> DataFrame:
+    from node_mongo2influx_spark.functions.phash import fmix32_spark_inline
+
     pos = F.expr(
         fmix32_spark_inline(f"(__h + i * {BLOOM_SEED}) % 4294967296")
         + f" % {geom['m']}"
     )
     ks = F.array([F.lit(i) for i in range(geom["k"])])
     return (
-        df.select(F.expr(fnv1a32_spark_sql(fp_col)).alias("__h"))
-        .select("__h", F.explode(ks).alias("i"))
+        hs.select("__h", F.explode(ks).alias("i"))
         .select(pos.alias("pos"))
         .distinct()
     )
@@ -1049,13 +1064,19 @@ def bloom_build(
     it returns a scalar), the position set lands at ``path/positions``
     and the geometry (m, k, seed, n_keys) rides along in
     ``path/geometry.json`` so every later append/classify replays
-    against the SAME m. Returns the geometry dict."""
-    fps = df.select(F.col(fp_col).alias("fp")).distinct()
-    fps = fps.localCheckpoint(eager=False)  # counted AND hashed below
-    geom = bloom_geometry(fps.count(), bits_per_key=bits_per_key, k=k, floor=floor)
-    bloom_positions(fps, "fp", geom).write.mode("overwrite").parquet(
+    against the SAME m. The distinct hash set itself also persists at
+    ``path/fps`` (one int per key — smaller than the position set), so
+    ``n_keys`` is always DERIVABLE FROM DATA: appends recount the
+    distinct union instead of accumulating a counter, which makes
+    replayed/retried batches idempotent (ADVICE r7). Returns the
+    geometry dict."""
+    hs = _bloom_hashes(df, fp_col)
+    hs = hs.localCheckpoint(eager=False)  # counted AND expanded below
+    geom = bloom_geometry(hs.count(), bits_per_key=bits_per_key, k=k, floor=floor)
+    _bloom_positions_from_hashes(hs, geom).write.mode("overwrite").parquet(
         f"{path}/positions"
     )
+    hs.write.mode("overwrite").parquet(f"{path}/fps")
     _bloom_write_geom(path, geom)
     return geom
 
@@ -1065,14 +1086,23 @@ def bloom_append(
 ) -> dict:
     """Union a new batch's positions into the persisted filter — the
     streaming-ingest face (position sets merge by set union, so appends
-    commute). Refuses with :class:`BloomSaturatedError` when the
-    PROJECTED fill after the append exceeds ``max_fill``: the persisted
-    geometry was sized for a smaller corpus and its FP bound no longer
-    holds — rebuild instead (the error says so, with the numbers)."""
+    commute). Replay-IDEMPOTENT: ``n_keys`` is recounted from the
+    persisted distinct hash set unioned with the batch, never
+    accumulated, so a retried/replayed identical batch leaves the count
+    (and the saturation decision) unchanged, and a crash between the
+    two store appends self-heals on retry because every store merges by
+    set union at read (ADVICE r7). Refuses with
+    :class:`BloomSaturatedError` when the PROJECTED fill after the
+    append exceeds ``max_fill``: the persisted geometry was sized for a
+    smaller corpus and its FP bound no longer holds — rebuild instead
+    (the error says so, with the numbers)."""
     geom = bloom_read_geometry(path)
-    fps = df.select(F.col(fp_col).alias("fp")).distinct()
-    fps = fps.localCheckpoint(eager=False)
-    n_total = geom["n_keys"] + fps.count()
+    spark = df.sparkSession
+    hs = _bloom_hashes(df, fp_col)
+    hs = hs.localCheckpoint(eager=False)
+    n_total = (
+        spark.read.parquet(f"{path}/fps").union(hs).distinct().count()
+    )
     fill = bloom_fill(geom, n_total)
     if fill > max_fill:
         need = bloom_geometry(n_total, geom["bits_per_key"], geom["k"])
@@ -1081,9 +1111,10 @@ def bloom_append(
             f"(projected fill {fill:.2f} > {max_fill}); geometry was sized "
             f"for {geom['n_keys']} keys — rebuild with m>={need['m']}"
         )
-    bloom_positions(fps, "fp", geom).write.mode("append").parquet(
+    _bloom_positions_from_hashes(hs, geom).write.mode("append").parquet(
         f"{path}/positions"
     )
+    hs.write.mode("append").parquet(f"{path}/fps")
     geom = {**geom, "n_keys": n_total}
     _bloom_write_geom(path, geom)
     return geom
@@ -1092,18 +1123,23 @@ def bloom_append(
 def bloom_classify(
     df: DataFrame, fp_col: str, path: str, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Membership-check ``df`` against the persisted filter: per row,
-    ``bloom_hit`` = all k positions set. One-sided by construction — a
-    fingerprint that was inserted ALWAYS hits (no false negatives); a
-    hit may be a false positive at the geometry's bounded rate. The join
-    moves only (id, pos) pairs against the ≤ m-row position set — the
-    base corpus is never rescanned, however large it has grown."""
+    """Membership-check ``df`` against the persisted filter: per id,
+    ``bloom_hit`` = every distinct fingerprint carried by that id has
+    all k positions set. One-sided by construction — a fingerprint that
+    was inserted ALWAYS hits (no false negatives), including when the
+    same (id, fp) row arrives duplicated: classification groups per
+    distinct (id, hash), never per id alone, so duplicate rows can't
+    inflate a group to 2k positions and flip an inserted key to false
+    (ADVICE r7). An id carrying MULTIPLE distinct fingerprints hits only
+    if all of them are members (bool_and — the conservative reading for
+    "is this document already ingested"). The join moves only (id, pos)
+    pairs against the ≤ m-row position set — the base corpus is never
+    rescanned, however large it has grown."""
     geom = bloom_read_geometry(path)
     spark = df.sparkSession
     bloom = spark.read.parquet(f"{path}/positions").distinct().withColumn(
         "__marked", F.lit(1)
     )
-    # per-row positions (NOT distinct — each row needs its own k checks)
     from node_mongo2influx_spark.functions.phash import (
         fmix32_spark_inline,
         fnv1a32_spark_sql,
@@ -1116,12 +1152,16 @@ def bloom_classify(
     ks = F.array([F.lit(i) for i in range(geom["k"])])
     dpos = (
         df.select(F.col(id_col), F.expr(fnv1a32_spark_sql(fp_col)).alias("__h"))
-        .select(id_col, F.explode(ks).alias("i"), "__h")
-        .select(id_col, pos.alias("pos"))
+        .dropDuplicates([id_col, "__h"])  # exactly k exploded rows/group
+        .select(id_col, "__h", F.explode(ks).alias("i"))
+        .select(id_col, "__h", pos.alias("pos"))
     )
-    return (
+    per_fp = (
         dpos.join(bloom, "pos", "left")
-        .groupBy(id_col)
+        .groupBy(id_col, "__h")
         .agg(F.sum(F.coalesce(F.col("__marked"), F.lit(0))).alias("n_hit"))
-        .select(id_col, (F.col("n_hit") == geom["k"]).alias("bloom_hit"))
+        .select(id_col, (F.col("n_hit") == geom["k"]).alias("fp_hit"))
+    )
+    return per_fp.groupBy(id_col).agg(
+        F.expr("bool_and(fp_hit)").alias("bloom_hit")
     )

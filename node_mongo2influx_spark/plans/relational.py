@@ -1253,7 +1253,13 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
         F.count("value").alias("n"),
     )
-    j = e.join(F.broadcast(ap), "event_type")
+    # eqNullSafe: a NULL event_type group must survive the rank-check
+    # join (plain equi-join keys never match NULL, which would drop the
+    # NULL group entirely while the oracle's GROUP BY emits it).
+    ap_r = ap.withColumnRenamed("event_type", "__ap_type")
+    j = e.join(
+        F.broadcast(ap_r), F.col("event_type").eqNullSafe(F.col("__ap_type"))
+    ).drop("__ap_type")
     eps = 1.0 / 10000
 
     def lo(p):  # min possible rank of the returned element
@@ -1360,8 +1366,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # left join from approx: a group whose users are all NULL has an
     # approx row (estimate 0) but no exact row — coalesce to 0 like
-    # count(DISTINCT) would give
-    out = approx.join(exact, "event_type", "left").select(
+    # count(DISTINCT) would give. eqNullSafe so a NULL event_type group
+    # still matches its exact row (plain keys never join NULL=NULL,
+    # which would force exact_users=0 while the oracle counts it).
+    exact_r = exact.withColumnRenamed("event_type", "__ex_type")
+    out = approx.join(
+        exact_r,
+        F.col("event_type").eqNullSafe(F.col("__ex_type")),
+        "left",
+    ).select(
         "event_type",
         F.coalesce("exact_users", F.lit(0)).cast("long").alias("exact_users"),
         "approx_users",

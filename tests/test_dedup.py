@@ -348,3 +348,51 @@ def test_bloom_saturated_replay_refused(spark, bloom_base, tmp_path):
     rebuilt = dedup.bloom_build(bloom_base.union(big), "fp", path)
     assert rebuilt["m"] == 16 * 26_400
     assert dedup.bloom_fill(rebuilt) < 0.25
+
+
+def test_bloom_append_replay_idempotent(spark, bloom_base, tmp_path):
+    # ADVICE r7: n_keys must derive FROM DATA — a retried/replayed
+    # identical batch (at-least-once streaming delivery) may not
+    # double-count keys and trip a premature BloomSaturatedError
+    path = str(tmp_path / "bloom")
+    dedup.bloom_build(bloom_base, "fp", path)
+    batch = spark.range(400, 450).selectExpr("concat('fp_', id) AS fp")
+    g1 = dedup.bloom_append(batch, "fp", path)
+    g2 = dedup.bloom_append(batch, "fp", path)  # replay of the SAME batch
+    g3 = dedup.bloom_append(batch, "fp", path)  # and again
+    assert g1["n_keys"] == g2["n_keys"] == g3["n_keys"] == 450
+    assert dedup.bloom_read_geometry(path)["n_keys"] == 450
+    # membership unchanged by the replays
+    new_members = batch.selectExpr("fp", "CAST(substr(fp, 4) AS LONG) AS doc_id")
+    assert all(
+        r["bloom_hit"]
+        for r in dedup.bloom_classify(new_members, "fp", path).collect()
+    )
+
+
+def test_bloom_classify_duplicate_ids_no_false_negative(spark, bloom_base, tmp_path):
+    # ADVICE r7: two input rows sharing doc_id used to contribute 2k
+    # position rows to one group, so n_hit == k failed and a genuinely
+    # inserted fingerprint came back bloom_hit=false
+    path = str(tmp_path / "bloom")
+    dedup.bloom_build(bloom_base, "fp", path)
+    dup_members = spark.range(100).selectExpr(
+        "concat('fp_', id % 50) AS fp", "id % 50 AS doc_id"
+    )  # every (doc_id, fp) appears twice; all fps are inserted members
+    hits = dedup.bloom_classify(dup_members, "fp", path).collect()
+    assert len(hits) == 50  # one verdict per id, not per row
+    assert all(r["bloom_hit"] for r in hits)
+    # an id carrying one member fp and one absent fp is NOT a hit
+    # (bool_and: "already ingested" means ALL its fingerprints are)
+    mixed = spark.createDataFrame(
+        [(7, "fp_7"), (7, "definitely_absent_xyz")], "doc_id long, fp string"
+    )
+    got = {r["doc_id"]: r["bloom_hit"] for r in
+           dedup.bloom_classify(mixed, "fp", path).collect()}
+    assert got[7] is False or got[7] is True  # FP possible on absent fp
+    # deterministic half: a pure-member multi-fp id IS a hit
+    both_members = spark.createDataFrame(
+        [(9, "fp_9"), (9, "fp_10")], "doc_id long, fp string"
+    )
+    got9 = dedup.bloom_classify(both_members, "fp", path).collect()
+    assert len(got9) == 1 and got9[0]["bloom_hit"]

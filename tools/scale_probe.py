@@ -256,11 +256,19 @@ def main() -> None:
         )
 
     def ivfpq_query_batch_persisted(k: int):
+        # save/restore: probes share one process — leaving the gate at 0
+        # would silently force every LATER probe's knn_cosine_ivfpq*
+        # traversal onto the batch path and contaminate comparisons
+        # (ADVICE r7)
+        saved = similarity._DRIVER_LUT_MAX_QUERIES
         similarity._DRIVER_LUT_MAX_QUERIES = 0
-        return similarity.knn_cosine_ivfpq_query(
-            spark, _ivfpq_store["path"], uniquified_embeddings(k),
-            k=10, n_probe=8,
-        )
+        try:
+            return similarity.knn_cosine_ivfpq_query(
+                spark, _ivfpq_store["path"], uniquified_embeddings(k),
+                k=10, n_probe=8,
+            )
+        finally:
+            similarity._DRIVER_LUT_MAX_QUERIES = saved
 
     # Bloom incremental-dedup probe (round 7, VERDICT r6 #1): build the
     # persisted filter from a k-scaled BASE corpus, classify the k-scaled
