@@ -1508,11 +1508,16 @@ def _sample_oracle_sql() -> str:
     )
 
     h = fnv1a32_duckdb_sql("concat(CAST(doc_id AS VARCHAR), ':sample-v1')")
-    # Same rates as _MIX_FRACTIONS, expressed via the numeric source suffix.
+    # Same rates as _MIX_FRACTIONS, expressed via the numeric source
+    # suffix. source IS NOT NULL replicates default_fraction=0.0: a
+    # stratum not listed in the fractions map (NULL included) keeps
+    # nothing — without the guard DuckDB's CASE would fall through to
+    # the ELSE and sample NULL-source docs at 20%.
     return f"""
         SELECT doc_id, source
         FROM documents
-        WHERE {h} < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        WHERE source IS NOT NULL
+          AND {h} < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                          THEN {cutoff32(0.5)} ELSE {cutoff32(0.2)} END
     """
 

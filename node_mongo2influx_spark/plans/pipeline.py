@@ -122,15 +122,24 @@ def catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "influx_line_protocol",
     oracle=r"""
-        SELECT 'events value=' || CAST(value AS VARCHAR)
-               || ',event_type="' || event_type || '"'
+        SELECT 'events '
+               || concat_ws(',',
+                    CASE WHEN value IS NOT NULL
+                         THEN 'value=' || CAST(value AS VARCHAR) END,
+                    CASE WHEN event_type IS NOT NULL
+                         THEN 'event_type="' || event_type || '"' END)
                || ' ' || CAST(epoch_ns(CAST(ts AS TIMESTAMP)) AS VARCHAR)
                AS line
         FROM events
         WHERE ts IS NOT NULL
+          AND (value IS NOT NULL OR event_type IS NOT NULL)
     """,
     description="W1: JVM-side InfluxDB line-protocol rendering as a query — "
-    "measurement + typed fields + nanosecond timestamp (index.js:242 writePoints).",
+    "measurement + typed fields + nanosecond timestamp (index.js:242 "
+    "writePoints). NULL fields are OMITTED per protocol (concat_ws over "
+    "conditional fields on both engines) and a row whose every field is "
+    "NULL is dropped — a field-less line has no information and 400s the "
+    "write batch (sinks/influx.py render_lines).",
 )
 def influx_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.sinks.influx import render_lines

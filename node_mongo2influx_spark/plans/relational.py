@@ -631,19 +631,26 @@ def json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                dense_rank()  OVER w AS drank,
                first_value(event_id) OVER w AS first_ev,
                last_value(event_id) OVER (
-                   PARTITION BY user_id ORDER BY value, event_id
+                   PARTITION BY user_id
+                   ORDER BY value NULLS LAST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS last_ev
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY value NULLS LAST, event_id)
     """,
     description="The full ranking-window family (ntile / percent_rank / "
     "cume_dist / dense_rank / first_value / last_value with an explicit "
-    "whole-partition frame) — one shuffle+sort serves all six.",
+    "whole-partition frame) — one shuffle+sort serves all six. NULL "
+    "ordering is EXPLICIT on both sides: Spark defaults ASC to NULLS "
+    "FIRST, DuckDB to NULLS LAST, so any nullable ORDER BY column "
+    "silently shifts every rank in partitions containing NULLs "
+    "(caught by tools/nullify_fixtures.py).",
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return e.select(
         "event_id",
@@ -884,7 +891,7 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
-        .na.fill(0)
+        .na.fill(0, subset=["click", "view", "purchase", "signup", "error"])
     )
 
 
@@ -919,7 +926,7 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
-        .na.fill(0)
+        .na.fill(0, subset=["click", "view", "purchase", "signup", "error"])
     )
     return wide.unpivot(
         ids=["user_id"],
@@ -2325,17 +2332,21 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                ntile(10) OVER w                AS decile,
                round(percent_rank() OVER w, 6) AS pct_rank
         FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY value NULLS LAST, event_id)
     """,
     description="Distribution window functions (cume_dist / ntile / "
     "percent_rank) in one window pass. The ORDER BY is a total order "
     "(value, event_id) so ntile bucket boundaries are deterministic "
-    "across engines. One shuffle on event_type; the three functions "
-    "share a single Window node.",
+    "across engines, with NULLS LAST explicit on both sides (the "
+    "engines' ASC defaults differ). One shuffle on event_type; the "
+    "three functions share a single Window node.",
 )
 def window_cume_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return e.select(
         "event_id",
         "event_type",

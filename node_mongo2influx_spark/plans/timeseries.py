@@ -43,7 +43,18 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.avg("value"), 4).alias("avg_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
-            F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+            # ord is NULLed for NULL values: DuckDB's arg_max SKIPS rows
+            # whose value argument is NULL, Spark's max_by would return
+            # the NULL riding on the max-ts row — masking the ord makes
+            # both engines pick the latest NON-NULL reading (and NULL
+            # only when the whole bucket is NULL)
+            F.round(
+                F.max_by(
+                    "value",
+                    F.when(F.col("value").isNotNull(), F.col("ts")),
+                ),
+                2,
+            ).alias("last_value"),
         )
     )
 
@@ -268,9 +279,31 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("dn"), F.col("c_sum").alias("ds"),
         F.col("c_min").alias("dmin"), F.col("c_max").alias("dmax"),
     )
-    merged = b.join(d, ["event_type", "bucket"], "full_outer")
+    # eqNullSafe merge keys: a NULL event_type series must merge into ONE
+    # group (plain full-outer keys never match NULL=NULL, which would
+    # emit separate base/delta rows for the NULL series while the
+    # oracle's GROUP BY emits one)
+    d = d.withColumnRenamed("event_type", "__dt").withColumnRenamed(
+        "bucket", "__db"
+    )
+    merged = b.join(
+        d,
+        F.col("event_type").eqNullSafe(F.col("__dt"))
+        & F.col("bucket").eqNullSafe(F.col("__db")),
+        "full_outer",
+    ).select(
+        F.coalesce("event_type", "__dt").alias("event_type"),
+        F.coalesce("bucket", "__db").alias("bucket"),
+        "bn", "bs", "bmin", "bmax", "dn", "ds", "dmin", "dmax",
+    )
     n = F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
-    s = F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0))
+    # SQL sum semantics: an all-NULL group sums to NULL, not 0 — only
+    # coalesce a side that is ABSENT when the other side is present
+    s = F.when(
+        F.col("bs").isNull() & F.col("ds").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0))
+    )
     cmin = F.least(
         F.coalesce(F.col("bmin"), F.col("dmin")),
         F.coalesce(F.col("dmin"), F.col("bmin")),
