@@ -252,6 +252,19 @@ def main() -> None:
         "canary": canary,
         "sf": sf_val,
     }
+    # Canary-normalized per-query ratios (round 8, VERDICT r7 #8): every
+    # *_min entry divided by the canary's JVM floor — the machine-drift-
+    # free basis for round-over-round comparison. tools/compare_bench.py
+    # prefers this field when both files carry it; ROUND_NOTES cites
+    # normalized numbers only.
+    cj = canary["jvm_min"]
+    detail["normalized_min"] = {
+        sec: {q: round(v / cj, 3) for q, v in detail[sec].items()}
+        for sec in (
+            ["queries_min"]
+            + [k for k in detail if k.startswith("extended") and k.endswith("_min")]
+        )
+    }
     # Full per-query detail goes to a committed file; stdout carries a
     # COMPACT line. The driver records only the last ~2000 chars of
     # stdout and parses the JSON line out of it — r4's full line outgrew

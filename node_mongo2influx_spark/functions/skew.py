@@ -126,3 +126,31 @@ def ensure_min_partitions(df, target: int, min_bytes: int = 0):
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def bounded_for_broadcast(df, max_bytes: int) -> bool:
+    """True when the optimizer's size estimate (plan stats — file sizes,
+    NO job) says ``df`` is broadcast-class (≤ ``max_bytes``).
+
+    This is the gate every CALLER-SIZED broadcast hint must pass: an
+    explicit broadcast() OVERRIDES spark.sql.autoBroadcastJoinThreshold,
+    so hinting a side whose size the caller doesn't control (a query
+    batch, a query-vocabulary aggregate) would force an arbitrarily
+    large table through the driver. Unknown or huge estimates return
+    False — only the static hint is withheld, and AQE still converts
+    the join to a broadcast at runtime if the REAL size turns out small;
+    a conservative verdict costs nothing, while a false 'bounded' is a
+    driver OOM at 100 TB.
+    """
+    try:
+        est = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # exotic plan without stats: withhold the hint
+        return False
+    return 0 <= est <= max_bytes

@@ -217,19 +217,12 @@ def _bounded_query_batch(queries: DataFrame) -> bool:
     estimates return False: only the static hint is withheld, and AQE
     still converts the join to broadcast at runtime if the REAL size
     turns out small — a conservative verdict costs nothing, while a
-    false 'bounded' would force a huge table through the driver."""
-    try:
-        est = int(
-            str(
-                queries._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        )
-    except Exception:  # exotic plan without stats: withhold the hint
-        return False
-    return 0 <= est <= _QUERY_BROADCAST_MAX_BYTES
+    false 'bounded' would force a huge table through the driver.
+    (Shared machinery: functions/skew.bounded_for_broadcast — the same
+    gate protects bm25_multi_topk's query-vocabulary hints.)"""
+    from node_mongo2influx_spark.functions.skew import bounded_for_broadcast
+
+    return bounded_for_broadcast(queries, _QUERY_BROADCAST_MAX_BYTES)
 
 
 def _spread_kernel_input(df: DataFrame, min_bytes: int = 0) -> DataFrame:

@@ -2307,6 +2307,101 @@ def minhash_band_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band0.unionAll(band1)
 
 
+_DRIFT_THR_BP = 20_000  # the probe's 2x rebuild flag, in basis points
+
+
+def _drift_forecast_oracle() -> str:
+    # HUGEINT discipline: DuckDB window sum() widens BIGINT to HUGEINT —
+    # every integer OUTPUT is cast back to BIGINT (check_oracle
+    # hard-fails HUGEINT), and `//` floor-division matches Spark DIV on
+    # the all-positive operands the CASE admits.
+    t = _DRIFT_THR_BP
+    return f"""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(event_id) % 211 AS BIGINT) AS jit
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        lg AS (
+            SELECT (row_number() OVER (ORDER BY day)) - 1 AS batch,
+                   10000
+                   + ((row_number() OVER (ORDER BY day)) - 1)
+                     * ((row_number() OVER (ORDER BY day)) - 1) * 40
+                   + jit AS bp
+            FROM days
+        ),
+        st AS (
+            SELECT batch, bp,
+                   count(*) OVER w AS n,
+                   sum(batch) OVER w AS sx,
+                   sum(bp) OVER w AS sy,
+                   sum(batch * bp) OVER w AS sxy,
+                   sum(batch * batch) OVER w AS sxx
+            FROM lg
+            WINDOW w AS (ORDER BY batch
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(batch AS BIGINT) AS batch,
+               CAST(bp AS DOUBLE) / 1e4 AS ratio,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE)
+                   AS slope_bp_per_batch,
+               CAST(CASE WHEN (n * sxy - sx * sy) > 0
+                          AND (n * sxx - sx * sx) != 0
+                          AND bp < {t}
+                         THEN (({t} - bp) * (n * sxx - sx * sx)
+                               + (n * sxy - sx * sy) - 1)
+                              // (n * sxy - sx * sy)
+                    END AS BIGINT) AS eta_batches,
+               bp >= {t} AS alarm
+        FROM st
+    """
+
+
+@query(
+    "ivfpq_drift_forecast",
+    oracle=_drift_forecast_oracle(),
+    description="Drift-over-time FORECAST from the ANN maintenance log "
+    "(round 8, VERDICT r7 #6): per ingest batch, the trailing-7 "
+    "least-squares slope of the quantizer-drift ratio and the "
+    "extrapolated batches-to-threshold at the current slope — the query "
+    "that turns ivfpq_drift_probe's reactive 2x flag into a scheduled "
+    "rebuild. The log here is SYNTHESIZED deterministically from the "
+    "events fixture (one batch per day, exact-integer basis points with "
+    "a quadratic trend plus a data-derived jitter) so the full pipeline "
+    "is oracle-checked; streaming/pipeline.drift_forecast is the same "
+    "code over the real read_drift_log output (pytest-gated, including "
+    "the flag-day pin: the last pre-alarm ETA lands within 1 batch of "
+    "the actual crossing). Exact-integer regression (the "
+    "cusum_drift_chunked rule): slope numerator/denominator and the "
+    "ceil-division ETA are BIGINT algebra; the two output doubles are "
+    "single IEEE divisions of identical integers. The window is "
+    "single-partition BY CONSTRUCTION - one row per ingest batch, "
+    "model-sized however big the corpus.",
+)
+def ivfpq_drift_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from node_mongo2influx_spark.streaming.pipeline import drift_forecast
+
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg((F.sum("event_id") % 211).alias("jit"))
+    )
+    w = Window.orderBy("day")
+    idx = F.row_number().over(w) - 1
+    log = days.select(
+        idx.alias("ingest_batch"),
+        (
+            (F.lit(10000) + idx * idx * 40 + F.col("jit")).cast("double")
+            / 1e4
+        ).alias("ratio"),
+    )
+    return drift_forecast(log, window=7, threshold_ratio=2.0)
+
+
 @query(
     "ann_recall_probe",
     oracle="""
@@ -4552,23 +4647,6 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_pca_project",
-    oracle=None,  # eigendecomposition has no SQL twin; numpy-gated in tests
-    description="Gram-matrix PCA projection: one aggregate reduces the "
-    "corpus to a d×d Gram matrix (the ONLY collect — d² doubles, model-"
-    "sized like the k-means centroids), numpy eigh on the driver, then "
-    "one scan projects every vector onto the top-2 principal directions "
-    "inlined as literals. Scores equal sklearn-style uncentered PCA up "
-    "to the canonicalized sign — asserted against numpy in tests.",
-)
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.pca_project(
-        load(spark, sf_dir, "embeddings"), vec_col="embedding",
-        id_col="vec_id", dims=16, n_components=2,
-    )
-
-
 _PCA_DIMS = 16
 #: 6 iterations with G⁸ (three in-engine squarings) = 48 power steps + the
 #: final G multiply — same step count as 12×G⁴, at half the chained-select
@@ -4603,12 +4681,19 @@ _PCA_NRM_DUCK = (
 )
 
 
-def _pca_probe_oracle() -> str:
+#: Milli-unit vector quantization shared by the power-iteration CTEs and
+#: the frozen projection (both engines see the same exact integers).
+_PCA_Q_DUCK = (
+    f"list_transform(embedding[1:{_PCA_DIMS}], "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1e3 + 5e-1) AS BIGINT))"
+)
+
+
+def _pca_power_ctes() -> str:
+    """The shared WITH-body: quantize -> exact-integer Gram -> unrolled
+    power iteration, ending at ``finv(w, v)`` — the bit-identical top
+    principal direction both the probe and the frozen projection read."""
     d = _PCA_DIMS
-    q = (
-        f"list_transform(embedding[1:{d}], "
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1e3 + 5e-1) AS BIGINT))"
-    )
     nrm = _PCA_NRM_DUCK
     iters = "".join(
         f"""
@@ -4618,14 +4703,8 @@ def _pca_probe_oracle() -> str:
                        FROM it{k + 1}w),"""
         for k in range(_PCA_ITERS)
     )
-    flip = "CASE WHEN v[1] < 0 THEN -1e0 ELSE 1e0 END"
-    loads = ",\n               ".join(
-        f"floor({flip} * v[{i + 1}] * 1e6 + 5e-1) / 1e6 AS l{i}"
-        for i in range(d)
-    )
     n = _PCA_ITERS
-    return f"""
-        WITH qe AS (SELECT {q} AS q FROM embeddings),
+    return f"""qe AS (SELECT vec_id, {_PCA_Q_DUCK} AS q FROM embeddings),
         grams AS (
             SELECT t.i AS i, u.j AS j,
                    CAST(sum(q[t.i + 1] * q[u.j + 1]) AS BIGINT) AS g
@@ -4646,42 +4725,89 @@ def _pca_probe_oracle() -> str:
             FROM g4t
         ),{iters.rstrip(",")},
         fin AS (SELECT g, {_pca_mv_duckdb("g")} AS w FROM it{n}v),
-        finv AS (SELECT w, list_transform(w, x -> x / {nrm}) AS v FROM fin)
+        finv AS (SELECT w, list_transform(w, x -> x / {nrm}) AS v FROM fin)"""
+
+
+def _pca_probe_oracle() -> str:
+    d = _PCA_DIMS
+    nrm = _PCA_NRM_DUCK
+    flip = "CASE WHEN v[1] < 0 THEN -1e0 ELSE 1e0 END"
+    loads = ",\n               ".join(
+        f"floor({flip} * v[{i + 1}] * 1e6 + 5e-1) / 1e6 AS l{i}"
+        for i in range(d)
+    )
+    return f"""
+        WITH {_pca_power_ctes()}
         SELECT floor({nrm} * 1e4 + 5e-1) / 1e4 AS eigval,
                {loads}
         FROM finv
     """
 
 
+def _pca_project_oracle() -> str:
+    d = _PCA_DIMS
+    flip = "CASE WHEN v[1] < 0 THEN -1e0 ELSE 1e0 END"
+    return f"""
+        WITH {_pca_power_ctes()},
+        dir AS (
+            SELECT list_transform(range(0, {d}), i ->
+                CAST(floor({flip} * v[i + 1] * 1e6 + 5e-1) AS BIGINT)) AS vq
+            FROM finv
+        )
+        SELECT e.vec_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, {d}), i -> e.q[i + 1] * dir.vq[i + 1])),
+                    (a, t) -> a + t) AS BIGINT) AS pc1_nano
+        FROM qe e, dir
+    """
+
+
 @query(
-    "pca_power_probe",
-    oracle=_pca_probe_oracle(),
-    description="The PCA family's ORACLE-EXACT witness (the recall-probe "
-    "pattern): top principal direction + eigenvalue of the 16-dim Gram "
-    "matrix by UNROLLED POWER ITERATION, bit-identical across engines "
-    "because every number stays deterministic — embeddings quantize to "
-    "exact integer milli-units, the Gram matrix is exact BIGINT sums "
-    "(partition- and engine-proof, no double accumulation), and the "
-    "iterations (6 with G⁸ = 49 power steps) use only identical-order "
-    "left-fold +/·, IEEE division "
-    "and correctly-rounded sqrt. Sign canonicalized on the first "
-    "loading. embedding_pca_project stays the production path (numpy "
-    "eigh on the driver-side Gram); this proves the iteration algebra "
-    "cross-engine — the same reassociation-proof discipline as "
-    "cusum_drift_chunked, applied to an iterative linear-algebra "
-    "operator. Loadings vs numpy's top eigenvector gated in pytest.",
+    "embedding_pca_project",
+    oracle=_pca_project_oracle(),
+    description="Gram-matrix PCA projection with a FULL oracle (round 8, "
+    "VERDICT r7 #2 — converted from rows-only): the top principal "
+    "direction comes from the same bit-identical power iteration as "
+    "pca_power_probe (exact milli-unit quantization, exact BIGINT Gram, "
+    "driver-side iteration with identical IEEE operation order), is "
+    "FROZEN to integer micro-units, and every vector's projection is "
+    "then an exact integer dot product (milli x micro = nano units) — "
+    "reassociation-proof, so the distributed sum hash-matches DuckDB''s "
+    "sequential fold exactly. The corpus is touched twice: the Gram "
+    "aggregate and one projection scan with the frozen direction inlined "
+    "as a literal. The numpy-eigh multi-component face stays available "
+    "as operators/similarity.pca_project (accuracy-gated in pytest); "
+    "this registry face is the scale path AND fully oracle-checked.",
 )
-def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     d = _PCA_DIMS
     emb = load(spark, sf_dir, "embeddings")
-    # exact-integer sums in ONE map-side-combined aggregate — upper
-    # triangle only (G is symmetric: 136 expressions, not 256). This is
-    # the ONLY data-sized stage; everything after it is a 16x16 model.
-    # Built as ONE expr string (a struct of sums): 136 Column objects
-    # cost ~500 py4j round-trips of pure driver chatter (~0.8 s
-    # measured) vs one server-side parse of a single string.
+    g = _pca_gram_ints(emb)
+    if g is None:
+        return spark.createDataFrame([], "vec_id long, pc1_nano long")
+    _, v, flip = _pca_power_direction(g)
+    vq = [int(math.floor(flip * v[i] * 1e6 + 0.5)) for i in range(d)]
+    lit = "array(" + ", ".join(f"{x}L" for x in vq) + ")"
+    return emb.selectExpr(
+        "vec_id",
+        f"aggregate(zip_with(transform(slice(embedding, 1, {d}), "
+        "x -> cast(floor(cast(x as double) * 1e3 + 5e-1) as bigint)), "
+        f"{lit}, (x, s) -> x * s), cast(0 as bigint), (a, t) -> a + t) "
+        "AS pc1_nano",
+    )
+
+
+def _pca_gram_ints(emb) -> "list[float] | None":
+    """The ONLY data-sized PCA stage: quantize embeddings to exact integer
+    milli-units and reduce the corpus to the d*d Gram matrix as exact
+    BIGINT sums, in ONE map-side-combined aggregate emitted as a single
+    expr string (a struct of sums — N Column objects would cost ~N*4
+    py4j round-trips of driver chatter, CLAUDE.md r7). Returns the full
+    row-major matrix as Python floats (exact: integers < 2^53), or None
+    for an empty corpus."""
+    d = _PCA_DIMS
     qe = emb.selectExpr(
         f"transform(slice(embedding, 1, {d}), "
         "x -> cast(floor(cast(x as double) * 1e3 + 5e-1) as bigint)) AS q"
@@ -4696,29 +4822,29 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ") AS gs"
     )
-    # r7 (VERDICT r6 #4): the power iteration runs on the DRIVER, not as
-    # chained HOF selects — the iteration is O(d^2) on ONE row however
-    # big the corpus is, and the r6 in-plan version paid ~2.5-5.5 s of
-    # plan ANALYSIS for 0.5 s of data work (measured; the Gram collect
-    # is the whole remaining wall — steady-state 3.0 s -> 0.9 s). Bit-
-    # equality with the DuckDB oracle is preserved because Python floats
-    # are the same IEEE doubles with the same operation ORDER as both
-    # engines' left folds: each matvec and squaring accumulates a + m*v
-    # sequentially, sqrt and / are correctly rounded, and the Gram
-    # entries are exact BIGINTs.
     row = qe.agg(F.expr(gsum)).first()[0]
     if row["g_0_0"] is None:
-        # empty corpus: both engines propagate NULL through the chain to
-        # a single all-NULL row — replicate that exactly
-        return spark.createDataFrame(
-            [tuple([None] * (d + 1))],
-            "eigval double, " + ", ".join(f"l{i} double" for i in range(d)),
-        )
-    g = [
+        return None
+    return [
         float(row[f"g_{min(i, j)}_{max(i, j)}"])
         for i in range(d)
         for j in range(d)
     ]
+
+
+def _pca_power_direction(g: list) -> "tuple[float, list, float]":
+    """Top principal direction of the Gram matrix by unrolled power
+    iteration ON THE DRIVER — the iteration is O(d^2) on one model-sized
+    matrix however big the corpus is (r7: chained HOF selects paid
+    seconds of plan ANALYSIS for 0.5 s of data work). Bit-identical to
+    the DuckDB CTE chain (_pca_power_ctes) because Python floats are the
+    same IEEE doubles with the same operation ORDER as both engines'
+    left folds: each matvec/squaring accumulates a + m*v sequentially,
+    sqrt and / are correctly rounded. Returns (norm, v, flip) — flip
+    canonicalizes the first loading positive."""
+    import math
+
+    d = _PCA_DIMS
 
     def sq(mat: list) -> list:
         out = []
@@ -4744,10 +4870,10 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             a = a + x * x
         return math.sqrt(a)
 
-    # squared-matrix acceleration: iterating with G⁸ takes 8 power steps
+    # squared-matrix acceleration: iterating with G^8 takes 8 power steps
     # per matvec (the eigengap here is small — plain G needed many times
     # the iterations for the same convergence); the FINAL multiply uses
-    # the original G so the reported eigenvalue is λ, not λ⁸.
+    # the original G so the reported eigenvalue is lambda, not lambda^8.
     g8 = sq(sq(sq(g)))
     v = [0.25] * d
     for _ in range(_PCA_ITERS):
@@ -4758,6 +4884,41 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ = nrm(w)
     v = [x / n_ for x in w]
     flip = -1.0 if v[0] < 0 else 1.0
+    return n_, v, flip
+
+
+@query(
+    "pca_power_probe",
+    oracle=_pca_probe_oracle(),
+    description="The PCA family's ORACLE-EXACT witness (the recall-probe "
+    "pattern): top principal direction + eigenvalue of the 16-dim Gram "
+    "matrix by UNROLLED POWER ITERATION, bit-identical across engines "
+    "because every number stays deterministic — embeddings quantize to "
+    "exact integer milli-units, the Gram matrix is exact BIGINT sums "
+    "(partition- and engine-proof, no double accumulation), and the "
+    "iterations (6 with G⁸ = 49 power steps) use only identical-order "
+    "left-fold +/·, IEEE division "
+    "and correctly-rounded sqrt. Sign canonicalized on the first "
+    "loading. embedding_pca_project stays the production path (numpy "
+    "eigh on the driver-side Gram); this proves the iteration algebra "
+    "cross-engine — the same reassociation-proof discipline as "
+    "cusum_drift_chunked, applied to an iterative linear-algebra "
+    "operator. Loadings vs numpy's top eigenvector gated in pytest.",
+)
+def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = _PCA_DIMS
+    emb = load(spark, sf_dir, "embeddings")
+    g = _pca_gram_ints(emb)
+    if g is None:
+        # empty corpus: both engines propagate NULL through the chain to
+        # a single all-NULL row — replicate that exactly
+        return spark.createDataFrame(
+            [tuple([None] * (d + 1))],
+            "eigval double, " + ", ".join(f"l{i} double" for i in range(d)),
+        )
+    n_, v, flip = _pca_power_direction(g)
     out = (math.floor(n_ * 1e4 + 0.5) / 1e4,) + tuple(
         math.floor(flip * v[i] * 1e6 + 0.5) / 1e6 for i in range(d)
     )

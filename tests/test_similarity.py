@@ -484,16 +484,22 @@ def test_semantic_dedup_precision_and_recall(spark, sf_dir):
 
 
 def test_pca_project_matches_numpy(spark, sf_dir):
+    # The numpy-eigh MULTI-COMPONENT face (library operator): projections
+    # must match an independent numpy PCA. The registry query
+    # embedding_pca_project is the frozen-direction single-component
+    # face with a full DuckDB oracle (r8) — checked against numpy below.
     import numpy as np
 
     from node_mongo2influx_spark.plans import load_registry
+    from node_mongo2influx_spark.sources.parquet_compat import read_parquet
 
-    rows = load_registry()["embedding_pca_project"].fn(spark, sf_dir).collect()
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    rows = similarity.pca_project(
+        emb, vec_col="embedding", id_col="vec_id", dims=16, n_components=2
+    ).collect()
     data = {
         r["vec_id"]: np.array(r["embedding"][:16], dtype=np.float64)
-        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", "embedding")
-        .collect()
+        for r in emb.select("vec_id", "embedding").collect()
     }
     X = np.array([data[r["vec_id"]] for r in rows])
     G = X.T @ X  # numpy's own gram — independent of the Spark aggregate
@@ -509,6 +515,21 @@ def test_pca_project_matches_numpy(spark, sf_dir):
         assert np.allclose(got[:, c], exp[:, c], atol=1e-4), c
     # projections onto PC1 carry more variance than PC2
     assert got[:, 0].var() >= got[:, 1].var()
+    # the ORACLE-EXACT registry face: its frozen-direction nano-unit
+    # projection must align with numpy's PC1 (quantization is 1e-3 on
+    # vectors, 1e-6 on the direction — cosine ~1 up to that noise)
+    reg = {
+        r["vec_id"]: r["pc1_nano"] / 1e9
+        for r in load_registry()["embedding_pca_project"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    frozen = np.array([reg[r["vec_id"]] for r in rows])
+    pc1 = exp[:, 0]
+    cos = np.dot(frozen, pc1) / (
+        np.linalg.norm(frozen) * np.linalg.norm(pc1)
+    )
+    assert abs(cos) > 0.999, cos
 
 
 def test_ivfpq_index_build_query_roundtrip(spark, emb, tmp_path):

@@ -766,21 +766,13 @@ def test_cdc_apply_stream_guard_seq_tolerates_out_of_order_batches(
     }
     assert got_plain[1] == 30.0, got_plain
 
-    # guard_seq + sweep_moved_keys is refused (a stale delta's claimed
-    # partition would mis-drive the sweep)
+    # (guard_seq + sweep_moved_keys now composes via
+    # upsert_guarded_moving — covered by
+    # test_cdc_apply_stream_guarded_moving_keys below)
+    # a feed without __seq is refused at CONSTRUCTION, not
+    # mid-batch inside foreachBatch
     import pytest
 
-    with pytest.raises(ValueError, match="partition-stable"):
-        sp.cdc_apply_stream(
-            sp.read_stream(spark, src, feed_schema),
-            ParquetSink(str(tmp_path / "x"), partition_by=("day",),
-                        dynamic_overwrite=True),
-            "t", keys=("event_id",),
-            checkpoint_dir=str(tmp_path / "ckx"),
-            guard_seq=True, sweep_moved_keys=True,
-        )
-    # ...and a feed without __seq is refused at CONSTRUCTION, not
-    # mid-batch inside foreachBatch
     from pyspark.sql import functions as F
 
     with pytest.raises(ValueError, match="__seq"):
@@ -1589,3 +1581,124 @@ def test_bloom_positions_stream_union_merge(spark, sf_dir, tmp_path):
         for r in dedup_incremental_bloom(spark, sf_dir).collect()
     }
     assert streamed == batch and batch
+
+
+def test_cdc_apply_stream_guarded_moving_keys(spark, tmp_path):
+    # Round 8 (VERDICT r7 #4): guard_seq + sweep_moved_keys composes —
+    # out-of-order delivery AND partition-migrating keys in one feed.
+    # Batch order is deliberately adversarial: the migration event
+    # (seq 5, day 3) lands FIRST, then a stale pre-migration update
+    # (seq 3) claiming the ORIGINAL partition arrives in a later batch.
+    # The store must end with exactly one copy per key, at the globally
+    # largest version, in that version's partition.
+    import glob
+    import os
+    import shutil
+
+    from node_mongo2influx_spark.sinks import ParquetSink
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    schema = "event_id long, value double, day string, __seq int"
+    rows1 = [(1, 10.0, "2024-01-01", 1), (2, 20.0, "2024-01-01", 1)]
+    rows2 = [(1, 50.0, "2024-01-03", 5)]           # key 1 migrates
+    rows3 = [(1, 30.0, "2024-01-01", 3),           # stale, old partition
+             (2, 25.0, "2024-01-02", 2)]           # key 2 migrates
+    for i, rows in enumerate((rows1, rows2, rows3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/.t{i}"
+        )
+    files = [
+        f
+        for i in range(3)
+        for f in sorted(glob.glob(f"{src}/.t{i}/*.parquet"))
+    ]
+    for i, f in enumerate(files):
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    feed_schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "store")
+    sink = ParquetSink(store, partition_by=("day",), dynamic_overwrite=True)
+
+    def run(ck):
+        q = sp.cdc_apply_stream(
+            sp.read_stream(spark, src, feed_schema, max_files_per_trigger=1),
+            sink, "t", keys=("event_id",),
+            checkpoint_dir=str(tmp_path / ck),
+            guard_seq=True, sweep_moved_keys=True,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    got = sorted(
+        (r["event_id"], r["value"], str(r["day"]), r["__seq"])
+        for r in spark.read.parquet(store + "/t").collect()
+    )
+    assert got == [
+        (1, 50.0, "2024-01-03", 5),
+        (2, 25.0, "2024-01-02", 2),
+    ], got
+    # vacated partitions are gone from disk (no stale directories)
+    assert not os.path.exists(store + "/t/day=2024-01-01")
+    # fresh-checkpoint replay of the whole feed: set-equal store
+    run("ck2")
+    again = sorted(
+        (r["event_id"], r["value"], str(r["day"]), r["__seq"])
+        for r in spark.read.parquet(store + "/t").collect()
+    )
+    assert again == got
+
+
+def test_drift_forecast_eta_pins_the_flag_day(spark):
+    # Round 8 (VERDICT r7 #6). Exact-linear drift: ratio climbs 0.05/
+    # batch from 1.0 — slope is EXACTLY 500 bp/batch once the window has
+    # 2 points, and the ETA at every pre-alarm batch lands exactly on
+    # the actual crossing (2.0 at batch 20).
+    log = spark.createDataFrame(
+        [(b, (10_000 + 500 * b) / 1e4) for b in range(25)],
+        "ingest_batch long, ratio double",
+    )
+    rows = {r["batch"]: r for r in sp.drift_forecast(log).collect()}
+    assert rows[0]["slope_bp_per_batch"] is None  # 1-point window
+    assert rows[0]["eta_batches"] is None
+    for b in range(1, 25):
+        assert rows[b]["slope_bp_per_batch"] == 500.0, b
+    flag_day = min(b for b in rows if rows[b]["alarm"])
+    assert flag_day == 20
+    for b in range(1, 20):
+        assert b + rows[b]["eta_batches"] == flag_day, b
+    assert rows[20]["eta_batches"] is None  # crossed: nothing to forecast
+    # improving drift never forecasts
+    down = spark.createDataFrame(
+        [(b, (15_000 - 300 * b) / 1e4) for b in range(10)],
+        "ingest_batch long, ratio double",
+    )
+    assert all(
+        r["eta_batches"] is None for r in sp.drift_forecast(down).collect()
+    )
+
+
+def test_drift_forecast_registry_flag_day_matches(spark, sf_dir):
+    # The registered synthesized-log face: the last pre-alarm ETA must
+    # land within 1 batch of the ACTUAL threshold crossing (the trend is
+    # quadratic, so the trailing-linear extrapolation may lead by a hair
+    # — never trail: under accelerating drift the forecast must be
+    # conservative, not late).
+    from node_mongo2influx_spark.plans import load_registry
+
+    rows = {
+        r["batch"]: r
+        for r in load_registry()["ivfpq_drift_forecast"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    alarms = [b for b in rows if rows[b]["alarm"]]
+    assert alarms, "synthesized series must cross the 2x threshold"
+    flag_day = min(alarms)
+    last_pre = flag_day - 1
+    eta = rows[last_pre]["eta_batches"]
+    assert eta is not None
+    predicted = last_pre + eta
+    assert flag_day <= predicted <= flag_day + 1, (predicted, flag_day)

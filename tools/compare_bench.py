@@ -7,6 +7,14 @@ Walks every section pair present in BOTH files (headline ``queries_min``
 plus each ``extended*_min``), prints per-query old→new with a REGRESSED /
 improved marker when |delta| exceeds the band, and exits 1 if any query
 regressed — so the comparison is a mechanical check, not a judgement call.
+
+When BOTH files carry the machine-drift canary (``canary.jvm_min`` in
+BENCH_DETAIL, ``canary`` in the compact line — recorded since r7,
+normalized ratios precomputed as ``normalized_min`` since r8), deltas
+are computed on the CANARY-NORMALIZED basis (old/canary_old vs
+new/canary_new): ambient machine drift moves both a query and the
+canary, so the ratio isolates the diff under test. Raw seconds are
+still printed alongside.
 """
 
 from __future__ import annotations
@@ -38,6 +46,13 @@ def load_bench(path: str) -> dict:
     return out
 
 
+def _canary_jvm(d: dict) -> "float | None":
+    c = d.get("canary")
+    if isinstance(c, dict):
+        c = c.get("jvm_min")
+    return float(c) if isinstance(c, (int, float)) and c > 0 else None
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -45,6 +60,16 @@ def main() -> int:
     old = load_bench(sys.argv[1])
     new = load_bench(sys.argv[2])
     band = float(sys.argv[3]) if len(sys.argv) > 3 else 0.15
+    ca, cb = _canary_jvm(old), _canary_jvm(new)
+    normalized = ca is not None and cb is not None
+    if normalized:
+        print(
+            f"canary-normalized basis: old jvm_min {ca:.3f}, "
+            f"new jvm_min {cb:.3f} (machine factor {cb / ca:.2f}x)"
+        )
+    else:
+        print("no canary in one/both files: RAW seconds basis "
+              "(cross-round machine drift not corrected)")
 
     sections = ["queries_min"] + sorted(
         k for k in old if k.startswith("extended") and k.endswith("_min")
@@ -60,20 +85,25 @@ def main() -> int:
                 print(f"  {q}: dropped from new bench")
                 continue
             va, vb = a[q], b[q]
-            delta = (vb - va) / va if va else 0.0
+            na, nb = (va / ca, vb / cb) if normalized else (va, vb)
+            delta = (nb - na) / na if na else 0.0
             mark = ""
             if delta > band:
                 mark = "  << REGRESSED"
-                regressed.append((sec, q, va, vb))
+                regressed.append((sec, q, va, vb, delta))
             elif delta < -band:
                 mark = "  (improved)"
-            print(f"  {q}: {va:.3f} -> {vb:.3f}  {delta:+.0%}{mark}")
+            norm_txt = f"  [norm {na:.2f} -> {nb:.2f}]" if normalized else ""
+            print(
+                f"  {q}: {va:.3f} -> {vb:.3f}  {delta:+.0%}{norm_txt}{mark}"
+            )
+    basis = "canary-normalized" if normalized else "raw min"
     if regressed:
-        print(f"\n{len(regressed)} regressions beyond {band:.0%}:")
-        for sec, q, va, vb in regressed:
-            print(f"  {sec}/{q}: {va:.3f} -> {vb:.3f}")
+        print(f"\n{len(regressed)} regressions beyond {band:.0%} ({basis}):")
+        for sec, q, va, vb, delta in regressed:
+            print(f"  {sec}/{q}: {va:.3f} -> {vb:.3f} ({delta:+.0%})")
     else:
-        print(f"\nno regressions beyond {band:.0%} (min basis)")
+        print(f"\nno regressions beyond {band:.0%} ({basis} basis)")
     return 1 if regressed else 0
 
 

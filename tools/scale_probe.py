@@ -188,6 +188,30 @@ def main() -> None:
         }
         return text.bm25_multi_topk(uniquified_docs(1), queries=queries)
 
+    # The UNBOUNDED-query-stream face (round 8, VERDICT r7 #1): queries
+    # arrive as a DataFrame, never collected; the broadcast hints are
+    # size-gated (forced off here so every factor runs the unhinted
+    # shuffle path — the path a truly unbounded stream takes at scale).
+    def bm25_multi_qstream(k: int):
+        n_q = 2 * k
+        qdf = (
+            spark.range(3 * n_q)
+            .select(
+                (F.col("id") % n_q).cast("int").alias("query_id"),
+                F.element_at(
+                    F.array(*[F.lit(w) for w in _POOL]),
+                    ((F.col("id") * 7 + F.col("id") / n_q) % len(_POOL))
+                    .cast("int") + 1,
+                ).alias("w"),
+            )
+        )
+        saved = text._BM25_QUERY_BROADCAST_MAX_BYTES
+        text._BM25_QUERY_BROADCAST_MAX_BYTES = 0
+        try:
+            return text.bm25_multi_topk(uniquified_docs(1), queries=qdf)
+        finally:
+            text._BM25_QUERY_BROADCAST_MAX_BYTES = saved
+
     # CDC upsert probe: a FIXED day-partitioned store built once (outside
     # timing); fn(k) upserts a delta touching k days. Claimed cost is
     # O(delta partitions), never O(table) — wall should track k and stay
@@ -232,6 +256,32 @@ def main() -> None:
             .withColumn("__seq", F.lit(2))
         )
         cdcv_sink.upsert(
+            lambda p: spark.read.parquet(p), delta, "t",
+            keys=("event_id",), order_col="__seq",
+        )
+        return None
+
+    # r8 (VERDICT r7 #4): the guarded MOVING merge — adds the column-
+    # pruned key-location scan on top of the guarded rewrite. The scan
+    # is O(table) in rows but reads only (key, partition) columns;
+    # rewrite stays O(touched). Keys stay in place here (the probe
+    # measures the cost SHAPE vs k, not the migration itself — moved
+    # keys only change WHICH partitions rewrite).
+    cdcm_dir = tempfile.mkdtemp(prefix="scale_probe_cdcm_")
+    cdcm_sink = ParquetSink(
+        cdcm_dir, partition_by=("day",), dynamic_overwrite=True
+    )
+    if not ONLY or "cdc_upsert_guarded_moving" in ONLY:
+        cdcm_sink.write(cdcv_base, "t")
+
+    def cdc_upsert_guarded_moving(k: int):
+        days = cdc_days[:k]
+        delta = (
+            cdcv_base.where(F.col("day").isin(days))
+            .withColumn("value", F.col("value") + 1.0)
+            .withColumn("__seq", F.lit(2))
+        )
+        cdcm_sink.upsert_guarded_moving(
             lambda p: spark.read.parquet(p), delta, "t",
             keys=("event_id",), order_col="__seq",
         )
@@ -378,8 +428,10 @@ def main() -> None:
         # round-5 probes (VERDICT r4 #6)
         "modality_agreement_sampled": modality_agreement_sampled,
         "bm25_multi_qcount": bm25_multi_queries,
+        "bm25_multi_qstream": bm25_multi_qstream,
         "cdc_upsert_delta": cdc_upsert_delta,
         "cdc_upsert_delta_guarded": cdc_upsert_delta_guarded,
+        "cdc_upsert_guarded_moving": cdc_upsert_guarded_moving,
         # round-5 library additions: BPE trains over the word-frequency
         # aggregate (the only corpus pass — driver merge-loop time is
         # corpus-size independent); the C4 cleaner is a map-only rewrite.
