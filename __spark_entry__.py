@@ -180,6 +180,25 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # round 8: pca_power_probe refactored onto shared helpers (values
     # bit-identical, re-verified at all SFs).
     ("pca_power_probe", 8),
+    # round 8 (nullify sweep, ts class): time-series queries now load
+    # events through the explicit time-validity rule (ts IS NOT NULL on
+    # BOTH sides — the reference's F1 filter; Spark's window() silently
+    # drops NULL ts while SQL GROUP BY keeps a NULL bucket, and window
+    # NULL-ordering defaults differ per engine). Dense-fixture values
+    # unchanged, re-verified; ohlc additionally moved vwap to
+    # stable_round (a .xxxx5 boundary the new value mix exposed).
+    ("hypertable_rollup_5min", 8),
+    ("rollup_incremental_refresh", 8),
+    ("window_lead_lag_delta", 8),
+    ("sessionize_events", 8),
+    ("batch_session_windows", 8),
+    ("sliding_distinct_users", 8),
+    ("ohlc_vwap_hourly", 8),
+    ("recursive_event_chains", 8),
+    ("rolling_median_value", 8),
+    ("cusum_drift_alarms", 8),
+    ("cusum_drift_chunked", 8),
+    ("window_running_total", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

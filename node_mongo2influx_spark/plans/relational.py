@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.plans import query
-from node_mongo2influx_spark.plans.tables import load, stable_round
+from node_mongo2influx_spark.plans.tables import (
+    load,
+    load_events_timed,
+    stable_round,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -536,12 +540,13 @@ def window_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type
         FROM events
+        WHERE ts IS NOT NULL
     """,
     description="Running aggregate + lag over an ordered per-user frame "
     "(sessionization building blocks).",
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return e.select(
@@ -1656,6 +1661,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
                    AS micros_since_prev
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     description="lead/lag window family: per-user value deltas against the "
@@ -1666,7 +1672,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",

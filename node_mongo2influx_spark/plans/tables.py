@@ -39,3 +39,17 @@ def stable_round_sql(expr: str, digits: int = 4) -> str:
     """DuckDB-side twin of :func:`stable_round` (same doubles, same result)."""
     scale = float(10**digits)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def load_events_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table under the reference's time-validity rule
+    (index.js:235 / SURVEY F1): rows WITHOUT a valid timestamp are not
+    time-series input. Every time-bucketing / time-ordering query loads
+    through this so its Spark plan and its DuckDB oracle agree on the
+    row set explicitly — Spark's window()/session_window() silently
+    DROP NULL timestamps while a SQL GROUP BY time_bucket(...) keeps a
+    NULL bucket, and NULL ordering defaults differ per engine (caught
+    by tools/nullify_fixtures.py's ts class, round 8)."""
+    from pyspark.sql import functions as F
+
+    return load(spark, sf_dir, "events").where(F.col("ts").isNotNull())

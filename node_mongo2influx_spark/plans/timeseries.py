@@ -9,7 +9,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.plans import query
-from node_mongo2influx_spark.plans.tables import load, stable_round
+from node_mongo2influx_spark.plans.tables import (
+    load,
+    load_events_timed,
+    stable_round,
+)
 
 
 @query(
@@ -24,6 +28,7 @@ from node_mongo2influx_spark.plans.tables import load, stable_round
                round(max(value), 2) AS max_value,
                round(arg_max(value, ts), 2) AS last_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
     description="Hypertable-style continuous aggregate: 5-minute time "
@@ -32,7 +37,7 @@ from node_mongo2influx_spark.plans.tables import load, stable_round
     "storage at scale.",
 )
 def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     return (
         e.groupBy(
             "event_type",
@@ -130,6 +135,7 @@ def seasonal_baseline_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                    time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
                        - k * (INTERVAL '10 minutes') AS window_start
             FROM events, unnest([0, 1, 2]) AS t(k)
+            WHERE ts IS NOT NULL
         )
         SELECT CAST(window_start AS TIMESTAMP) AS window_start,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -241,6 +247,7 @@ _IVM_CUTOFF = "2024-01-24 00:00:00"
                CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
                    AS max_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
     description="Incremental view maintenance for the 5-minute rollup: the "
@@ -255,7 +262,7 @@ _IVM_CUTOFF = "2024-01-24 00:00:00"
     "hash-match here: reassociation drifts their low bits.)",
 )
 def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
 
     def partial(df: DataFrame) -> DataFrame:
@@ -334,6 +341,7 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         OR lag(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -355,7 +363,7 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session counts. The batch analogue of a session window.",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # The running sum orders by (ts, event_id) too: with ts alone, rows
     # sharing a timestamp get an engine-dependent prefix-sum order and
@@ -448,6 +456,7 @@ def gapfill_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
                         OR lag(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
@@ -476,7 +485,7 @@ def gapfill_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twin).",
 )
 def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     return (
         e.groupBy(
             "user_id", F.session_window("ts", "30 minutes").alias("win")
@@ -582,11 +591,11 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
                     AS BIGINT) AS volume,
-               round(sum(value * CAST(json_extract(props, '$.k') AS BIGINT))
+               floor(sum(value * CAST(json_extract(props, '$.k') AS BIGINT))
                      / nullif(sum(CAST(json_extract(props, '$.k')
-                                       AS BIGINT)), 0), 4)
+                                       AS BIGINT)), 0) * 1e4 + 5e-1) / 1e4
                    AS vwap
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     description="OHLC + VWAP bars per (series, hour) — the financial/"
     "metrics downsampling shape the reference's InfluxDB users run "
@@ -598,7 +607,7 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "(series, hour); every aggregate is a pure Column expression.",
 )
 def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").withColumn(
+    ev = load_events_timed(spark, sf_dir).withColumn(
         "k", F.get_json_object("props", "$.k").cast("long")
     )
     key = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v"))
@@ -613,7 +622,10 @@ def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("volume"),
         # try_divide: an hour whose entire volume is 0 has no VWAP (NULL)
         # — matches the oracle's nullif and survives ANSI mode.
-        F.round(
+        # stable_round, not round(): weighted sums land on .xxxx5
+        # boundaries where the engines' round() disagree (caught by the
+        # ts-nullified sweep's value mix)
+        stable_round(
             F.try_divide(F.sum(F.col("value") * F.col("k")), F.sum("k")), 4
         ).alias("vwap"),
     )
@@ -626,7 +638,7 @@ WITH RECURSIVE chain(user_id, root, event_id, len) AS (
         SELECT user_id, event_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
-        FROM {table}
+        FROM {table} WHERE ts IS NOT NULL
     ) WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTES
     UNION ALL
     SELECT s.user_id, c.root, s.event_id, c.len + 1
@@ -637,7 +649,7 @@ WITH RECURSIVE chain(user_id, root, event_id, len) AS (
                    AS prev_ts,
                lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_id
-        FROM {table}
+        FROM {table} WHERE ts IS NOT NULL
     ) s ON s.user_id = c.user_id AND s.prev_id = c.event_id
          AND s.ts - s.prev_ts <= INTERVAL 30 MINUTES
 )
@@ -825,7 +837,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH c AS (
             SELECT event_id, event_type, ts,
                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         stats AS (
             SELECT event_type,
@@ -876,7 +888,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and drift the alarm boundary. Two windows + one aggregate.",
 )
 def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     c = e.select(
         "event_id", "event_type", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
@@ -932,7 +944,7 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts, event_id
                    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING
                ) * 10000.0 + 0.5) / 10000.0 AS rolling_median
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     """,
     description="Centered 21-point rolling median per series — the "
     "robust smoother (a rolling MEAN chases every spike the MAD query "
@@ -943,7 +955,7 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "few-series corpora.",
 )
 def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -964,7 +976,7 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH c AS (
             SELECT event_id, event_type, ts,
                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         stats AS (
             SELECT event_type,
@@ -1021,7 +1033,7 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that.",
 )
 def cusum_drift_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_timed(spark, sf_dir)
     c = e.select(
         "event_id", "event_type", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),

@@ -151,8 +151,11 @@ class ParquetSink(Sink):
         (a replayed identical delta re-picks the same rows). The guard
         compares within the touched partitions: it requires the key's
         partition value to be STABLE (a stale row landing in a
-        DIFFERENT partition than the stored one cannot see it —
-        ``cdc_apply_stream(guard_seq=True)`` enforces that constraint).
+        DIFFERENT partition than the stored one cannot see it) — for
+        feeds whose keys MIGRATE while arriving out of order, use
+        :meth:`upsert_guarded_moving` (the global per-key guard;
+        ``cdc_apply_stream(guard_seq=True, sweep_moved_keys=True)``
+        routes there).
 
         ``evolve_schema=True`` lets the delta ADD columns (the continuous
         face of migrating a schemaless Mongo collection that grew a

@@ -36,6 +36,10 @@ NULLS = {
         "event_type": ("event_id", 11),
         "user_id": ("event_id", 13),
         "value": ("event_id", 17),
+        # NULL time is the reference's core data-model hazard — its
+        # time-validity filter (index.js:235 / SURVEY F1) exists because
+        # Mongo rows can lack a valid time entirely
+        "ts": ("event_id", 19),
     },
     "documents": {
         "lang": ("doc_id", 11),
