@@ -199,6 +199,14 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("cusum_drift_alarms", 8),
     ("cusum_drift_chunked", 8),
     ("window_running_total", 8),
+    # round 8 (nullify sweep, text class): a NULL-text document is not
+    # corpus input (the minhash omission rule, now explicit on both
+    # sides for these four — a no-text doc has no fingerprint, render,
+    # payload, or word multiset). Dense-fixture values unchanged.
+    ("dedup_incremental_bloom", 8),
+    ("sft_pack_plan", 8),
+    ("multimodal_features", 8),
+    ("doc_repetition_ratio", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -1359,7 +1359,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT doc_id, text,
                    sha256(text || repeat(chr(0), 4)) AS sha
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), range(1, 9) t(i)
     """,
     description="Arrow-batched feature extraction over binary payloads "
@@ -1376,7 +1376,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = multimodal.as_binary_payload(
-        load(spark, sf_dir, "documents"), source_col="text", id_col="doc_id"
+        load(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+        source_col="text", id_col="doc_id",
     )
     out = multimodal.extract_features(df, id_col="doc_id", dim=8)
     exploded = out.select(
@@ -1583,7 +1584,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH w AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         c AS (
             SELECT doc_id, word, count(*) AS n
@@ -1605,7 +1606,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(which the oracle keeps, proving equivalence).",
 )
 def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # no-text docs are not corpus input (the minhash omission rule)
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     ws = F.split("text", " ")
     # longest equal-run over the sorted words == max per-word count; the
     # fold state is (prev word, current run, best run)
@@ -3459,7 +3461,7 @@ def _bloom_oracle() -> str:
             SELECT doc_id,
                    {_HEAD_FP_DUCKDB} AS fp,
                    {_DELTA_SPLIT_DUCKDB} AS is_delta
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         base AS (SELECT DISTINCT fp FROM fp WHERE NOT is_delta),
         geom AS (
@@ -3532,6 +3534,10 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle runs once (the count below materializes them).
     fp = (
         load(spark, sf_dir, "documents")
+        # a no-text doc has no fingerprint — not dedup input on either
+        # engine (NULL fp positions would diverge: SQL NULL=NULL join
+        # semantics vs the filter's distinct position set)
+        .where(F.col("text").isNotNull())
         .select(
             "doc_id",
             _head_fp_spark().alias("fp"),
@@ -4269,7 +4275,7 @@ def sft_render_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH base AS (
             SELECT doc_id, len(string_split(lower(text), ' ')) AS n
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         acct AS (
             SELECT doc_id, doc_id % 16 AS bucket,
@@ -4308,7 +4314,7 @@ def sft_render_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sft_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered = text.sft_render(
-        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
         text_col="text", id_col="doc_id", response_budget=48,
     ).select(
         "doc_id",

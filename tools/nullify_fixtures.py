@@ -44,6 +44,8 @@ NULLS = {
     "documents": {
         "lang": ("doc_id", 11),
         "source": ("doc_id", 13),
+        # a schemaless corpus has documents with no text at all
+        "text": ("doc_id", 17),
     },
     "embeddings": {
         "label": ("vec_id", 11),
