@@ -207,6 +207,14 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("sft_pack_plan", 8),
     ("multimodal_features", 8),
     ("doc_repetition_ratio", 8),
+    # round 8 (nullify sweep, embedding class): a row without an
+    # embedding is not index input (lsh_recall_probe — DuckDB's
+    # list_dot_product raises on NULL lists where Spark yields NULL);
+    # embedding_norm_qa now REPORTS missing vectors (new n_missing
+    # column) instead of letting DuckDB's list_prepend(0.0, NULL) mint
+    # a phantom zero norm. Dense values unchanged except the new column.
+    ("lsh_recall_probe", 8),
+    ("embedding_norm_qa", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -2609,6 +2609,7 @@ def _lsh_probe_oracle() -> str:
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            WHERE embedding IS NOT NULL
         ),
         b AS (
             {buckets}
@@ -2673,8 +2674,14 @@ def _lsh_probe_oracle() -> str:
 def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        # a row without an embedding is not index input (the vector
+        # analogue of the time-validity rule); DuckDB's
+        # list_dot_product raises on NULL lists where Spark's
+        # aggregate() silently yields NULL — made explicit both sides
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     dot = similarity._dot
     # Single-pass formulation (r6 session 3): at probe query counts the
@@ -3212,26 +3219,35 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH n AS (
             SELECT label,
-                   CAST(round(sqrt(list_reduce(
+                   CASE WHEN embedding IS NULL THEN NULL
+                   ELSE CAST(round(sqrt(list_reduce(
                        list_prepend(CAST(0.0 AS DOUBLE),
                            list_transform(CAST(embedding AS DOUBLE[]),
                                           x -> x * x)),
-                       (a, b) -> a + b)) * 100000) AS BIGINT) AS norm_micro
+                       (a, b) -> a + b)) * 100000) AS BIGINT) END AS norm_micro
             FROM embeddings
         )
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN norm_micro IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missing,
                round(CAST(min(norm_micro) AS DOUBLE) / 100000.0, 5) AS min_norm,
                round(CAST(max(norm_micro) AS DOUBLE) / 100000.0, 5) AS max_norm,
                round(CAST(sum(norm_micro) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) / 100000.0, 5) AS avg_norm,
+                     / CAST(count(norm_micro) AS DOUBLE) / 100000.0, 5)
+                   AS avg_norm,
                CAST(sum(CASE WHEN abs(norm_micro - 100000) > 10000
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
         FROM n GROUP BY label
     """,
-    description="Embedding QA per label: L2-norm min/max/avg and the "
-    "count of far-from-unit vectors (the standard pre-index sanity "
-    "check). Per-vector norms are LEFT FOLDS in both engines (aggregate "
+    description="Embedding QA per label: L2-norm min/max/avg, the count "
+    "of far-from-unit vectors, and the count of rows MISSING their "
+    "embedding (the standard pre-index sanity check — a QA query must "
+    "surface absent vectors, not skip them silently; norm stats cover "
+    "the present vectors only, identically on both engines — DuckDB's "
+    "list_prepend(0.0, NULL) would otherwise mint a [0.0] list and a "
+    "phantom zero norm where Spark's aggregate(NULL) is NULL). "
+    "Per-vector norms are LEFT FOLDS in both engines (aggregate "
     "vs list_reduce — identical IEEE operation sequence, so identical "
     "doubles), then quantized to integer micro-units so every aggregate "
     "is exact integer arithmetic; only the final display division is "
@@ -3248,6 +3264,11 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select("label", norm_micro.alias("norm_micro"))
     return n.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
+        # a row with no embedding has a NULL norm — reported, not
+        # silently skipped (nullify sweep, embedding class, round 8)
+        F.sum(
+            F.when(F.col("norm_micro").isNull(), 1).otherwise(0)
+        ).alias("n_missing"),
         F.round(F.min("norm_micro").cast("double") / 100000.0, 5).alias(
             "min_norm"
         ),
@@ -3256,7 +3277,7 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.sum("norm_micro").cast("double")
-            / F.count(F.lit(1)).cast("double")
+            / F.count("norm_micro").cast("double")
             / 100000.0,
             5,
         ).alias("avg_norm"),

@@ -40,15 +40,23 @@ NULLS = {
         # time-validity filter (index.js:235 / SURVEY F1) exists because
         # Mongo rows can lack a valid time entirely
         "ts": ("event_id", 19),
+        # the dynamic-document JSON blob can be absent wholesale
+        "props": ("event_id", 23),
     },
     "documents": {
         "lang": ("doc_id", 11),
         "source": ("doc_id", 13),
         # a schemaless corpus has documents with no text at all
         "text": ("doc_id", 17),
+        "n_chars": ("doc_id", 19),
     },
     "embeddings": {
         "label": ("vec_id", 11),
+        # a corpus row whose embedding was never computed — the vector
+        # analogue of the missing-time hazard; every ANN/linear-algebra
+        # consumer must either skip it or propagate NULL identically to
+        # the DuckDB oracle
+        "embedding": ("vec_id", 19),
     },
 }
 
