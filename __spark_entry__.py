@@ -215,6 +215,15 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # a phantom zero norm. Dense values unchanged except the new column.
     ("lsh_recall_probe", 8),
     ("embedding_norm_qa", 8),
+    # round 8 (degenerate-cardinality sweep, tools/degenerate_fixtures):
+    # hypertable_rollup_5min's last_value is now a TOTAL order
+    # ((ts, event_id) as a fixed-width digit string — tied timestamps
+    # let each engine keep a different row); stratified_sample_hash's
+    # oracle guards its numeric-suffix reconstruction with
+    # LIKE + TRY_CAST (a non-'srcN' stratum crashed DuckDB's CAST
+    # where the fractions map just drops it). Dense values unchanged.
+    ("hypertable_rollup_5min", 8),
+    ("stratified_sample_hash", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -1510,15 +1510,19 @@ def _sample_oracle_sql() -> str:
 
     h = fnv1a32_duckdb_sql("concat(CAST(doc_id AS VARCHAR), ':sample-v1')")
     # Same rates as _MIX_FRACTIONS, expressed via the numeric source
-    # suffix. source IS NOT NULL replicates default_fraction=0.0: a
-    # stratum not listed in the fractions map (NULL included) keeps
-    # nothing — without the guard DuckDB's CASE would fall through to
-    # the ELSE and sample NULL-source docs at 20%.
+    # suffix. The LIKE + TRY_CAST BETWEEN guard replicates the fractions
+    # map's MEMBERSHIP (default_fraction=0.0): a stratum not listed —
+    # NULL, a non-'srcN' name, or a suffix outside 0..19 — keeps
+    # nothing. TRY_CAST everywhere: a plain CAST on an unknown stratum
+    # name crashes DuckDB outright (degenerate sweep, round 8), and AND
+    # is not guaranteed to short-circuit.
     return f"""
         SELECT doc_id, source
         FROM documents
         WHERE source IS NOT NULL
-          AND {h} < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+          AND source LIKE 'src%'
+          AND TRY_CAST(substr(source, 4) AS INT) BETWEEN 0 AND 19
+          AND {h} < CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
                          THEN {cutoff32(0.5)} ELSE {cutoff32(0.2)} END
     """
 

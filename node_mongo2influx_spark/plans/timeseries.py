@@ -26,15 +26,25 @@ from node_mongo2influx_spark.plans.tables import (
                floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
                round(min(value), 2) AS min_value,
                round(max(value), 2) AS max_value,
-               round(arg_max(value, ts), 2) AS last_value
+               round(arg_max(value,
+                             strftime(CAST(ts AS TIMESTAMP),
+                                      '%Y%m%d%H%M%S%f')
+                             || lpad(CAST(event_id AS VARCHAR), 20, '0')),
+                     2) AS last_value
         FROM events
         WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
     description="Hypertable-style continuous aggregate: 5-minute time "
-    "buckets per series with count/avg/min/max/last (arg_max). One shuffle, "
-    "map-side partial aggregation — the downsampling pattern for metrics "
-    "storage at scale.",
+    "buckets per series with count/avg/min/max/last (arg_max). 'Last' is "
+    "a TOTAL order — (ts, event_id), spelled as a fixed-width digit "
+    "string because DuckDB's arg_max takes no STRUCT ordering key (both "
+    "engines format micros + zero-padded id identically, so "
+    "lexicographic == chronological): under tied timestamps a bare "
+    "arg_max(value, ts) lets each engine pick a different row (caught "
+    "by tools/degenerate_fixtures.py's hour-truncated copy, round 8). "
+    "One shuffle, map-side partial aggregation — the downsampling "
+    "pattern for metrics storage at scale.",
 )
 def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events_timed(spark, sf_dir)
@@ -52,11 +62,20 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             # whose value argument is NULL, Spark's max_by would return
             # the NULL riding on the max-ts row — masking the ord makes
             # both engines pick the latest NON-NULL reading (and NULL
-            # only when the whole bucket is NULL)
+            # only when the whole bucket is NULL). event_id completes
+            # the total order: tied timestamps are REAL in the Mongo
+            # data model (second-granularity clocks), and an untied
+            # max_by lets each engine keep a different row.
             F.round(
                 F.max_by(
                     "value",
-                    F.when(F.col("value").isNotNull(), F.col("ts")),
+                    F.when(
+                        F.col("value").isNotNull(),
+                        F.concat(
+                            F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+                            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+                        ),
+                    ),
                 ),
                 2,
             ).alias("last_value"),
