@@ -224,6 +224,51 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # where the fractions map just drops it). Dense values unchanged.
     ("hypertable_rollup_5min", 8),
     ("stratified_sample_hash", 8),
+    # round 8 (unicode sweep, tools/unicode_fixtures): corpus case
+    # folding is now ASCII-only (functions/fold — JVM and DuckDB
+    # genuinely disagree on lower('İ')/upper('ß'), so every
+    # tokenization path that case-folds arbitrary text diverged on
+    # non-ASCII corpora), and oracle byte paths use encode()/hex-slicing
+    # (CAST(text AS BLOB) crashes DuckDB on non-ASCII; VARCHAR char
+    # slices drift off byte offsets). Dense-ASCII values unchanged —
+    # translate == lower and char == byte there.
+    ("approx_top_words", 8),
+    ("bm25_keyword_topk", 8),
+    ("bm25_multi_query_topk", 8),
+    ("bpe_merge_pair_stats", 8),
+    ("bpe_tokenize_fixed", 8),
+    ("cooccurrence_pmi", 8),
+    ("cooccurrence_topk", 8),
+    ("cross_source_contamination", 8),
+    ("dedup_clusters", 8),
+    ("dedup_containment_pairs", 8),
+    ("dedup_filtered_corpus", 8),
+    ("dedup_keep_best_quality", 8),
+    ("dedup_modality_agreement", 8),
+    ("dedup_modality_agreement_sampled", 8),
+    ("dedup_ngram_jaccard", 8),
+    ("dedup_simhash", 8),
+    ("dedup_url_canonical", 8),
+    ("doc_fingerprint", 8),
+    ("doc_perplexity_bigram", 8),
+    ("dup_transitivity_audit", 8),
+    ("feature_hashing_vectors", 8),
+    ("gopher_quality_flags", 8),
+    ("hybrid_retrieval_rrf", 8),
+    ("lang_id", 8),
+    ("leakage_safe_split", 8),
+    ("minhash_band_agreement", 8),
+    ("multimodal_features", 8),
+    ("multimodal_frame_sample", 8),
+    ("multimodal_meta", 8),
+    ("quality_filter_pipeline", 8),
+    ("quality_lang_matrix", 8),
+    ("sft_pack_plan", 8),
+    ("sft_render_truncate", 8),
+    ("text_quality", 8),
+    ("tfidf_top_terms", 8),
+    ("url_domain_stats", 8),
+    ("word_subsample_weights", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

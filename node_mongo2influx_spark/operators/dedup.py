@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions.fold import ascii_lower
+
 __all__ = [
     "exact",
     "ngram_jaccard_pairs",
@@ -71,7 +73,7 @@ def shingles_from_words(words_col: str, n: int = 3) -> Column:
 def _with_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stage the lower-cased word split as a real column (one evaluation)."""
     return df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__words")
+        F.col(id_col), F.split(ascii_lower(F.col(text_col)), " ").alias("__words")
     )
 
 
@@ -81,7 +83,7 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     Convenience form for small inputs/tests; hot paths go through
     :func:`_with_words` + :func:`shingles_from_words` to avoid re-splitting.
     """
-    return shingles_from_words(f"split(lower({text_col}), ' ')", n)
+    return shingles_from_words(f"split(translate({text_col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')", n)
 
 
 def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -679,7 +681,7 @@ def simhash(
     width = 64 // n_bands
     tok = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("w"),
     ).where(F.col("w") != "")
     # Normalize both hash choices to (lo, hi) 32-bit halves so the voting
     # code below is hash-agnostic: bit j comes from lo for j<32, hi-(j-32)

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions.fold import ascii_lower, ascii_lower_py
+
 #: Stopword markers per language for the lang-ID heuristic. Order matters:
 #: ties break toward the earlier language.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -29,7 +31,7 @@ BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def _words(text_col: str) -> str:
-    return f"split(lower({text_col}), ' ')"
+    return f"split(translate({text_col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
 
 
 def _marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
@@ -119,7 +121,7 @@ def lang_id_oracle_sql(table: str = "documents", text_col: str = "text",
     LANG_MARKERS so the two can never drift."""
     langs = list(LANG_MARKERS)
     score_exprs = ",\n               ".join(
-        f"len(list_filter(string_split(lower({text_col}), ' '), "
+        f"len(list_filter(string_split(translate({text_col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), "
         f"w -> w IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS {lang}_score"
         for lang in langs
     )
@@ -202,7 +204,7 @@ def tfidf_top_terms(
 
     tokens = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("w"),
     ).where(F.col("w") != "")
     tf = tokens.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
@@ -233,7 +235,7 @@ def fingerprint(
 ) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint + leading-2-byte shard
     bucket (the dedup partition key at scale)."""
-    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    normalized = ascii_lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     fp = F.md5(normalized.cast("binary"))
     return df.select(
         F.col(id_col),
@@ -254,7 +256,7 @@ def canonical_url(url: Column) -> Column:
     whole-stage codegen, the right shape for a per-row map at 100 TB."""
     u = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")  # scheme
     u = F.regexp_replace(u, r"[?#].*$", "")                         # query/frag
-    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    host = ascii_lower(F.regexp_extract(u, r"^([^/]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(u, r"^[^/]*(/.*)?$", 1)
     path = F.regexp_replace(path, r"/+$", "")
@@ -265,7 +267,7 @@ def canonical_url_duckdb_sql(expr: str) -> str:
     """DuckDB twin of :func:`canonical_url` (same regexes, same order)."""
     u = f"regexp_replace({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
     u = f"regexp_replace({u}, '[?#].*$', '')"
-    host = f"regexp_replace(lower(regexp_extract({u}, '^([^/]*)', 1)), '^www\\.', '')"
+    host = f"regexp_replace(translate(regexp_extract({u}, '^([^/]*)', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '^www\\.', '')"
     path = f"regexp_replace(regexp_extract({u}, '^[^/]*(/.*)?$', 1), '/+$', '')"
     return f"({host} || {path})"
 
@@ -303,7 +305,7 @@ def cooccurrence_pairs(
     joined key equals ordering by (w1, w2): the separator sorts below
     every word character.
     """
-    ws = F.split(F.lower(F.col(text_col)), " ")
+    ws = F.split(ascii_lower(F.col(text_col)), " ")
     n = F.size(ws)
 
     def pairs_at(d: int):
@@ -440,7 +442,7 @@ def bigram_lm_scores(
     (a one-word doc has no LM evidence either way).
     """
     staged = df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__w")
+        F.col(id_col), F.split(ascii_lower(F.col(text_col)), " ").alias("__w")
     )
     ln = F.greatest(F.size("__w") - 1, F.lit(0))
     z = F.arrays_zip(F.slice("__w", 1, ln), F.slice("__w", 2, ln))
@@ -496,7 +498,7 @@ def word_subsample_weights(
     never a global sort).
     """
     words = df.select(
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
@@ -547,7 +549,7 @@ def bm25_topk(
     for t in terms:
         if "'" in t:
             raise ValueError("terms must not contain quotes")
-    words = F.split(F.lower(F.col(text_col)), " ")
+    words = F.split(ascii_lower(F.col(text_col)), " ")
 
     def _tf(term: str) -> Column:
         # A closure factory: an inline two-arg lambda would be taken for
@@ -619,7 +621,7 @@ def sft_render(
     renders at scan speed; the template literals are parameters, so a
     real tokenizer's special tokens drop in unchanged.
     """
-    words = F.split(F.lower(F.col(text_col)), " ")
+    words = F.split(ascii_lower(F.col(text_col)), " ")
     n = F.size(words)
     np_ = F.floor((n + F.lit(1)) / 2).cast("int")
     prompt = F.slice(words, F.lit(1), np_)
@@ -700,7 +702,7 @@ def bm25_multi_topk(
     from node_mongo2influx_spark.functions.skew import bounded_for_broadcast
 
     spark = df.sparkSession
-    words = F.split(F.lower(F.col(text_col)), " ")
+    words = F.split(ascii_lower(F.col(text_col)), " ")
     base = df.select(F.col(id_col).alias("doc"), words.alias("ws"))
     tokens = base.select(
         "doc", F.size("ws").alias("dl"), F.explode("ws").alias("w")
@@ -797,7 +799,7 @@ def cooccurrence_pmi(
     with the corpus, exactly the tfidf rule. Top-k by pmi among pairs
     seen ≥ ``min_count`` times (PMI of a count-1 pair is noise).
     """
-    ws = F.split(F.lower(F.col(text_col)), " ")
+    ws = F.split(ascii_lower(F.col(text_col)), " ")
     n = F.size(ws)
 
     def pairs_at(d: int):
@@ -864,7 +866,7 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     pass; at 100 TB this is the only stage that touches the corpus."""
     return (
         df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+            F.explode(F.split(ascii_lower(F.col(text_col)), r"\s+")).alias("w")
         )
         .where(F.length("w") > 0)
         .groupBy("w")
@@ -1075,7 +1077,7 @@ def bpe_tokenize(
                 if t is None
                 else [
                     s
-                    for wd in ws.split(t.lower())
+                    for wd in ws.split(ascii_lower_py(t))
                     if wd
                     for s in enc_word(wd)
                 ]
@@ -1163,7 +1165,7 @@ def bpe_replace_chain(
     g2 = guard * 2
     words = F.filter(
         F.split(
-            F.replace(F.lower(F.col(text_col)), F.lit(guard), F.lit("")),
+            F.replace(ascii_lower(F.col(text_col)), F.lit(guard), F.lit("")),
             r"\s+",
         ),
         lambda w: w != "",

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions.fold import ascii_lower
 from node_mongo2influx_spark.operators import (
     dedup,
     multimodal,
@@ -45,7 +46,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle="""
         WITH docs AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
         ),
         shingles AS (
             SELECT doc_id,
@@ -426,7 +427,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup_ngram_jaccard's oracle) — the input graph for cluster queries.
 _PAIRS_CTE = """
         docs AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
         ),
         shingles AS (
             SELECT doc_id,
@@ -755,7 +756,7 @@ def simhash_oracle_sql(n_bands: int = 4) -> str:
     )
     return f"""
         WITH tok AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
             FROM documents
         ),
         hashed AS (
@@ -914,7 +915,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_modality_agreement",
     oracle="""
         WITH docs AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
         ),
         shingles AS (
             SELECT doc_id,
@@ -1037,7 +1038,7 @@ _MODALITY_CUT = _ph.cutoff32(_MODALITY_SAMPLE_RATE)
                   < {_MODALITY_CUT}
         ),
         docs AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS words FROM sdocs
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM sdocs
         ),
         shingles AS (
             SELECT doc_id,
@@ -1153,7 +1154,7 @@ def dedup_modality_agreement_sampled(spark: SparkSession, sf_dir: str) -> DataFr
                      / len(string_split(text, ' ')), 4) AS avg_token_len,
                round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                      AS DOUBLE) / length(text), 4) AS non_alpha_ratio,
-               round(CAST(len(list_filter(string_split(lower(text), ' '),
+               round(CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                      w -> w IN ('the','a','of','to','and','in','is','it')))
                      AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
         FROM documents
@@ -1197,7 +1198,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_source_contamination",
     oracle="""
         WITH docs AS (
-            SELECT doc_id, source, string_split(lower(text), ' ') AS words
+            SELECT doc_id, source, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words
             FROM documents
         ),
         shingles AS (
@@ -1231,7 +1232,7 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
-        F.col("source"), F.split(F.lower(F.col("text")), " ").alias("__words")
+        F.col("source"), F.split(ascii_lower(F.col("text")), " ").alias("__words")
     )
     sh = (
         words.select(
@@ -1260,7 +1261,7 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len(string_split(text, ' ')) AS n_tokens,
                    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                         AS DOUBLE) / length(text) AS non_alpha_ratio,
-                   CAST(len(list_filter(string_split(lower(text), ' '),
+                   CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                         w -> w IN ('the','a','of','to','and','in','is','it')))
                         AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
             FROM documents WHERE length(text) > 0
@@ -1291,8 +1292,12 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle=r"""
         SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
-               substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 4)
+               md5(translate(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
+               substr(md5(translate(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz')), 1, 4)
                    AS shard_bucket
         FROM documents
     """,
@@ -1307,7 +1312,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     oracle="""
         WITH tokens AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
             FROM documents
         ),
         tf AS (
@@ -1351,7 +1356,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                'text/plain' AS mime,
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(i - 1 AS INT) AS feature_idx,
                round(CAST(('0x' || substr(sha, 2*CAST(i AS INT)-1, 2))
                      AS INT) / 255.0, 5) AS feature_val,
@@ -1401,10 +1406,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_meta",
     oracle="""
         SELECT doc_id,
-               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               octet_length(encode(text)) AS n_bytes,
                md5(text) AS content_md5,
-               CASE WHEN octet_length(CAST(text AS BLOB)) >= 4096 THEN 'large'
-                    WHEN octet_length(CAST(text AS BLOB)) >= 1024 THEN 'medium'
+               CASE WHEN octet_length(encode(text)) >= 4096 THEN 'large'
+                    WHEN octet_length(encode(text)) >= 1024 THEN 'medium'
                     ELSE 'small' END AS size_class
         FROM documents
     """,
@@ -1870,17 +1875,18 @@ def countmin_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
         WITH o AS (
-            -- DuckDB has no BLOB substring; the fixture text is pure ASCII
-            -- (verified: no multibyte), so char offsets == byte offsets and
-            -- slicing the VARCHAR then casting the slice is byte-identical.
-            SELECT doc_id, text,
-                   unnest(range(1, greatest(octet_length(CAST(text AS BLOB))
+            -- DuckDB has no BLOB substring; slicing the hex dump instead
+            -- is BYTE-exact (byte off -> hex chars (off-1)*2+1 .. +32),
+            -- unlike slicing the VARCHAR, whose char offsets drift off
+            -- the byte offsets on multibyte text (unicode sweep, r8).
+            SELECT doc_id, hex(encode(text)) AS payload_hex,
+                   unnest(range(1, greatest(octet_length(encode(text))
                                             - 15, 1) + 1, 1024)) AS off
             FROM documents
         )
         SELECT doc_id,
                CAST((off - 1) / 1024 AS INT) AS frame_no,
-               hex(CAST(substring(text, CAST(off AS INT), 16) AS BLOB))
+               substr(payload_hex, CAST((off - 1) * 2 + 1 AS INT), 32)
                    AS frame_hex
         FROM o
     """,
@@ -2073,7 +2079,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_pairs",
     oracle="""
         WITH docs AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS words
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words
             FROM documents
         ),
         shingles AS (
@@ -2217,7 +2223,7 @@ from node_mongo2influx_spark.functions import phash as _phash
 
 
 def _minhash_band_oracle() -> str:
-    words = "string_split(lower(text), ' ')"
+    words = "string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
     sigs = ",\n                   ".join(
         f"{_phash.minhash_words_duckdb_sql('wh', seed)} AS h{seed}"
         for seed in range(4)
@@ -2262,7 +2268,7 @@ def minhash_band_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-byte hash per token (the tf-idf shuffle class, fine at scale).
     words = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "wd"),
+        F.posexplode(F.split(ascii_lower("text"), " ")).alias("pos", "wd"),
     ).select(
         "doc_id", "pos", F.expr(_phash.fnv1a32_spark_sql("wd")).alias("wh1")
     )
@@ -3004,7 +3010,7 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                               - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
                           AS DOUBLE)
                      / CAST(sum(length(text)) AS DOUBLE), 6) AS non_alpha_rate,
-               round(CAST(sum(len(list_filter(string_split(lower(text), ' '),
+               round(CAST(sum(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                               w -> w IN ('the','a','of','to','and','in','is','it'))))
                           AS DOUBLE)
                      / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
@@ -3056,7 +3062,7 @@ def quality_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_merge_pair_stats",
     oracle="""
         WITH words AS (
-            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+            SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w FROM documents
         ),
         pairs AS (
             SELECT unnest(list_transform(
@@ -3079,7 +3085,7 @@ def quality_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    w = F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    w = F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("w")
     pairs = (
         docs.select(w)
         .where(F.length("w") >= 2)
@@ -3625,7 +3631,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cooccurrence_topk",
     oracle="""
         WITH d AS (
-            SELECT string_split(lower(text), ' ') AS w FROM documents
+            SELECT string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
         ),
         i1 AS (
             SELECT w, unnest(range(1, len(w))) AS i
@@ -3823,7 +3829,7 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_perplexity_bigram",
     oracle="""
         WITH d AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS w
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w
             FROM documents
         ),
         pos AS (
@@ -4075,7 +4081,7 @@ def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word_subsample_weights",
     oracle=f"""
         WITH words AS (
-            SELECT unnest(string_split(lower(text), ' ')) AS word
+            SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word
             FROM documents
         ),
         counts AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
@@ -4104,7 +4110,7 @@ _BM25_TERMS = ("join", "window", "hash")
 
 def _bm25_oracle(terms=_BM25_TERMS, k1=1.2, b=0.75, top_n=20) -> str:
     tf_cols = ",\n                   ".join(
-        f"len(list_filter(string_split(lower(text), ' '), w -> w = '{t}'))"
+        f"len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), w -> w = '{t}'))"
         f" AS tf_{i}"
         for i, t in enumerate(terms)
     )
@@ -4122,7 +4128,7 @@ def _bm25_oracle(terms=_BM25_TERMS, k1=1.2, b=0.75, top_n=20) -> str:
     return f"""
         WITH docs AS (
             SELECT doc_id,
-                   len(string_split(lower(text), ' ')) AS dl,
+                   len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS dl,
                    {tf_cols}
             FROM documents
         ),
@@ -4182,7 +4188,7 @@ def _bm25_multi_oracle(queries=_BM25_QUERIES, k1=1.2, b=0.75, top_n=10) -> str:
     return f"""
         WITH q(query_id, w) AS (VALUES {vals}),
         base AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents
         ),
         sized AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
@@ -4245,7 +4251,7 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sft_render_truncate",
     oracle="""
         WITH base AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+            SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ws FROM documents
         ),
         split AS (
             SELECT doc_id, len(ws) AS n,
@@ -4299,7 +4305,7 @@ def sft_render_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sft_pack_plan",
     oracle="""
         WITH base AS (
-            SELECT doc_id, len(string_split(lower(text), ' ')) AS n
+            SELECT doc_id, len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS n
             FROM documents WHERE text IS NOT NULL
         ),
         acct AS (
@@ -4552,7 +4558,7 @@ def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(length(text) - (len(string_split(text, ' ')) - 1)
                         AS DOUBLE)
                        / len(string_split(text, ' ')) AS mwl,
-                   len(list_filter(string_split(lower(text), ' '),
+                   len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                        w -> w IN ('the','a','of','to','and','in','is','it')))
                        AS stop_hits,
                    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g'))
@@ -4589,7 +4595,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_words
     )
     stop_hits = F.expr(
-        "size(filter(split(lower(text), ' '), "
+        "size(filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), "
         "w -> w IN ('the','a','of','to','and','in','is','it')))"
     )
     symr = (
@@ -4623,7 +4629,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cooccurrence_pmi",
     oracle=f"""
         WITH d AS (
-            SELECT string_split(lower(text), ' ') AS w FROM documents
+            SELECT string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w FROM documents
         ),
         i1 AS (
             SELECT w, unnest(range(1, len(w))) AS i
@@ -4969,7 +4975,7 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic count and literal TRUE for the two booleans.
     oracle="""
         WITH w AS (
-            SELECT unnest(string_split(lower(text), ' ')) AS word
+            SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word
             FROM documents
         )
         SELECT CAST(least(20, count(DISTINCT word)) AS BIGINT) AS n_items,
@@ -4999,7 +5005,7 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the totals, the top-20 floor and the coverage scan; items feeds
     # the bound check and the anti-join (consumed-≥2× rule: checkpoint)
     words = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("word")
     ).localCheckpoint(eager=False)
     exact = (
         words.groupBy("word")
@@ -5128,7 +5134,7 @@ def _feature_hash_oracle(n_buckets: int = 64) -> str:
     h = fnv1a32_duckdb_sql("w")
     return f"""
         WITH words AS (
-            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
             FROM documents
         )
         SELECT doc_id,
@@ -5156,7 +5162,7 @@ def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("w"),
     )
     bucket = (F.expr(fnv1a32_spark_sql("w")) % 64).cast("bigint")
     return (
@@ -5288,7 +5294,7 @@ def _bpe_fixed_oracle() -> str:
         WITH w AS (
             SELECT doc_id,
                    list_filter(
-                       string_split_regex(replace(lower(text), '§', ''),
+                       string_split_regex(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '§', ''),
                                           '\\s+'),
                        x -> x != '') AS words
             FROM documents
