@@ -1,0 +1,89 @@
+"""Run the full adversarial-fixture battery against the query registry.
+
+One command for what rounds 4-8 accreted as separate hunters, each of
+which has caught real divergence classes the dense fixtures cannot:
+
+  sparse   (tools/sparsify_fixtures)   missing-combination class (r4 unpivot)
+  nulls    (tools/nullify_fixtures)    NULL keys/values class (r8: NULL group
+                                       keys, NULL ts/text/embedding rules)
+  ties     (tools/degenerate_fixtures) under-specified-ordering class (r8:
+                                       arg_max under tied timestamps)
+  unicode  (tools/unicode_fixtures)    non-ASCII class (r8: case-fold
+                                       contract, byte-vs-char, BLOB casts)
+  combo    (ties ∘ nulls ∘ unicode)    interaction of all three value
+                                       transforms on one copy
+
+Each stage builds its fixture copy (cheap, DuckDB-only) and runs the
+FULL registry through tools/check_oracle.py (a Spark session per stage —
+sequential on purpose; two local[32] sessions thrash). Exit code is the
+number of failing stages. ~6 min per stage at sf0.01.
+
+The zero-row / one-row sweeps stay separate (tools/empty_sweep.py keeps
+its own xfail list and fixture builder), as does the determinism check.
+
+Usage: PYTHONPATH=/root/repo python tools/sweep_all.py [src_sf_dir]
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+#: stage name -> (builder argv, fixture dir). Builders take (src, dst).
+STAGES: list[tuple[str, list[list[str]], str]] = [
+    ("sparse", [["tools/sparsify_fixtures.py", SRC, "/tmp/sf_sparse"]],
+     "/tmp/sf_sparse"),
+    ("nulls", [["tools/nullify_fixtures.py", SRC, "/tmp/sf_nulls"]],
+     "/tmp/sf_nulls"),
+    ("ties", [["tools/degenerate_fixtures.py", SRC, "/tmp/sf_ties"]],
+     "/tmp/sf_ties"),
+    ("unicode", [["tools/unicode_fixtures.py", SRC, "/tmp/sf_unicode"]],
+     "/tmp/sf_unicode"),
+    # combo: value-transform composition (ties, then unicode text
+    # injection, then NULL injection — each tool is a pure per-table
+    # rewrite, so they chain)
+    ("combo",
+     [["tools/degenerate_fixtures.py", SRC, "/tmp/sf_combo_a"],
+      ["tools/unicode_fixtures.py", "/tmp/sf_combo_a", "/tmp/sf_combo_b"],
+      ["tools/nullify_fixtures.py", "/tmp/sf_combo_b", "/tmp/sf_combo"]],
+     "/tmp/sf_combo"),
+]
+
+
+def main() -> int:
+    failed = []
+    for name, builders, fixture in STAGES:
+        for argv in builders:
+            r = subprocess.run(
+                [sys.executable] + argv, cwd=REPO,
+                capture_output=True, text=True,
+            )
+            if r.returncode != 0:
+                print(f"[{name}] builder {argv[0]} FAILED:\n{r.stderr[-2000:]}")
+                failed.append(name)
+                break
+        else:
+            print(f"[{name}] fixture built at {fixture}; running registry...")
+            r = subprocess.run(
+                [sys.executable, "-u", "tools/check_oracle.py", fixture],
+                cwd=REPO, capture_output=True, text=True,
+            )
+            tail = "\n".join(
+                ln for ln in r.stdout.replace("\r", "\n").splitlines()
+                if ln.startswith("FAIL") or ln.endswith("failures")
+                or " failures: " in ln
+            )
+            print(f"[{name}] {tail.strip() or r.stdout[-400:]}")
+            if r.returncode != 0:
+                failed.append(name)
+    print(f"\nsweep_all: {len(failed)} failing stages"
+          + (f": {failed}" if failed else ""))
+    return len(failed)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
