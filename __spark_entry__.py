@@ -269,6 +269,25 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("tfidf_top_terms", 8),
     ("url_domain_stats", 8),
     ("word_subsample_weights", 8),
+    # round 8 (non-finite sweep, tools/nonfinite_fixtures): the
+    # finite-measure rule — a NaN/±Inf value is an INVALID READING and
+    # becomes NULL at the query's input on both engine sides
+    # (load_events_measured / EVENTS_MEASURED_DUCKDB); the Influx sink
+    # renders non-finite floats as ABSENT fields (line protocol cannot
+    # represent them). Dense values unchanged (fixtures are finite).
+    # hypertable/ohlc/rolling/cusum entries above already cover those.
+    ("rollup_incremental_refresh", 8),
+    ("influx_line_protocol", 8),
+    ("udaf_geomean_value", 8),
+    ("grouped_zscore", 8),
+    ("winsorize_by_type", 8),
+    ("table_diff_checksum", 8),
+    ("seasonal_baseline_residual", 8),
+    ("histogram_quantile_sketch", 8),
+    ("mad_robust_outliers", 8),
+    ("window_range_moving_avg", 8),
+    ("cube_type_by_weekday", 8),
+    ("percentiles_by_type", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -130,7 +130,8 @@ def catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 'event_type="' || event_type || '"' END)
                || ' ' || CAST(epoch_ns(CAST(ts AS TIMESTAMP)) AS VARCHAR)
                AS line
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         WHERE ts IS NOT NULL
           AND (value IS NOT NULL OR event_type IS NOT NULL)
     """,
@@ -139,7 +140,11 @@ def catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "writePoints). NULL fields are OMITTED per protocol (concat_ws over "
     "conditional fields on both engines) and a row whose every field is "
     "NULL is dropped — a field-less line has no information and 400s the "
-    "write batch (sinks/influx.py render_lines).",
+    "write batch (sinks/influx.py render_lines). Non-finite readings "
+    "render as ABSENT fields for the same reason: line protocol cannot "
+    "represent NaN/±Inf and one bad field poisons the POST batch (the "
+    "sink's float renderer applies the finite-measure rule; the oracle "
+    "mirrors it with isfinite).",
 )
 def influx_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.sinks.influx import render_lines

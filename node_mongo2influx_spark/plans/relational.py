@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from node_mongo2influx_spark.plans import query
 from node_mongo2influx_spark.plans.tables import (
     load,
+    load_events_measured,
     load_events_timed,
     stable_round,
 )
@@ -567,14 +568,15 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS BIGINT)
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
                ) * 10000.0 + 0.5) / 10000.0 AS avg_1h
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
     """,
     description="RANGE-frame window: trailing 1-hour moving average keyed on "
     "event time (microsecond range frame) — value-based frames, not row "
     "counts, so sparse and dense series behave identically.",
 )
 def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_measured(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
@@ -764,14 +766,15 @@ def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(isodow(ts) AS INT) AS weekday,
                count(*) AS n,
                floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         GROUP BY CUBE (event_type, CAST(isodow(ts) AS INT))
     """,
     description="CUBE over two dimensions (all 4 grouping sets).",
 )
 def cube_type_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ISO weekday (Mon=1..Sun=7) matches DuckDB's isodow.
-    e = load(spark, sf_dir, "events").withColumn(
+    e = load_events_measured(spark, sf_dir).withColumn(
         "weekday", F.dayofweek(F.expr("ts - INTERVAL 1 DAY")).cast("int")
     )
     return e.cube("event_type", "weekday").agg(
@@ -971,7 +974,8 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(quantile_cont(value, 0.5), 4) AS p50,
                round(quantile_cont(value, 0.9), 4) AS p90,
                round(quantile_cont(value, 0.99), 4) AS p99
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         GROUP BY event_type
     """,
     description="Exact interpolated percentiles per group. At 100 TB swap "
@@ -979,7 +983,7 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_users for the sketch pattern.",
 )
 def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_measured(spark, sf_dir)
     return e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
@@ -992,7 +996,8 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rows_ AS (
             SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events WHERE value IS NOT NULL
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events WHERE value IS NOT NULL
         ),
         hist AS (
             SELECT event_type, least(cents // 800, 63) AS bin,
@@ -1051,7 +1056,7 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     rows = (
-        load(spark, sf_dir, "events")
+        load_events_measured(spark, sf_dir)
         .where(F.col("value").isNotNull())
         .select(
             "event_type",
@@ -1106,13 +1111,15 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    floor(quantile_cont(value, 0.05) * 1e4 + 0.5) / 1e4 AS lo,
                    floor(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS hi
-            FROM events GROUP BY event_type
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events GROUP BY event_type
         )
         SELECT event_id, e.event_type,
                floor(least(greatest(value, lo), hi) * 1e4 + 0.5) / 1e4
                    AS clipped,
                (value < lo OR value > hi) AS was_clipped
-        FROM events e JOIN cuts USING (event_type)
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) e JOIN cuts USING (event_type)
     """,
     description="Per-group winsorization: clip each value into its "
     "group's [p05, p95] band — the outlier-taming step a training "
@@ -1124,7 +1131,7 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ulp of interpolation drift can't flip a boundary row's clip flag.",
 )
 def winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_measured(spark, sf_dir)
     r4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     cuts = e.groupBy("event_type").agg(
         r4(F.expr("percentile(value, 0.05)")).alias("lo"),
@@ -1189,7 +1196,8 @@ def correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                round(exp(avg(ln(value))), 4) AS geo_mean
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         WHERE value > 0
         GROUP BY event_type
     """,
@@ -1201,7 +1209,7 @@ def correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.functions.udxf import geomean
 
-    e = load(spark, sf_dir, "events").where("value > 0")
+    e = load_events_measured(spark, sf_dir).where("value > 0")
     return e.groupBy("event_type").agg(
         F.round(geomean("value"), 4).alias("geo_mean")
     )
@@ -1313,7 +1321,8 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id,
                round((value - avg(value) OVER w)
                      / nullif(stddev_samp(value) OVER w, 0), 4) AS zscore
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         WINDOW w AS (PARTITION BY user_id)
     """,
     description="Per-group normalization via applyInPandas (grouped-map "
@@ -1323,7 +1332,9 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exists for transforms that genuinely need whole-group pandas access.",
 )
 def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e = load_events_measured(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
 
     def standardize(pdf):
         import numpy as np
@@ -2705,7 +2716,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_diff_checksum",
     oracle="""
         WITH base AS (
-            SELECT event_id, event_type, user_id, value FROM events
+            SELECT event_id, event_type, user_id, value
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         ),
         altered AS (
             SELECT event_id, event_type, user_id,
@@ -2741,7 +2754,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "commutative integer sums: aggregation-order-proof on BOTH engines.",
 )
 def table_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select(
+    e = load_events_measured(spark, sf_dir).select(
         "event_id", "event_type", "user_id", "value"
     )
     altered = e.withColumn(

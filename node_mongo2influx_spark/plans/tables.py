@@ -41,6 +41,40 @@ def stable_round_sql(expr: str, digits: int = 4) -> str:
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
+#: DuckDB-side twin of :func:`load_events_measured` — drop this in place
+#: of ``events`` in an oracle's FROM clause (aliased back to ``events``
+#: so references keep resolving).
+EVENTS_MEASURED_DUCKDB = (
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END "
+    "AS value) FROM events) events"
+)
+
+
+def load_events_measured(
+    spark: SparkSession, sf_dir: str, timed: bool = False
+) -> DataFrame:
+    """The events table under the finite-measure rule: a NaN/±Inf value
+    is an INVALID READING and becomes NULL (the row survives — the event
+    happened, its reading didn't). Non-finite doubles are legal in the
+    Mongo source model but non-portable inside the engines (NaN
+    grouping/ordering, ANSI CAST overflow, DuckDB STDDEV range error —
+    censused by tools/nonfinite_fixtures.py, round 8) and unwritable at
+    the reference's destination (InfluxDB line protocol rejects them).
+    Queries that quantize value to integers, rank/percentile it, or
+    feed it to variance load through this; pair with
+    EVENTS_MEASURED_DUCKDB in the oracle."""
+    from pyspark.sql import functions as F
+
+    from node_mongo2influx_spark.functions.measures import finite_measure
+
+    e = (
+        load_events_timed(spark, sf_dir)
+        if timed
+        else load(spark, sf_dir, "events")
+    )
+    return e.withColumn("value", finite_measure(F.col("value")))
+
+
 def load_events_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table under the reference's time-validity rule
     (index.js:235 / SURVEY F1): rows WITHOUT a valid timestamp are not

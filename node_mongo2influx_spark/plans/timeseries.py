@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from node_mongo2influx_spark.plans import query
 from node_mongo2influx_spark.plans.tables import (
     load,
+    load_events_measured,
     load_events_timed,
     stable_round,
 )
@@ -31,7 +32,8 @@ from node_mongo2influx_spark.plans.tables import (
                                       '%Y%m%d%H%M%S%f')
                              || lpad(CAST(event_id AS VARCHAR), 20, '0')),
                      2) AS last_value
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
@@ -47,7 +49,7 @@ from node_mongo2influx_spark.plans.tables import (
     "pattern for metrics storage at scale.",
 )
 def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events_timed(spark, sf_dir)
+    e = load_events_measured(spark, sf_dir, timed=True)
     return (
         e.groupBy(
             "event_type",
@@ -93,7 +95,8 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS dow,
                    CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
                        AS hod
-            FROM events
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         ),
         base AS (
             SELECT event_type, dow, hod,
@@ -121,7 +124,7 @@ def hypertable_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping-order reassociation.",
 )
 def seasonal_baseline_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_measured(spark, sf_dir)
     keyed = e.select(
         "event_id",
         "event_type",
@@ -265,7 +268,8 @@ _IVM_CUTOFF = "2024-01-24 00:00:00"
                    AS min_value,
                CAST(max(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
                    AS max_value
-        FROM events
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events
         WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
@@ -281,7 +285,7 @@ _IVM_CUTOFF = "2024-01-24 00:00:00"
     "hash-match here: reassociation drifts their low bits.)",
 )
 def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events_timed(spark, sf_dir)
+    e = load_events_measured(spark, sf_dir, timed=True)
     cents = F.round(F.col("value") * 100).cast("long")
 
     def partial(df: DataFrame) -> DataFrame:
@@ -614,7 +618,8 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
                      / nullif(sum(CAST(json_extract(props, '$.k')
                                        AS BIGINT)), 0) * 1e4 + 5e-1) / 1e4
                    AS vwap
-        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     description="OHLC + VWAP bars per (series, hour) — the financial/"
     "metrics downsampling shape the reference's InfluxDB users run "
@@ -626,7 +631,7 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "(series, hour); every aggregate is a pure Column expression.",
 )
 def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events_timed(spark, sf_dir).withColumn(
+    ev = load_events_measured(spark, sf_dir, timed=True).withColumn(
         "k", F.get_json_object("props", "$.k").cast("long")
     )
     key = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v"))
@@ -789,12 +794,14 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med
-            FROM events GROUP BY event_type
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events GROUP BY event_type
         ),
         dev AS (
             SELECT e.event_id, e.event_type, e.value, m.med,
                    abs(e.value - m.med) AS d
-            FROM events e JOIN med m USING (event_type)
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+                  AS value) FROM events) e JOIN med m USING (event_type)
         ),
         mad AS (
             SELECT event_type, quantile_cont(d, 0.5) AS mad
@@ -818,7 +825,7 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the 5-row stats tables).",
 )
 def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    e = load_events_measured(spark, sf_dir)
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -856,7 +863,8 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH c AS (
             SELECT event_id, event_type, ts,
                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-            FROM events WHERE ts IS NOT NULL
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events WHERE ts IS NOT NULL
         ),
         stats AS (
             SELECT event_type,
@@ -907,7 +915,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and drift the alarm boundary. Two windows + one aggregate.",
 )
 def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events_timed(spark, sf_dir)
+    e = load_events_measured(spark, sf_dir, timed=True)
     c = e.select(
         "event_id", "event_type", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
@@ -963,7 +971,8 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts, event_id
                    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING
                ) * 10000.0 + 0.5) / 10000.0 AS rolling_median
-        FROM events WHERE ts IS NOT NULL
+        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events WHERE ts IS NOT NULL
     """,
     description="Centered 21-point rolling median per series — the "
     "robust smoother (a rolling MEAN chases every spike the MAD query "
@@ -974,7 +983,7 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "few-series corpora.",
 )
 def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events_timed(spark, sf_dir)
+    e = load_events_measured(spark, sf_dir, timed=True)
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -995,7 +1004,8 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH c AS (
             SELECT event_id, event_type, ts,
                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-            FROM events WHERE ts IS NOT NULL
+            FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
+              AS value) FROM events) events WHERE ts IS NOT NULL
         ),
         stats AS (
             SELECT event_type,
@@ -1052,7 +1062,7 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that.",
 )
 def cusum_drift_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events_timed(spark, sf_dir)
+    e = load_events_measured(spark, sf_dir, timed=True)
     c = e.select(
         "event_id", "event_type", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),

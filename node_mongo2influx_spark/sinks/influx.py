@@ -56,7 +56,17 @@ def _field_expr(name: str, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
         val = F.concat(col.cast("string"), F.lit("i"))
     elif isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        val = col.cast("double").cast("string")
+        # Line protocol has NO non-finite representation: InfluxDB
+        # rejects NaN/±Inf field values, and ONE bad field 400s the
+        # whole POST batch (and the engines even stringify them
+        # differently — 'Infinity' vs 'inf'). A non-finite reading
+        # renders as an ABSENT field, exactly like NULL; the row's
+        # other fields still write.
+        from node_mongo2influx_spark.functions.measures import (
+            finite_measure,
+        )
+
+        val = finite_measure(col.cast("double")).cast("string")
     elif isinstance(dtype, T.BooleanType):
         val = col.cast("string")
     else:

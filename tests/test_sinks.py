@@ -41,6 +41,28 @@ def test_render_drops_all_null_field_rows(spark):
     assert len(lines) == 1 and 'v=1.0,s="x"' in lines[0]
 
 
+def test_render_drops_nonfinite_float_fields(spark):
+    # Line protocol has no NaN/±Inf representation and InfluxDB 400s the
+    # whole POST batch on one bad field — a non-finite reading renders
+    # as an ABSENT field (like NULL); the row's other fields still write,
+    # and a row whose ONLY field was non-finite is dropped entirely.
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1), float("nan"), "a"),
+            (datetime.datetime(2024, 1, 2), float("inf"), "b"),
+            (datetime.datetime(2024, 1, 3), float("-inf"), None),
+            (datetime.datetime(2024, 1, 4), 2.5, None),
+        ],
+        "time timestamp, v double, s string",
+    )
+    lines = sorted(r["line"] for r in render_lines(df, "m").collect())
+    assert lines == [
+        'm s="a" 1704067200000000000',
+        'm s="b" 1704153600000000000',
+        "m v=2.5 1704326400000000000",
+    ]
+
+
 def test_render_escapes_newlines_in_string_fields(spark):
     # Line protocol is newline-delimited: an unescaped \n in a field value
     # splits one point into two malformed lines and 400s the POST batch.

@@ -10,7 +10,10 @@ which has caught real divergence classes the dense fixtures cannot:
                                        arg_max under tied timestamps)
   unicode  (tools/unicode_fixtures)    non-ASCII class (r8: case-fold
                                        contract, byte-vs-char, BLOB casts)
-  combo    (ties ∘ nulls ∘ unicode)    interaction of all three value
+  nonfinite (tools/nonfinite_fixtures) NaN/±Inf class (r8: the
+                                       finite-measure rule — an invalid
+                                       reading becomes NULL, both sides)
+  combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
 Each stage builds its fixture copy (cheap, DuckDB-only) and runs the
@@ -43,6 +46,8 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_ties"),
     ("unicode", [["tools/unicode_fixtures.py", SRC, "/tmp/sf_unicode"]],
      "/tmp/sf_unicode"),
+    ("nonfinite", [["tools/nonfinite_fixtures.py", SRC, "/tmp/sf_nonfinite"]],
+     "/tmp/sf_nonfinite"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
