@@ -288,6 +288,19 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("window_range_moving_avg", 8),
     ("cube_type_by_weekday", 8),
     ("percentiles_by_type", 8),
+    # round 8 (json sweep, tools/json_fixtures): adversarial props
+    # documents (deep nesting, >BIGINT numbers, duplicate keys, array/
+    # malformed roots, typed mismatches). JSON extraction is TOLERANT
+    # on both sides now (try_cast + json_valid guards); the map-explode
+    # faces moved to key-occurrence/first-wins semantics (strict
+    # from_json map had no DuckDB twin on such documents); VARIANT uses
+    # try_parse_json (duplicate-key docs are invalid per spec, guard
+    # mirrored). Dense values unchanged (fixture props are flat valid
+    # int objects).
+    ("json_props_map", 8),
+    ("udtf_explode_props", 8),
+    ("variant_json_typed", 8),
+    ("scalar_date_json", 8),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

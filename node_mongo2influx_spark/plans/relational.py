@@ -613,18 +613,39 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_props_map",
     oracle="""
-        SELECT event_id, k.key, CAST(json_extract_string(props, '$.' || k.key) AS INT) AS val
-        FROM events, unnest(json_keys(props)) AS k(key)
+        SELECT event_id, k.key,
+               TRY_CAST(json_extract_string(props, '$.' || k.key) AS INT)
+                   AS val
+        FROM events,
+             unnest(CASE WHEN json_valid(props) THEN json_keys(props) END)
+                 AS k(key)
         WHERE props IS NOT NULL
     """,
     description="Dynamic JSON document → map explode (the Mongo schemaless-"
-    "document pattern): from_json to map<string,int>, one row per key.",
+    "document pattern): one row per TOP-LEVEL KEY OCCURRENCE of a valid "
+    "object root, value = tolerant int of that key's FIRST value. "
+    "Key enumeration (json_object_keys / json_keys, both of which keep "
+    "duplicate keys and return nothing for non-object or malformed "
+    "roots) + path extraction (first-wins on duplicates in both "
+    "engines) + try_cast replaces the old strict from_json "
+    "map<string,int> — whose all-or-nothing document semantics (a "
+    "single nested or string value NULLs the whole map, duplicate keys "
+    "resolve LAST-wins) matches no DuckDB spelling on adversarial "
+    "documents (tools/json_fixtures.py, round 8).",
 )
 def json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").where(F.col("props").isNotNull())
-    return e.select(
+    keyed = e.select(
         "event_id",
-        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val"),
+        "props",
+        F.explode(F.expr("json_object_keys(props)")).alias("key"),
+    )
+    return keyed.select(
+        "event_id",
+        "key",
+        F.expr(
+            "try_cast(get_json_object(props, concat('$.', key)) AS INT)"
+        ).alias("val"),
     )
 
 
@@ -858,11 +879,16 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(hour(ts) AS INT)                            AS h,
                CAST(date_trunc('day', ts) AS TIMESTAMP)         AS day_start,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS unix_sec,
-               CAST(json_extract_string(props, '$.k') AS INT)   AS prop_k
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS INT) AS prop_k
         FROM events
     """,
     description="Date-part extraction + epoch + JSON field extraction "
-    "(events.props is a JSON string — the Mongo dynamic-document analogue).",
+    "(events.props is a JSON string — the Mongo dynamic-document "
+    "analogue). Extraction is TOLERANT on both sides: a malformed "
+    "document, non-numeric value, or int32 overflow is NULL, never an "
+    "error (json sweep, round 8).",
 )
 def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -874,7 +900,9 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("h"),
         F.date_trunc("day", F.col("ts")).alias("day_start"),
         F.unix_timestamp("ts").alias("unix_sec"),
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias(
+            "prop_k"
+        ),
     )
 
 
@@ -1218,13 +1246,20 @@ def udaf_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_explode_props",
     oracle="""
-        SELECT event_id, k.key, CAST(json_extract_string(props, '$.' || k.key) AS INT) AS val
-        FROM events, unnest(json_keys(props)) AS k(key)
+        SELECT event_id, k.key,
+               TRY_CAST(json_extract_string(props, '$.' || k.key) AS INT)
+                   AS val
+        FROM events,
+             unnest(CASE WHEN json_valid(props) THEN json_keys(props) END)
+                 AS k(key)
         WHERE props IS NOT NULL
     """,
     description="Python UDTF (Spark 3.5+ table function): one row per JSON "
     "property, lateral-joined to the source — the UDTF surface, oracle-"
-    "checked against the native json path.",
+    "checked against the native json path. Same key-occurrence/"
+    "first-wins/tolerant-int semantics as json_props_map (the UDTF "
+    "parses with object_pairs_hook so duplicate keys survive where a "
+    "plain dict would silently last-wins them).",
 )
 def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.functions.udxf import ExplodeProps
@@ -2529,23 +2564,36 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_json_typed",
     oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   CASE WHEN json_valid(props)
+                         AND len(json_keys(props))
+                             = len(list_distinct(json_keys(props)))
+                        THEN props END AS p
+            FROM events
+        )
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-               json_extract_string(props, '$.missing') AS missing_path,
-               CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
-        FROM events
+               TRY_CAST(json_extract(p, '$.k') AS BIGINT) AS k,
+               json_extract_string(p, '$.missing') AS missing_path,
+               TRY_CAST(json_extract(p, '$.k') AS BIGINT) % 10 AS k_mod
+        FROM src
     """,
     description="Semi-structured access through Spark 4's VARIANT type: "
-    "parse_json once, typed variant_get extraction (a missing path is "
-    "NULL, not an error), arithmetic on the extracted value. VARIANT "
-    "stores shredded binary JSON — repeated path access skips re-parsing "
-    "the string, the columnar-JSON answer to the reference's schemaless "
-    "Mongo documents (SURVEY §1.3). Oracle: DuckDB's JSON extraction "
-    "computes the same values from the raw string.",
+    "try_parse_json once, typed try_variant_get extraction (a missing "
+    "path, malformed document, or overflow is NULL, not an error), "
+    "arithmetic on the extracted value. VARIANT stores shredded binary "
+    "JSON — repeated path access skips re-parsing the string, the "
+    "columnar-JSON answer to the reference's schemaless Mongo documents "
+    "(SURVEY §1.3). Oracle: DuckDB's JSON extraction with TRY_CAST and a "
+    "validity guard computes the same values from the raw string; a "
+    "document with DUPLICATE keys is invalid per the VARIANT spec "
+    "(try_parse_json -> NULL), mirrored by the distinct-keys guard "
+    "(top-level — the depth the adversarial fixture exercises; Spark "
+    "rejects duplicates at any depth).",
 )
 def variant_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.expr("try_parse_json(props)")
     k = F.try_variant_get(v, "$.k", "bigint")
     return ev.select(
         "event_id",

@@ -612,14 +612,16 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
                (max(struct_pack(ts := ts, eid := event_id, v := value))).v
                    AS close,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+               CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
                     AS BIGINT) AS volume,
-               floor(sum(value * CAST(json_extract(props, '$.k') AS BIGINT))
-                     / nullif(sum(CAST(json_extract(props, '$.k')
+               floor(sum(value * TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                     / nullif(sum(TRY_CAST(json_extract(props, '$.k')
                                        AS BIGINT)), 0) * 1e4 + 5e-1) / 1e4
                    AS vwap
-        FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END
-              AS value) FROM events) events WHERE ts IS NOT NULL GROUP BY 1, 2
+        FROM (SELECT * REPLACE (
+                  CASE WHEN isfinite(value) THEN value END AS value,
+                  CASE WHEN json_valid(props) THEN props END AS props)
+              FROM events) events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     description="OHLC + VWAP bars per (series, hour) — the financial/"
     "metrics downsampling shape the reference's InfluxDB users run "
@@ -632,7 +634,7 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_measured(spark, sf_dir, timed=True).withColumn(
-        "k", F.get_json_object("props", "$.k").cast("long")
+        "k", F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     )
     key = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v"))
     return ev.groupBy(

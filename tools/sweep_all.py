@@ -13,6 +13,9 @@ which has caught real divergence classes the dense fixtures cannot:
   nonfinite (tools/nonfinite_fixtures) NaN/±Inf class (r8: the
                                        finite-measure rule — an invalid
                                        reading becomes NULL, both sides)
+  json     (tools/json_fixtures)       adversarial-props class (r8:
+                                       tolerant extraction, key-occurrence
+                                       map explode, VARIANT validity)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
@@ -48,6 +51,8 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_unicode"),
     ("nonfinite", [["tools/nonfinite_fixtures.py", SRC, "/tmp/sf_nonfinite"]],
      "/tmp/sf_nonfinite"),
+    ("json", [["tools/json_fixtures.py", SRC, "/tmp/sf_json"]],
+     "/tmp/sf_json"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
