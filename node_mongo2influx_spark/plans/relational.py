@@ -899,7 +899,15 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").alias("d"),
         F.hour("ts").alias("h"),
         F.date_trunc("day", F.col("ts")).alias("day_start"),
-        F.unix_timestamp("ts").alias("unix_sec"),
+        # FLOOR seconds, not truncation: unix_timestamp() drops the
+        # fractional second toward ZERO, so a PRE-EPOCH reading like
+        # 1905-...T07:00:00.5 lands one second late vs DuckDB's
+        # floor(epoch()) (extreme-ts sweep, round 8). pmod makes the
+        # floor exact in integer micros — no double in sight.
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) "
+            "div 1000000"
+        ).alias("unix_sec"),
         F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias(
             "prop_k"
         ),

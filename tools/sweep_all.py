@@ -16,6 +16,9 @@ which has caught real divergence classes the dense fixtures cannot:
   json     (tools/json_fixtures)       adversarial-props class (r8:
                                        tolerant extraction, key-occurrence
                                        map explode, VARIANT validity)
+  xts      (tools/extreme_ts_fixtures) extreme-timestamp class (r8:
+                                       pre-epoch floor-vs-truncate
+                                       second arithmetic)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
@@ -53,6 +56,8 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_nonfinite"),
     ("json", [["tools/json_fixtures.py", SRC, "/tmp/sf_json"]],
      "/tmp/sf_json"),
+    ("xts", [["tools/extreme_ts_fixtures.py", SRC, "/tmp/sf_xts"]],
+     "/tmp/sf_xts"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
