@@ -30,7 +30,9 @@ number of failing stages. ~6 min per stage at sf0.01.
 The zero-row / one-row sweeps stay separate (tools/empty_sweep.py keeps
 its own xfail list and fixture builder), as does the determinism check.
 
-Usage: PYTHONPATH=/root/repo python tools/sweep_all.py [src_sf_dir]
+Usage: PYTHONPATH=/root/repo python tools/sweep_all.py [src_sf_dir] [stage ...]
+(stage names filter the battery — e.g. `sweep_all.py /root/testdata/sf0.01
+ties json` re-runs just those two.)
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 #: stage name -> (builder argv, fixture dir). Builders take (src, dst).
 STAGES: list[tuple[str, list[list[str]], str]] = [
@@ -72,6 +75,8 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
 def main() -> int:
     failed = []
     for name, builders, fixture in STAGES:
+        if ONLY and name not in ONLY:
+            continue
         for argv in builders:
             r = subprocess.run(
                 [sys.executable] + argv, cwd=REPO,
