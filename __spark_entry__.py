@@ -74,12 +74,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: so an entry numbered with an already-recorded round would expire
 #: against a green row that PRECEDED the change); the entry self-expires
 #: once a green driver row lands in a round >= ``round_changed``.
+#:
+#: ORACLE-BEARING queries only: a rows-only query's driver row is always
+#: ``rows_match: null`` (``no_oracle``), so it can NEVER satisfy the
+#: expiry rule — listing one here pins a window slot forever on evidence
+#: that cannot land (rounds 5–8 burned 8 slots per round this way). A
+#: rows-only query's re-witness after a code change is its pytest
+#: recall/accuracy gate plus its oracle-exact companion (the docstring
+#: table above), so list the COMPANION here instead.
 _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # round-4 session 3 (witness lands in the r5 snapshot): the
     # components rewrite touches every clusters query; the cosine_pairs
     # repartition touches the exact embedding tier.
     ("dedup_clusters", 5),
-    ("dedup_clusters_lsh", 5),
     ("dedup_filtered_corpus", 5),
     ("embedding_neardup_pairs", 5),
     # round 5: ADVICE fix — sparse (user,type) combos now emit 0 on both
@@ -87,16 +94,6 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("unpivot_event_matrix", 5),
     # round 5: pairs subtree persisted (was recomputed 5x — 77 MB spill).
     ("dup_transitivity_audit", 5),
-    # round 5: minhash kernel + IVF/LSH candidate tiers gained
-    # conditional kernel-width spreading and the blocked cell self-join
-    # (values identical — re-verified vs oracle — but the code changed).
-    ("dedup_minhash_lsh", 5),
-    ("embedding_neardup_lsh", 5),
-    # round 6 session 2: the fused IVF scorer gained the auto skew-split
-    # ladder (values identical — re-verified vs oracle + pytest pins —
-    # but cosine_pairs_ivf's code path changed).
-    ("semantic_dedup_ivf", 6),
-    ("embedding_neardup_ivf", 6),
     # round 6 session 4 (empty-input robustness wave): skip_accounting
     # gained a nullif divisor (0/0 → NULL like the oracle on empty
     # input — sf0.01 values unchanged, re-verified); pq_recall_probe
@@ -131,22 +128,14 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # round 7 (VERDICT r6 #2): the same-session A/B adjudicated
     # knn_cosine_pq's 1.22x as REAL — pq_encode's kernel spread is now
     # size-gated (values identical: per-row encode is partitioning-
-    # independent; re-verified recall gates + probes green), and every
-    # query traversing pq_encode gets a re-witness row.
-    ("knn_cosine_pq", 7),
+    # independent; re-verified recall gates + probes green); the
+    # oracle-exact witness for every query traversing pq_encode.
     ("pq_recall_probe", 7),
-    ("knn_cosine_ivfpq_batch", 7),
     # round 7 (VERDICT r6 #4): the power iteration moved to the driver
     # (model-sized; the corpus-sized Gram stays an exact-integer Spark
     # aggregate) — values bit-identical (re-verified at all three SFs),
     # but the code changed; steady-state wall 3.0 s -> 0.9 s.
     ("pca_power_probe", 7),
-    # round 7 (VERDICT r6 #6): all three ADC paths unified onto one core
-    # (_adc_block_scores) — the driver-LUT kernels now tie-break by vid
-    # like the cogroup path, and knn_cosine_ivfpq gained the large-batch
-    # delegation gate. Rows-only queries; recall gates + determinism +
-    # sweeps re-verified green.
-    ("knn_cosine_ivfpq", 7),
     # round 8 (VERDICT r7 #2): embedding_pca_project converted from
     # rows-only to a FULL oracle — frozen integer-micro direction from
     # the probe's bit-identical power iteration, exact nano-unit integer
@@ -305,14 +294,11 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept
 #: SHORT — everything else is ordered automatically from the
-#: CORRECTNESS_r*.json history.
-_PIN_FIRST: tuple[str, ...] = (
-    # Round 6 (VERDICT r5 #3): the two new oracle-exact ANN recall
-    # probes — a green hash row each is the round's headline evidence
-    # (they'd rank tier-2 anyway; the pin guards against window drift).
-    "lsh_recall_probe",
-    "pq_recall_probe",
-)
+#: CORRECTNESS_r*.json history. Empty for round 9: the round's goal is
+#: draining the re-witness backlog, and the backlog tier already
+#: self-orders; both former pins (the r6 recall probes) are green as of
+#: r8, so a pin would only displace a backlog witness.
+_PIN_FIRST: tuple[str, ...] = ()
 
 
 def _green_history() -> dict[str, int]:
@@ -368,7 +354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never = [n for n in reg if n not in greens]
     ordered += take([n for n in never if reg[n].oracle is not None])
     ordered += take(
-        n for n, rnd in _CHANGED_SINCE_GREEN if greens.get(n, 0) < rnd
+        n
+        for n, rnd in _CHANGED_SINCE_GREEN
+        # Oracle-bearing only — a rows-only row is always no_oracle and
+        # can never expire the entry, so a slot here would be wasted
+        # every round (guard; the list itself should not contain any).
+        if greens.get(n, 0) < rnd and n in reg and reg[n].oracle is not None
     )
     ordered += take([n for n in never if reg[n].oracle is None])
     rest = [n for n in reg if n not in seen]
