@@ -73,6 +73,14 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
 
 
 def main() -> int:
+    known = {name for name, _, _ in STAGES}
+    unknown = ONLY - known
+    if unknown:
+        # A misspelled stage would otherwise match nothing and exit 0 —
+        # a false-green for a gate script (ADVICE r8).
+        print(f"sweep_all: unknown stage(s) {sorted(unknown)}; "
+              f"known: {sorted(known)}")
+        return 2
     failed = []
     for name, builders, fixture in STAGES:
         if ONLY and name not in ONLY:

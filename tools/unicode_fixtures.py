@@ -41,7 +41,7 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_unicode"
 #: and suffixes are fixed strings so both engines see identical bytes.
 _MUTATIONS: dict[int, tuple[str, str]] = {
     # slot -> (kind, payload); kinds: 'suffix' appends, 'nbsp' swaps
-    # the first N spaces, 'prefix' prepends
+    # every space within the first 40 characters for the payload
     0: ("suffix", " café touché naïve façade résumé"),
     1: ("suffix", " 漢字テスト 中文文本 かな"),
     2: ("suffix", " emoji 😀 chain 👨‍👩‍👧 done"),
@@ -58,7 +58,7 @@ def _mutate_sql(col: str) -> str:
     for slot, (kind, payload) in _MUTATIONS.items():
         if kind == "suffix":
             expr = f"{col} || '{payload}'"
-        else:  # nbsp: swap the first 3 spaces for the payload
+        else:  # nbsp: swap every space in the first 40 chars for the payload
             expr = (
                 f"replace(substr({col}, 1, 40), ' ', '{payload}') "
                 f"|| substr({col}, 41)"
@@ -89,11 +89,25 @@ def main() -> int:
                 f"TO '{dst / table}.parquet' (FORMAT PARQUET)"
             )
             continue
+        # Derive the select list from the source schema (like
+        # degenerate_fixtures) so a fixture variant with extra or
+        # renamed columns copies through instead of being dropped;
+        # only text and its derived n_chars are substituted.
         mut = _mutate_sql("text")
+        cols = con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+        ).fetchall()
+        select = []
+        for name, _dtype, *_ in cols:
+            if name == "text":
+                select.append(f"{mut} AS text")
+            elif name == "n_chars":
+                select.append(f"CAST(length({mut}) AS BIGINT) AS n_chars")
+            else:
+                select.append(name)
         con.execute(
             f"""COPY (
-                SELECT doc_id, {mut} AS text, lang, source,
-                       CAST(length({mut}) AS BIGINT) AS n_chars
+                SELECT {', '.join(select)}
                 FROM read_parquet('{src}')
             ) TO '{dst / table}.parquet' (FORMAT PARQUET)"""
         )
