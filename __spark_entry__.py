@@ -290,6 +290,21 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("udtf_explode_props", 8),
     ("variant_json_typed", 8),
     ("scalar_date_json", 8),
+    # round 9 (ADVICE r8 + VERDICT r8 #3 — the jsonpath contract,
+    # functions/jsonpath.py): quoted-path extraction with the SAFE_KEY
+    # guard (dotted/spaced keys now extract; keys in either engine's
+    # path-parser hazard set yield NULL on both sides), and the
+    # INT_SHAPE rule (integer-shaped values only — DuckDB's bare
+    # TRY_CAST rounds '3.7' to 4 where Spark's is NULL) at every $.k
+    # extraction site incl. ohlc's volume weight; variant oracle gains
+    # the DOUBLE-trunc dispatch + portable pmod. Dense values unchanged
+    # (re-verified at sf0.01); the extended json sweep (slots 8-16) is
+    # the witness for the changed classes.
+    ("json_props_map", 9),
+    ("udtf_explode_props", 9),
+    ("variant_json_typed", 9),
+    ("scalar_date_json", 9),
+    ("ohlc_vwap_hourly", 9),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

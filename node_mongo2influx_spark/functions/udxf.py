@@ -35,38 +35,53 @@ class ExplodeProps:
     valid JSON object — the dynamic-document flattener as a table
     function. eval() is called per input row and yields any number of
     output rows. Semantics match the engine-native json path (and the
-    DuckDB oracle) on adversarial documents (tools/json_fixtures.py, r8):
-    malformed or non-object roots yield nothing; duplicate keys yield one
-    row each, all carrying the key's FIRST value (object_pairs_hook keeps
-    the duplicates a plain dict would silently last-wins); values that
-    aren't tolerant ints are NULL, not dropped rows."""
+    DuckDB oracle) on adversarial documents (tools/json_fixtures.py,
+    r8/r9) — the contract in functions/jsonpath.py: malformed or
+    non-object roots yield nothing; duplicate keys yield one row each,
+    all carrying the key's FIRST value (object_pairs_hook keeps the
+    duplicates a plain dict would silently last-wins); a path-unsafe
+    key (jsonpath.SAFE_KEY_RE) or a non-integer-shaped value
+    (jsonpath.INT_SHAPE_RE) gives a NULL value, not a dropped row.
 
-    @staticmethod
-    def _tolerant_int(v):
-        """Mirror of DuckDB's TRY_CAST(json_extract_string(...) AS INT):
-        ints (and integral floats / numeric strings) inside int32, NULL
-        for everything else — bools, nested structures, overflow,
-        non-numeric. A staticmethod so the class pickles self-contained:
-        a module-global helper would make cloudpickle serialize by
-        reference, and importing THIS module on a worker trips the
-        module-level @pandas_udf DDL parse (no session there)."""
-        if isinstance(v, bool) or v is None or isinstance(
-            v, (dict, list, tuple)
-        ):
+    The two patterns are CLASS-ATTRIBUTE copies of the
+    functions/jsonpath constants (pinned equal by
+    tests/test_relational_extra.py): the class must pickle
+    self-contained — referencing a module global makes cloudpickle
+    serialize by reference, and importing THIS module on a worker
+    trips the module-level @pandas_udf DDL parse (no session there).
+    """
+
+    _SAFE_KEY_RE = (
+        "^[^\\x00-\\x20\\x22\\x27\\x5C*]"
+        "([^\\x00-\\x1F\\x22\\x27\\x5C*]*"
+        "[^\\x00-\\x20\\x22\\x27\\x5C*])?$"
+    )
+    _INT_SHAPE_RE = "^[+-]?[0-9]+$"
+
+    def _tolerant_int(self, v):
+        """The INT_SHAPE contract (functions/jsonpath.py): Python ints
+        inside int32; strings that are pure optional-sign digits; NULL
+        for everything else — bools, ANY float (both engines render a
+        JSON 3.0 / 3e2 as '3.0' / '300.0', which fails the shape guard
+        there; DuckDB's bare TRY_CAST would ROUND '3.7' to 4 where
+        Spark's is NULL, which is why the shape rule exists), nested
+        structures, overflow, non-numeric. An instance method reaching
+        the patterns through ``self`` — naming the class would be a
+        module-global reference, the same cloudpickle worker-import
+        trap as a free helper function."""
+        import re
+
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
             return None
-        if isinstance(v, float):
-            if not v.is_integer():
+        if isinstance(v, str):
+            if not re.fullmatch(self._INT_SHAPE_RE, v):
                 return None
             v = int(v)
-        if isinstance(v, str):
-            try:
-                v = int(v)
-            except ValueError:
-                return None
         return v if -(2**31) <= v < 2**31 else None
 
     def eval(self, props: str):  # noqa: D102
         import json
+        import re
 
         if props is None:
             return
@@ -86,4 +101,9 @@ class ExplodeProps:
         for k, v in pairs:
             first.setdefault(k, v)
         for k, _ in pairs:
-            yield k, self._tolerant_int(first[k])
+            # A path-unsafe key (engine path parsers disagree or error
+            # on it) is enumerable but not extractable: NULL value.
+            if re.fullmatch(self._SAFE_KEY_RE, k):
+                yield k, self._tolerant_int(first[k])
+            else:
+                yield k, None

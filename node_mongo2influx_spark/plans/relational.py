@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions.jsonpath import (
+    INT_SHAPE_RE,
+    SAFE_KEY_RE,
+)
 from node_mongo2influx_spark.plans import query
 from node_mongo2influx_spark.plans.tables import (
     load,
@@ -610,28 +614,50 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
 
 
+#: Shared oracle for the two props-explode faces (map explode + UDTF) —
+#: the functions/jsonpath.py contract: every key occurrence is a row;
+#: a path-unsafe key (SAFE_KEY_RE, the union of both engines' path-
+#: parser hazards — evaluated under CASE so DuckDB never runs a path it
+#: would RAISE on, e.g. an empty key) or a non-integer-shaped value
+#: (INT_SHAPE_RE — bare TRY_CAST would ROUND '3.7' to 4 where Spark's
+#: is NULL) yields val NULL. Extraction is first-wins on duplicates,
+#: quoted so dotted/spaced keys reach their member (ADVICE r8: the old
+#: '$.' || key form silently NULLed any dotted key).
+_PROPS_KV_ORACLE = f"""
+        WITH kv AS (
+            SELECT event_id, k.key,
+                   CASE WHEN regexp_matches(k.key, '{SAFE_KEY_RE}')
+                        THEN json_extract_string(
+                                 props, '$."' || k.key || '"')
+                   END AS raw
+            FROM events,
+                 unnest(CASE WHEN json_valid(props)
+                             THEN json_keys(props) END) AS k(key)
+            WHERE props IS NOT NULL
+        )
+        SELECT event_id, key,
+               TRY_CAST(CASE WHEN regexp_matches(raw, '{INT_SHAPE_RE}')
+                             THEN raw END AS INT) AS val
+        FROM kv
+    """
+
+
 @query(
     "json_props_map",
-    oracle="""
-        SELECT event_id, k.key,
-               TRY_CAST(json_extract_string(props, '$.' || k.key) AS INT)
-                   AS val
-        FROM events,
-             unnest(CASE WHEN json_valid(props) THEN json_keys(props) END)
-                 AS k(key)
-        WHERE props IS NOT NULL
-    """,
+    oracle=_PROPS_KV_ORACLE,
     description="Dynamic JSON document → map explode (the Mongo schemaless-"
     "document pattern): one row per TOP-LEVEL KEY OCCURRENCE of a valid "
-    "object root, value = tolerant int of that key's FIRST value. "
-    "Key enumeration (json_object_keys / json_keys, both of which keep "
-    "duplicate keys and return nothing for non-object or malformed "
-    "roots) + path extraction (first-wins on duplicates in both "
-    "engines) + try_cast replaces the old strict from_json "
-    "map<string,int> — whose all-or-nothing document semantics (a "
-    "single nested or string value NULLs the whole map, duplicate keys "
-    "resolve LAST-wins) matches no DuckDB spelling on adversarial "
-    "documents (tools/json_fixtures.py, round 8).",
+    "object root, value = int of that key's FIRST value under the "
+    "functions/jsonpath.py contract — quoted-path extraction (dotted/"
+    "spaced keys work; keys in the union of both engines' path-parser "
+    "hazard sets are enumerable but yield NULL), integer-shaped values "
+    "only (DuckDB's bare TRY_CAST rounds '3.7' to 4 where Spark's is "
+    "NULL — ADVICE r8). Key enumeration (json_object_keys / json_keys, "
+    "both of which keep duplicate keys and return nothing for non-"
+    "object or malformed roots) + path extraction (first-wins on "
+    "duplicates in both engines) replaces the old strict from_json "
+    "map<string,int> — whose all-or-nothing document semantics matches "
+    "no DuckDB spelling on adversarial documents (json sweep, r8/r9).",
 )
 def json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").where(F.col("props").isNotNull())
@@ -640,12 +666,29 @@ def json_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
         F.explode(F.expr("json_object_keys(props)")).alias("key"),
     )
-    return keyed.select(
+    # raw in its OWN projection: it feeds two output expressions (shape
+    # guard + cast) and get_json_object re-parses the document — without
+    # the alias CollapseProject would inline the parse per reference.
+    raw = keyed.select(
         "event_id",
         "key",
-        F.expr(
-            "try_cast(get_json_object(props, concat('$.', key)) AS INT)"
-        ).alias("val"),
+        F.when(
+            F.col("key").rlike(SAFE_KEY_RE),
+            # bracket path $['k'] — the Spark spelling that reaches
+            # dotted/spaced members; char(39) is the quote, so no
+            # SQL-literal backslash games.
+            F.expr(
+                "get_json_object(props, "
+                "concat('$[', char(39), key, char(39), ']'))"
+            ),
+        ).alias("raw"),
+    )
+    return raw.select(
+        "event_id",
+        "key",
+        F.when(F.col("raw").rlike(INT_SHAPE_RE), F.col("raw"))
+        .try_cast("int")
+        .alias("val"),
     )
 
 
@@ -880,15 +923,21 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_trunc('day', ts) AS TIMESTAMP)         AS day_start,
                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS unix_sec,
                TRY_CAST(CASE WHEN json_valid(props)
-                             THEN json_extract_string(props, '$.k') END
+                             THEN (CASE WHEN regexp_matches(
+                                       json_extract_string(props, '$.k'),
+                                       '{INT_SHAPE}')
+                                   THEN json_extract_string(props, '$.k')
+                                   END) END
                         AS INT) AS prop_k
         FROM events
-    """,
+    """.replace("{INT_SHAPE}", INT_SHAPE_RE),
     description="Date-part extraction + epoch + JSON field extraction "
     "(events.props is a JSON string — the Mongo dynamic-document "
     "analogue). Extraction is TOLERANT on both sides: a malformed "
     "document, non-numeric value, or int32 overflow is NULL, never an "
-    "error (json sweep, round 8).",
+    "error (json sweep, round 8); integer-SHAPED values only (the "
+    "functions/jsonpath.py contract — DuckDB's bare TRY_CAST rounds "
+    "'3.7' to 4 where Spark's ANSI try_cast is NULL; ADVICE r8).",
 )
 def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -908,9 +957,11 @@ def scalar_date_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) "
             "div 1000000"
         ).alias("unix_sec"),
-        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias(
-            "prop_k"
-        ),
+        F.expr(
+            "try_cast(CASE WHEN get_json_object(props, '$.k') "
+            f"RLIKE '{INT_SHAPE_RE}' "
+            "THEN get_json_object(props, '$.k') END AS INT)"
+        ).alias("prop_k"),
     )
 
 
@@ -1253,21 +1304,16 @@ def udaf_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udtf_explode_props",
-    oracle="""
-        SELECT event_id, k.key,
-               TRY_CAST(json_extract_string(props, '$.' || k.key) AS INT)
-                   AS val
-        FROM events,
-             unnest(CASE WHEN json_valid(props) THEN json_keys(props) END)
-                 AS k(key)
-        WHERE props IS NOT NULL
-    """,
+    oracle=_PROPS_KV_ORACLE,
     description="Python UDTF (Spark 3.5+ table function): one row per JSON "
     "property, lateral-joined to the source — the UDTF surface, oracle-"
     "checked against the native json path. Same key-occurrence/"
-    "first-wins/tolerant-int semantics as json_props_map (the UDTF "
-    "parses with object_pairs_hook so duplicate keys survive where a "
-    "plain dict would silently last-wins them).",
+    "first-wins/path-safe/integer-shape semantics as json_props_map "
+    "(the functions/jsonpath.py contract; the UDTF parses with "
+    "object_pairs_hook so duplicate keys survive where a plain dict "
+    "would silently last-wins them, and NULLs the value of path-unsafe "
+    "keys it could technically read — ADVICE r8: it must not be MORE "
+    "capable than the engine paths it is oracle-checked against).",
 )
 def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.functions.udxf import ExplodeProps
@@ -2579,12 +2625,27 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                              = len(list_distinct(json_keys(props)))
                         THEN props END AS p
             FROM events
+        ),
+        ext AS (
+            SELECT event_id,
+                   -- Spark's variant double->bigint cast TRUNCATES
+                   -- toward zero (3.7 -> 3, -3.7 -> -3, measured)
+                   -- while DuckDB's JSON->BIGINT cast ROUNDS (3.7 ->
+                   -- 4), so the DOUBLE json_type is trunc'd explicitly
+                   -- before the cast; every other type (int, bool,
+                   -- quoted numeric string) casts identically.
+                   CASE WHEN json_type(p, '$.k') = 'DOUBLE'
+                        THEN TRY_CAST(trunc(TRY_CAST(
+                                 json_extract(p, '$.k') AS DOUBLE))
+                             AS BIGINT)
+                        ELSE TRY_CAST(json_extract(p, '$.k') AS BIGINT)
+                   END AS k,
+                   json_extract_string(p, '$.missing') AS missing_path
+            FROM src
         )
-        SELECT event_id,
-               TRY_CAST(json_extract(p, '$.k') AS BIGINT) AS k,
-               json_extract_string(p, '$.missing') AS missing_path,
-               TRY_CAST(json_extract(p, '$.k') AS BIGINT) % 10 AS k_mod
-        FROM src
+        SELECT event_id, k, missing_path,
+               ((k % 10) + 10) % 10 AS k_mod
+        FROM ext
     """,
     description="Semi-structured access through Spark 4's VARIANT type: "
     "try_parse_json once, typed try_variant_get extraction (a missing "
@@ -2597,7 +2658,10 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document with DUPLICATE keys is invalid per the VARIANT spec "
     "(try_parse_json -> NULL), mirrored by the distinct-keys guard "
     "(top-level — the depth the adversarial fixture exercises; Spark "
-    "rejects duplicates at any depth).",
+    "rejects duplicates at any depth); a non-integral double truncates "
+    "toward zero like Spark's variant cast (the oracle trunc-guards "
+    "DuckDB's rounding cast), and k_mod is spelled as the portable "
+    "((k % 10) + 10) % 10 so negative k agrees with Spark's pmod.",
 )
 def variant_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

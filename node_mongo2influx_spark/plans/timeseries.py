@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions.jsonpath import INT_SHAPE_RE
 from node_mongo2influx_spark.plans import query
 from node_mongo2influx_spark.plans.tables import (
     load,
@@ -612,17 +613,23 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
                (max(struct_pack(ts := ts, eid := event_id, v := value))).v
                    AS close,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS volume,
-               floor(sum(value * TRY_CAST(json_extract(props, '$.k') AS BIGINT))
-                     / nullif(sum(TRY_CAST(json_extract(props, '$.k')
-                                       AS BIGINT)), 0) * 1e4 + 5e-1) / 1e4
+               CAST(sum(k) AS BIGINT) AS volume,
+               floor(sum(value * k) / nullif(sum(k), 0) * 1e4 + 5e-1) / 1e4
                    AS vwap
         FROM (SELECT * REPLACE (
-                  CASE WHEN isfinite(value) THEN value END AS value,
-                  CASE WHEN json_valid(props) THEN props END AS props)
+                  CASE WHEN isfinite(value) THEN value END AS value),
+                  -- volume weight under the INT_SHAPE contract
+                  -- (functions/jsonpath.py): integer-shaped values only,
+                  -- or DuckDB's JSON->BIGINT cast ROUNDS a 3.7 where
+                  -- Spark's try_cast is NULL (json sweep, round 9)
+                  TRY_CAST(CASE WHEN json_valid(props)
+                                THEN (CASE WHEN regexp_matches(
+                                          json_extract_string(props, '$.k'),
+                                          '{INT_SHAPE}')
+                                      THEN json_extract_string(props, '$.k')
+                                      END) END AS BIGINT) AS k
               FROM events) events WHERE ts IS NOT NULL GROUP BY 1, 2
-    """,
+    """.replace("{INT_SHAPE}", INT_SHAPE_RE),
     description="OHLC + VWAP bars per (series, hour) — the financial/"
     "metrics downsampling shape the reference's InfluxDB users run "
     "downstream. Open/close are DETERMINISTIC first/last: min/max over a "
@@ -633,8 +640,14 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "(series, hour); every aggregate is a pure Column expression.",
 )
 def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # volume weight under the INT_SHAPE contract (functions/jsonpath.py)
     ev = load_events_measured(spark, sf_dir, timed=True).withColumn(
-        "k", F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+        "k",
+        F.expr(
+            "try_cast(CASE WHEN get_json_object(props, '$.k') "
+            f"RLIKE '{INT_SHAPE_RE}' "
+            "THEN get_json_object(props, '$.k') END AS BIGINT)"
+        ),
     )
     key = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v"))
     return ev.groupBy(

@@ -230,3 +230,49 @@ def test_pagerank_mass_and_ordering(spark, sf_dir):
     low = sum(ranks[c] for c in by_deg[:k]) / k
     high = sum(ranks[c] for c in by_deg[-k:]) / k
     assert high > low
+
+
+def test_jsonpath_contract_pins(spark):  # udxf import needs a session
+    # The UDTF keeps SELF-CONTAINED copies of the jsonpath patterns (a
+    # module-global reference would make cloudpickle import this package
+    # on executors — the r8 worker-import trap). Pin them equal so the
+    # contract cannot silently fork.
+    from node_mongo2influx_spark.functions import jsonpath
+    from node_mongo2influx_spark.functions.udxf import ExplodeProps
+
+    assert ExplodeProps.func._SAFE_KEY_RE == jsonpath.SAFE_KEY_RE
+    assert ExplodeProps.func._INT_SHAPE_RE == jsonpath.INT_SHAPE_RE
+
+
+def test_jsonpath_safe_key_classes():
+    import re
+
+    from node_mongo2influx_spark.functions import jsonpath
+
+    safe = ["k", "a.b", "a b", "ké", "日本", "a[0]", "$w", "0", "a?b",
+            "(a)", "a{b}", "a..b", "a-b"]
+    # union of both engines' path-parser hazards, measured live (r9):
+    # Spark brackets fail on leading/trailing space, single quote, empty;
+    # DuckDB quoted paths wildcard on * and raise on empty / embedded "
+    unsafe = ["", " k", "k ", "k'q", 'e"f', "a\\b", "*", "a\tb", " "]
+    for k in safe:
+        assert re.fullmatch(jsonpath.SAFE_KEY_RE, k), k
+    for k in unsafe:
+        assert not re.fullmatch(jsonpath.SAFE_KEY_RE, k), k
+
+
+def test_jsonpath_tolerant_int_shape(spark):  # udxf import needs a session
+    # The INT_SHAPE contract across the Python runtime (engines are
+    # covered by the json sweep): ints in int32 pass; every float is
+    # NULL (engines see '3.0'/'300.0' strings that fail the shape);
+    # strings must be pure optional-sign digits.
+    from node_mongo2influx_spark.functions.udxf import ExplodeProps
+
+    t = ExplodeProps.func()._tolerant_int
+    assert t(5) == 5 and t(-5) == -5 and t("12") == 12 and t("+5") == 5
+    assert t("007") == 7 and t("-0") == 0
+    for v in (3.0, 3.7, -3.7, 1e2, True, False, None, {}, [],
+              "2.5", "3.0", " 12 ", "3e2", "", "x", "++1",
+              2**31, -(2**31) - 1, str(10**20)):
+        assert t(v) is None, v
+    assert t(2**31 - 1) == 2**31 - 1 and t(-(2**31)) == -(2**31)

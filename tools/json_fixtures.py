@@ -23,7 +23,12 @@ from pathlib import Path
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_json"
 
-#: event_id % 23 == slot -> replacement props (slots 8..22 untouched).
+#: event_id % 23 == slot -> replacement props (slots 17..22 untouched).
+#: Slots 8-16 are the round-9 extension (ADVICE r8 + VERDICT r8 #3):
+#: decimal/exponent numerics (DuckDB TRY_CAST rounds '3.7' to 4 where
+#: Spark's ANSI try_cast is NULL — the INT_SHAPE contract) and hostile
+#: path keys (dots/quotes/stars/whitespace — the SAFE_KEY contract in
+#: functions/jsonpath.py).
 CASES: dict[int, str] = {
     0: '{"a":{"b":{"c":{"d":{"e":1,"k":7}}}},"k":5}',   # deep nesting
     1: '{"k": 99999999999999999999}',                     # > BIGINT
@@ -33,6 +38,15 @@ CASES: dict[int, str] = {
     5: '{"k": "12"}',                                      # string number
     6: '{"k": null}',                                      # explicit null
     7: '{"ké": 3, "k": 4}',                                # unicode key
+    8: '{"k": 3.7}',                   # non-integral double (round/trunc)
+    9: '{"k": 3.0}',                   # integral double ('3.0' both)
+    10: '{"k": "2.5"}',                # decimal string
+    11: '{"k": -3.7}',                 # negative double (trunc dir, pmod)
+    12: '{"a.b": 7, "k": 1}',          # dotted key (quoted-path class)
+    13: '{"k\'q": 2, "": 5, "k": 6}',  # single-quote + EMPTY key (unsafe)
+    14: '{"a b": 8, "*": 9, "k": 2}',  # interior space (safe) + star
+    15: '{" k": 3, "k ": 4, "k": 5}',  # leading/trailing space (unsafe)
+    16: '{"k": 1e2, "0": 11}',         # exponent number + numeric key
 }
 
 
@@ -73,7 +87,7 @@ def main() -> int:
         )
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{dst / table}.parquet') "
-            "WHERE props IS NOT NULL AND event_id % 23 < 8"
+            "WHERE props IS NOT NULL AND event_id % 23 < 17"
         ).fetchone()[0]
         print(f"events.props: {n} adversarial rows injected")
     return 0
