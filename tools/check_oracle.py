@@ -18,6 +18,16 @@ import time
 from datetime import date, datetime
 from pathlib import Path
 
+# Pin the PROCESS timezone before the JVM starts: PySpark's row-collect
+# renders TimestampType through datetime.fromtimestamp (process-local
+# time), unlike the driver's arrow comparator which renders in SESSION
+# time (pinned UTC by Engine.builder). Without this, running the gate
+# under TZ=America/... shifts every collected Spark timestamp while the
+# DuckDB naive values stay put — a false red the driver would never see
+# (tz sweep, round 9).
+os.environ["TZ"] = "UTC"
+time.tzset()
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
@@ -136,9 +146,28 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
 
     con = duckdb.connect()
+    # Session pinned to UTC like the Spark side (engine.py) — no oracle
+    # result may depend on the ambient zone.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        # The oracle-side twin of sources/parquet_compat.py: an
+        # INSTANT-typed fixture (TIMESTAMPTZ parquet, what a real Mongo/
+        # Influx export carries — tools/tz_fixtures.py) is rendered back
+        # to UTC-wall naive TIMESTAMP in the view, so every oracle sees
+        # exactly the values it sees on the NTZ fixtures. One choke
+        # point; never per-query fixes.
+        cols = con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        ).fetchall()
+        select = ", ".join(
+            f"timezone('UTC', {name}) AS {name}"
+            if dtype == "TIMESTAMP WITH TIME ZONE"
+            else name
+            for name, dtype, *_ in cols
+        )
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT {select} "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
     qs = entrymod.queries()

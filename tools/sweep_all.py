@@ -19,6 +19,9 @@ which has caught real divergence classes the dense fixtures cannot:
   xts      (tools/extreme_ts_fixtures) extreme-timestamp class (r8:
                                        pre-epoch floor-vs-truncate
                                        second arithmetic)
+  tz       (tools/tz_fixtures)         instant-typed timestamps + hostile
+                                       ambient zone (r9: TIMESTAMPTZ
+                                       parquet, session/process TZ pins)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
@@ -37,6 +40,7 @@ ties json` re-runs just those two.)
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -61,6 +65,8 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_json"),
     ("xts", [["tools/extreme_ts_fixtures.py", SRC, "/tmp/sf_xts"]],
      "/tmp/sf_xts"),
+    ("tz", [["tools/tz_fixtures.py", SRC, "/tmp/sf_tz"]],
+     "/tmp/sf_tz"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
@@ -70,6 +76,14 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
       ["tools/nullify_fixtures.py", "/tmp/sf_combo_b", "/tmp/sf_combo"]],
      "/tmp/sf_combo"),
 ]
+
+#: Extra environment per stage. The tz stage runs the registry under a
+#: HOSTILE ambient zone on top of the instant-typed fixture: proves no
+#: engine default, oracle function, or harness conversion leans on the
+#: machine's timezone (check_oracle + Engine pin their own sessions).
+STAGE_ENV: dict[str, dict[str, str]] = {
+    "tz": {"TZ": "America/New_York"},
+}
 
 
 def main() -> int:
@@ -85,10 +99,11 @@ def main() -> int:
     for name, builders, fixture in STAGES:
         if ONLY and name not in ONLY:
             continue
+        env = {**os.environ, **STAGE_ENV.get(name, {})}
         for argv in builders:
             r = subprocess.run(
                 [sys.executable] + argv, cwd=REPO,
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
             )
             if r.returncode != 0:
                 print(f"[{name}] builder {argv[0]} FAILED:\n{r.stderr[-2000:]}")
@@ -98,7 +113,7 @@ def main() -> int:
             print(f"[{name}] fixture built at {fixture}; running registry...")
             r = subprocess.run(
                 [sys.executable, "-u", "tools/check_oracle.py", fixture],
-                cwd=REPO, capture_output=True, text=True,
+                cwd=REPO, capture_output=True, text=True, env=env,
             )
             tail = "\n".join(
                 ln for ln in r.stdout.replace("\r", "\n").splitlines()
