@@ -769,6 +769,23 @@ def test_ivfpq_large_batch_gate_delegates_to_batch_path(
     assert sorted(gated, key=key) == sorted(direct, key=key)
 
 
+def test_pq_large_batch_raises_typed_refusal(spark, emb, monkeypatch):
+    # Raw PQ has no coarse cells to distribute over, so past
+    # _DRIVER_LUT_MAX_QUERIES it must REFUSE with the typed error naming
+    # the delegation target — never silently collect an unbounded batch
+    # of per-query LUTs to the driver (VERDICT r8 #6).
+    monkeypatch.setattr(similarity, "_DRIVER_LUT_MAX_QUERIES", 4)
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              k=3, m=8, n_codes=8, dim=64)
+    with pytest.raises(similarity.QueryBatchTooLarge) as exc:
+        similarity.knn_cosine_pq(emb, emb.where("vec_id < 10"), **kw)
+    assert "knn_cosine_ivfpq_batch" in str(exc.value)
+    # in-bounds batches are untouched by the gate (limit cap only)
+    ok = similarity.knn_cosine_pq(emb, emb.where("vec_id < 4"), **kw)
+    assert ok.where("query_id = neighbor_id").count() == 0
+    assert ok.groupBy("query_id").count().count() == 4
+
+
 def test_unhinted_query_joins_match_broadcast_paths(emb, monkeypatch):
     # Forcing the size gate to 'unbounded' must only change the JOIN
     # STRATEGY (hash/AQE instead of the static broadcast hint), never
@@ -1116,6 +1133,78 @@ def test_ivfpq_index_delete(spark, emb, tmp_path):
         .count()
         == 0
     )
+
+
+def test_ivfpq_index_standalone_vacuum(spark, emb, tmp_path):
+    # VERDICT r8 #8: stale vector rows from unvacuumed deletes are dead
+    # storage until reclaimed — the standalone face reconciles vectors
+    # against the codes store, rewrites ONLY the stale ids' buckets,
+    # and measurably shrinks the store. Idempotent; queries unaffected.
+    import glob
+    import os
+
+    path = str(tmp_path / "ivfpq_vac")
+    similarity.build_ivfpq_index(
+        emb, path, n_cells=16, m=16, n_codes=16, dim=64, vec_buckets=16
+    )
+    victims = [r["vec_id"] for r in emb.select("vec_id").collect()][:100]
+    similarity.delete_from_ivfpq_index(
+        spark, path, victims, vacuum_vectors=False
+    )
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.where(F_col("vid").isin(victims)).count() == len(victims)
+
+    nb = similarity._ivfpq_vec_buckets(spark, path)
+    stale_buckets = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(int(v),) for v in victims], "vid long"
+        ).select(similarity._vec_bucket(nb).alias("b")).distinct().collect()
+    }
+    untouched = [
+        d for d in glob.glob(path + "/vectors/__vb=*")
+        if int(d.rsplit("=", 1)[1]) not in stale_buckets
+    ]
+    mtimes = {
+        f: os.path.getmtime(f)
+        for d in untouched
+        for f in glob.glob(d + "/*.parquet")
+    }
+
+    info = similarity.vacuum_ivfpq_index(spark, path)
+    assert info["stale_rows"] == len(victims)
+    assert 0 < info["buckets_rewritten"] <= len(stale_buckets)
+    assert info["bytes_after"] < info["bytes_before"]
+    # storage actually gone, untouched buckets byte-stable
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.where(F_col("vid").isin(victims)).count() == 0
+    assert mtimes == {
+        f: os.path.getmtime(f)
+        for d in untouched
+        for f in glob.glob(d + "/*.parquet")
+    }
+    # idempotent
+    info2 = similarity.vacuum_ivfpq_index(spark, path)
+    assert info2["stale_rows"] == 0
+    assert info2["bytes_after"] == info["bytes_after"]
+    # index still answers, never returning vacuumed ids
+    out = similarity.knn_cosine_ivfpq_query(
+        spark, path, emb.where("vec_id >= 490"), k=5, n_probe=8
+    ).collect()
+    assert out and not ({r["neighbor_id"] for r in out} & set(victims))
+    # full retirement: with every inverted list deleted, the ENTIRE
+    # vectors store is dead — vacuum reclaims it all and leaves an
+    # empty (not corrupt) store
+    rest = [r["vec_id"] for r in emb.select("vec_id").collect()][100:]
+    similarity.delete_from_ivfpq_index(
+        spark, path, rest, vacuum_vectors=False
+    )
+    info3 = similarity.vacuum_ivfpq_index(spark, path)
+    assert info3["stale_rows"] == len(rest)
+    import pathlib
+
+    assert not similarity._has_data_files(pathlib.Path(path) / "vectors")
+    assert similarity.vacuum_ivfpq_index(spark, path)["stale_rows"] == 0
 
 
 def test_ivfpq_index_full_retirement_and_int_ids(spark, tmp_path):
