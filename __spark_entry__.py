@@ -305,6 +305,68 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("variant_json_typed", 9),
     ("scalar_date_json", 9),
     ("ohlc_vwap_hourly", 9),
+    # round 9 (longdoc sweep, tools/longdoc_fixtures): the FNV fold is
+    # now length-capped (FNV_MAX_CHARS=4096 + length fold past it) —
+    # an uncapped per-char substring fold is O(len²) in one task, and a
+    # single 2 M-char token wedged an executor core for 10+ minutes.
+    # Dense values BIT-IDENTICAL (the cap is ~7× the longest fixture
+    # string; verified cross-engine incl. the boundary 4096/4097 and
+    # re-verified green on dense sf0.01); every query whose oracle
+    # embeds the fold gets a re-witness row.
+    ("countmin_word_frequency", 9),
+    ("curriculum_training_order", 9),
+    ("dedup_incremental_bloom", 9),
+    ("dedup_modality_agreement_sampled", 9),
+    ("dedup_simhash", 9),
+    ("embedding_neardup_sampled", 9),
+    ("feature_hashing_vectors", 9),
+    ("hll_portable_distinct", 9),
+    ("leakage_safe_split", 9),
+    ("minhash_band_agreement", 9),
+    ("quota_sample_per_source", 9),
+    ("sliding_distinct_hll", 9),
+    ("source_overlap_hll", 9),
+    ("split_contamination_audit", 9),
+    ("stratified_sample_hash", 9),
+    ("train_val_test_split", 9),
+    ("training_order_shuffle", 9),
+    ("weighted_sample_aes", 9),
+    # round 9 (longdoc sweep): bpe_merge_pair_stats' in-word pairs now
+    # come from zipping the char array against its shifted slice on
+    # BOTH sides — the per-position substring/substr spelling is
+    # O(len²) per word and wedged on a 2 M-char token. Same pairs,
+    # dense values identical (re-verified).
+    ("bpe_merge_pair_stats", 9),
+    # round 9 (longdoc sweep, the three divergences it caught): the FNV
+    # fold's EMPTY-string branch (Spark sequence(1,0) is descending
+    # [1,0] -> two zero folds where DuckDB folds none; slice guard,
+    # non-empty inputs bit-identical); sft oracle's array_to_string([])
+    # is NULL in DuckDB where Spark array_join([]) is '' (a 1-word doc
+    # has an empty truncated response); split_contamination's oracle
+    # re-evaluated the O(len) split per shingle position (O(len²),
+    # 42 GB — words CTE'd once). Dense values identical (re-verified).
+    ("sft_render_truncate", 9),
+    # round 9 (longdoc sweep): doc_chunk_overlap made linear on BOTH
+    # sides — Spark's split now materializes in its own projection (an
+    # inlined split re-evaluates O(len) per chunk start inside the HOF
+    # lambda); the oracle went fully row-based (zipped unnest + window
+    # membership + ordered string_agg; DuckDB copies the outer list
+    # per lambda element). Dense values identical (re-verified).
+    ("doc_chunk_overlap", 9),
+    # round 9 (longdoc sweep): corpus_segment_dedup linearized the same
+    # two ways (own-projection split / row-based segment oracle);
+    # doc_char_entropy's oracle moved from per-position substr (O(len²)
+    # on multibyte text — DuckDB walks from the string start) to the
+    # split-by-empty unnest. Dense values identical (re-verified).
+    ("corpus_segment_dedup", 9),
+    ("doc_char_entropy", 9),
+    # round 9 (longdoc sweep): the email pattern's Spark side gained a
+    # negative lookbehind — Java's backtracking find() rescans an alnum
+    # run at every start position (O(len²), wedged on the 2 M-char
+    # token); match set identical, RE2 oracle unchanged (linear by
+    # construction, no lookbehind support). Dense values identical
+    # (re-verified).
+    ("pii_redaction_stats", 9),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -22,26 +22,60 @@ FNV_PRIME = 16777619
 #: ``cutoff32`` threshold) to treat the hash as uniform in [0, 1).
 HASH_SPACE = 1 << 32
 
+#: Per-input bound on the character fold (the longdoc sweep, round 9).
+#: ``substring(expr, i, 1)`` is O(i) on a JVM UTF8String, so an UNCAPPED
+#: fold is O(len²) in one task — a single 2 M-char token (a 10 MB
+#: document with no whitespace) turns into ~4·10^12 char scans and a
+#: wedged executor core. The contract: hash the first FNV_MAX_CHARS
+#: code points; inputs LONGER than that get the total length folded in
+#: as one extra step (so giant inputs of different sizes still
+#: discriminate). 4096 is ~7× the longest string any fixture tier
+#: feeds a hash (dense max: 577-char documents, 8-char words), so every
+#: value ever witnessed is bit-identical — the cap only engages on
+#: adversarial lengths. Worst bounded cost: O(4096²) ≈ 16 M scans per
+#: long token, milliseconds.
+FNV_MAX_CHARS = 4096
+
 
 def fnv1a32_spark_sql(expr: str) -> str:
-    """Spark-SQL string: FNV-1a (32-bit) over the code points of ``expr``."""
+    """Spark-SQL string: FNV-1a (32-bit) over the code points of ``expr``
+    (first ``FNV_MAX_CHARS`` chars; longer inputs fold in their length —
+    see the constant's note). The length-fold rides aggregate()'s finish
+    lambda, so the accumulator is not re-spelled."""
+    # positions = slice(sequence(1, max(n', 1)), 1, n') with
+    # n' = min(length, cap): Spark sequence(1, 0) is DESCENDING [1, 0]
+    # (the r4 trap), which made the EMPTY string fold two zeros where
+    # DuckDB's generate_series(1, 0) folds none (caught by the longdoc
+    # sweep's trailing-space split token); the slice yields [] for the
+    # empty string and is a no-op otherwise.
+    n = f"least(length({expr}), {FNV_MAX_CHARS})"
     return (
-        f"aggregate(transform(sequence(1, length({expr})), "
+        f"aggregate(transform(slice(sequence(1, greatest({n}, 1)), "
+        f"1, {n}), "
         f"i -> cast(ascii(substring({expr}, i, 1)) as bigint)), "
         f"cast({FNV_BASIS} as bigint), "
-        f"(acc, x) -> ((acc ^ x) * {FNV_PRIME}) & 4294967295)"
+        f"(acc, x) -> ((acc ^ x) * {FNV_PRIME}) & 4294967295, "
+        f"acc -> IF(length({expr}) > {FNV_MAX_CHARS}, "
+        f"((acc ^ length({expr})) * {FNV_PRIME}) & 4294967295, acc))"
     )
 
 
 def fnv1a32_duckdb_sql(expr: str) -> str:
     """DuckDB-SQL twin of :func:`fnv1a32_spark_sql` — same fold, DuckDB
     spelling (list_reduce has no init argument, so list_prepend supplies
-    the offset basis; xor() instead of ^, ord() instead of ascii())."""
-    return (
+    the offset basis; xor() instead of ^, ord() instead of ascii();
+    no finish lambda, so the length-fold wraps in a CASE)."""
+    h = (
         f"list_reduce(list_prepend(CAST({FNV_BASIS} AS BIGINT), "
-        f"list_transform(generate_series(1, length({expr})), "
+        f"list_transform(generate_series(1, least(length({expr}), "
+        f"{FNV_MAX_CHARS})), "
         f"i -> CAST(ord(substr({expr}, i, 1)) AS BIGINT))), "
         f"(acc, x) -> (xor(acc, x) * {FNV_PRIME}) & 4294967295)"
+    )
+    return (
+        f"(CASE WHEN length({expr}) > {FNV_MAX_CHARS} "
+        f"THEN (xor({h}, length({expr})) * {FNV_PRIME}) & 4294967295 "
+        f"ELSE {h} END)"
     )
 
 
@@ -66,24 +100,36 @@ def cutoff32(fraction: float) -> int:
 def word_hashes_spark_sql(words_expr: str) -> str:
     """Spark-SQL: FNV-1a of each word of an array<string> — computed ONCE
     per document; every seed's minhash then derives from this array (the
-    chars are the expensive part, the seed only perturbs the fold)."""
+    chars are the expensive part, the seed only perturbs the fold).
+    Per-word folds are length-capped like :func:`fnv1a32_spark_sql` (a
+    megabyte 'word' is otherwise O(len²) inside one lambda)."""
+    n = f"least(length(wd), {FNV_MAX_CHARS})"
     return (
         f"transform({words_expr}, wd -> "
-        f"aggregate(transform(sequence(1, length(wd)), "
+        f"aggregate(transform(slice(sequence(1, greatest({n}, 1)), "
+        f"1, {n}), "
         f"p -> cast(ascii(substring(wd, p, 1)) as bigint)), "
         f"cast({FNV_BASIS} as bigint), "
-        f"(a, x) -> ((a ^ x) * {FNV_PRIME}) & 4294967295))"
+        f"(a, x) -> ((a ^ x) * {FNV_PRIME}) & 4294967295, "
+        f"a -> IF(length(wd) > {FNV_MAX_CHARS}, "
+        f"((a ^ length(wd)) * {FNV_PRIME}) & 4294967295, a)))"
     )
 
 
 def word_hashes_duckdb_sql(words_expr: str) -> str:
     """DuckDB twin of :func:`word_hashes_spark_sql`."""
+    h = (
+        f"list_reduce(list_prepend(CAST({FNV_BASIS} AS BIGINT), "
+        f"list_transform(generate_series(1, least(length(wd), "
+        f"{FNV_MAX_CHARS})), "
+        f"p -> CAST(ord(substr(wd, p, 1)) AS BIGINT))), "
+        f"(a, x) -> (xor(a, x) * {FNV_PRIME}) & 4294967295)"
+    )
     return (
         f"list_transform({words_expr}, wd -> "
-        f"list_reduce(list_prepend(CAST({FNV_BASIS} AS BIGINT), "
-        f"list_transform(generate_series(1, length(wd)), "
-        f"p -> CAST(ord(substr(wd, p, 1)) AS BIGINT))), "
-        f"(a, x) -> (xor(a, x) * {FNV_PRIME}) & 4294967295))"
+        f"CASE WHEN length(wd) > {FNV_MAX_CHARS} "
+        f"THEN (xor({h}, length(wd)) * {FNV_PRIME}) & 4294967295 "
+        f"ELSE {h} END)"
     )
 
 

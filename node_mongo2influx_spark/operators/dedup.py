@@ -752,7 +752,14 @@ def segment_dedup(
     Returns (id, n_segs, n_kept, clean_md5) — md5('') for documents that
     were pure boilerplate.
     """
-    ws = F.split(F.col(text_col), " ")
+    # split materialized in its OWN projection: inlined into the HOF
+    # lambda it re-evaluates O(len) per segment — O(segs · len) on one
+    # row, wedging on megabyte documents (longdoc sweep, round 9; same
+    # class as sampling.chunk_windows)
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    ws = F.col("__ws")
     n_segs_c = F.ceil(F.size(ws).cast("double") / seg_words).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs_c - 1),
@@ -764,7 +771,7 @@ def segment_dedup(
         ),
     )
     ex = (
-        df.select(F.col(id_col), F.explode(segs).alias("s"))
+        staged.select(F.col(id_col), F.explode(segs).alias("s"))
         .select(id_col, F.col("s.seg_no").alias("seg_no"), F.col("s.seg").alias("seg"))
     )
     counts = ex.groupBy("seg").agg(

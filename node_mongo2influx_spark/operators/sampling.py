@@ -190,7 +190,17 @@ def chunk_windows(
     """
     if not 1 <= stride <= ctx:
         raise ValueError(f"need 1 <= stride <= ctx, got stride={stride} ctx={ctx}")
-    ws = F.split(F.col(text_col), " ")
+    # The split is materialized in its OWN projection so the lambdas
+    # below reference an attribute, not the expression tree: an inlined
+    # split(text) re-evaluates O(len) per chunk START (the round-5
+    # CollapseProject lesson in higher-order-function form), which is
+    # O(chunks · len) — a 10 MB document never finishes (longdoc sweep,
+    # round 9). Through the attribute, the array is built once per row
+    # and each slice is O(ctx).
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__ws")
+    )
+    ws = F.col("__ws")
     starts = F.sequence(F.lit(1), F.size(ws), F.lit(stride))
     chunks = F.transform(
         starts,
@@ -199,7 +209,7 @@ def chunk_windows(
             F.slice(ws, s, ctx).alias("chunk_words"),
         ),
     )
-    ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    ex = staged.select(F.col(id_col), F.explode(chunks).alias("c"))
     return ex.select(
         id_col,
         F.col("c.chunk_no").cast("int").alias("chunk_no"),

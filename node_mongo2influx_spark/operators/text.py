@@ -384,12 +384,21 @@ def char_entropy(
     )
 
 
-#: PII patterns: (tag, regex, replacement). Regexes are written in the
+#: PII patterns: (tag, regex, replacement). Bodies are written in the
 #: common subset of Java regex (Spark) and RE2 (DuckDB) — character
-#: classes, +/{n} quantifiers, no backrefs/lookarounds — so both engines
-#: match identically.
+#: classes, +/{n} quantifiers, no backrefs — so both engines match
+#: identically. The email pattern additionally carries a NEGATIVE
+#: LOOKBEHIND on the Spark side only: Java's backtracking find() retries
+#: `[a-z0-9]+@` at EVERY position of an alnum run, rescanning the run
+#: each time — O(len²), wedged on a 2 M-char token (longdoc sweep,
+#: round 9). The lookbehind rejects mid-run start positions in O(1), so
+#: only run STARTS attempt the scan (linear), and the match set is
+#: IDENTICAL: a mid-run attempt can only succeed where the run-start
+#: attempt already matched through that span. RE2 (the DuckDB oracle)
+#: has no lookbehind and no backtracking — it keeps the plain body and
+#: is linear by construction.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9]+@[a-z]+\.[a-z]+", "<EMAIL>"),
+    ("email", r"(?<![a-z0-9])[a-z0-9]+@[a-z]+\.[a-z]+", "<EMAIL>"),
     ("phone", r"\+1-555-[0-9]{4}", "<PHONE>"),
 )
 
@@ -874,6 +883,22 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Per-WORD length bound for BPE (the longdoc sweep, round 9). A single
+#: whitespace-free megabyte token is not natural language, and both BPE
+#: loops are quadratic-class in word length (the driver merge loop
+#: re-hashes the word's full symbol tuple per touched merge; the greedy
+#: encoder merges one pair per O(len) scan) — a 2 M-char token wedged
+#: the driver for 10+ minutes at 7 GB RSS. The contract, matching what
+#: real trainers do (SentencePiece's max length guard, spam-run
+#: filters): words longer than this are EXCLUDED from training
+#: statistics and pass through encoding as bare character symbols (no
+#: merges applied — consistent with never having been trained on;
+#: round-trip to the input word still holds). 1024 is ~128× the longest
+#: fixture word, so every previously-witnessed value is unchanged; the
+#: bounded worst case is O(1024²) ≈ 1 M ops per word.
+BPE_MAX_WORD_CHARS = 1024
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -888,6 +913,9 @@ def bpe_train(
     HF-tokenizers / subword-nmt train on), and the merge loop runs
     driver-side over that dict. A 100 TB corpus and a 100 GB corpus with
     the same vocabulary train in the same driver time after the one agg.
+    Words past ``BPE_MAX_WORD_CHARS`` never enter the statistics (see
+    the constant's note — and a degenerate megabyte run would otherwise
+    DOMINATE the learned merges from a single spam document).
 
     Deterministic: ties on pair count break lexicographically, so the
     merge list is a pure function of the frequency table. Returns the
@@ -895,7 +923,11 @@ def bpe_train(
     then grown subwords; ``end_of_word`` marks word finals so suffixes
     and prefixes tokenize differently, per the original BPE paper).
     """
-    rows = word_frequencies(df, text_col).collect()
+    rows = (
+        word_frequencies(df, text_col)
+        .where(F.length("w") <= BPE_MAX_WORD_CHARS)
+        .collect()
+    )
     words: dict[tuple[str, ...], int] = {}
     for r in rows:
         syms = tuple(r["w"]) + ((end_of_word,) if end_of_word else ())
@@ -1059,6 +1091,14 @@ def bpe_tokenize(
             if got is not None:
                 return got
             syms = list(wd) + ([end_of_word] if end_of_word else [])
+            if len(wd) > BPE_MAX_WORD_CHARS:
+                # never in training statistics (bpe_train applies the
+                # same bound) -> no merges learned FOR it; encoding it
+                # as bare characters keeps the round-trip exact and the
+                # cost linear (the greedy loop below merges one pair
+                # per O(len) scan — quadratic on a megabyte token)
+                cache[wd] = syms
+                return syms
             while len(syms) > 1:
                 best_i, best_r = -1, None
                 for i in range(len(syms) - 1):

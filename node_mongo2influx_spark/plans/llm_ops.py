@@ -2124,19 +2124,26 @@ def _split_contamination_oracle() -> str:
         WITH assigned AS (
             SELECT doc_id, text, {case} AS split FROM documents
         ),
+        ws AS (
+            -- words materialized ONCE per row: inlining the split into
+            -- the shingle lambda re-evaluates the O(len) split per
+            -- POSITION (DuckDB does not CSE through lambdas) — O(len²)
+            -- and tens of GB of churn on a 10 MB document (longdoc
+            -- sweep, round 9); list indexing over this column is O(1)
+            SELECT doc_id, split, string_split(text, ' ') AS w
+            FROM assigned
+        ),
         sh AS (
             SELECT doc_id, split,
                    unnest(list_distinct(
-                       CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+                       CASE WHEN len(w) >= 5 THEN
                            list_transform(
-                               generate_series(1, len(string_split(text, ' ')) - 4),
-                               i -> string_split(text, ' ')[i] || ' ' ||
-                                    string_split(text, ' ')[i+1] || ' ' ||
-                                    string_split(text, ' ')[i+2] || ' ' ||
-                                    string_split(text, ' ')[i+3] || ' ' ||
-                                    string_split(text, ' ')[i+4]
+                               generate_series(1, len(w) - 4),
+                               i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                    w[i+2] || ' ' || w[i+3] || ' ' ||
+                                    w[i+4]
                        ) ELSE [] END)) AS sh
-            FROM assigned
+            FROM ws
         )
         SELECT e.doc_id,
                CAST(count(DISTINCT e.sh) AS BIGINT) AS n_shared_shingles
@@ -3064,11 +3071,14 @@ def quality_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH words AS (
             SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w FROM documents
         ),
+        cs AS (
+            SELECT string_split(w, '') AS c FROM words WHERE length(w) >= 2
+        ),
         pairs AS (
             SELECT unnest(list_transform(
-                       generate_series(1, length(w) - 1),
-                       i -> substr(w, i, 2))) AS pair
-            FROM words WHERE length(w) >= 2
+                       generate_series(1, len(c) - 1),
+                       i -> c[i] || c[i + 1])) AS pair
+            FROM cs
         )
         SELECT pair, CAST(count(*) AS BIGINT) AS n
         FROM pairs GROUP BY pair
@@ -3081,7 +3091,13 @@ def quality_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in-word pairs) feeding one count shuffle keyed on the pair; top-40 "
     "via TakeOrderedAndProject with a total order (count desc, pair). "
     "At 100 TB the pair space is <= 256^2 after the shuffle — the heavy "
-    "side stays map-local partial counts.",
+    "side stays map-local partial counts. Pairs come from zipping the "
+    "word's char array against its own shifted slice (the round-4 "
+    "n-gram pattern) — a per-position substring(w, i, 2) is O(i) per "
+    "element on a UTF8String, i.e. O(len²) per word, and a single "
+    "2 M-char token wedges the task (longdoc sweep, round 9); both "
+    "engines' split-by-empty yields CODE POINTS, measured identical to "
+    "per-position substr on the supplementary plane.",
 )
 def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -3089,11 +3105,12 @@ def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         docs.select(w)
         .where(F.length("w") >= 2)
+        .select(F.split("w", "").alias("c"))
         .select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w") - 1),
-                    lambda i: F.substring(F.col("w"), i, 2),
+                F.expr(
+                    "zip_with(slice(c, 1, size(c) - 1), "
+                    "slice(c, 2, size(c) - 1), (a, b) -> concat(a, b))"
                 )
             ).alias("pair")
         )
@@ -3303,22 +3320,34 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_chunk_overlap",
     oracle="""
-        WITH d AS (
-            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        WITH pos AS (
+            -- fully ROW-based: the old list spelling carried/copied the
+            -- full word list per chunk (and DuckDB copies the outer
+            -- list per lambda element), O(chunks · len) churn — tens of
+            -- GB on a 10 MB document (longdoc sweep, round 9). Zipped
+            -- unnests give (word, position) rows; each word joins its
+            -- <= 2 covering windows arithmetically; string_agg with an
+            -- ORDER BY rebuilds the chunk text exactly.
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                       AS p
+            FROM documents
         ),
-        s AS (
-            SELECT doc_id, words,
-                   unnest(range(1, len(words) + 1, 48)) AS st
-            FROM d
+        sized AS (
+            SELECT doc_id, w, p, max(p) OVER (PARTITION BY doc_id) AS n
+            FROM pos
+        ),
+        memb AS (
+            SELECT doc_id, w, p, t.k
+            FROM sized, unnest([(p - 1) // 48, (p - 1) // 48 - 1]) AS t(k)
+            WHERE t.k >= 0 AND 48 * t.k + 1 <= n AND p <= 48 * t.k + 64
         )
         SELECT doc_id,
-               CAST((st - 1) // 48 AS INT) AS chunk_no,
-               CAST(len(list_slice(words, CAST(st AS INT),
-                                   CAST(st + 63 AS INT))) AS INT) AS n_words,
-               md5(array_to_string(list_slice(words, CAST(st AS INT),
-                                              CAST(st + 63 AS INT)), ' '))
-                   AS chunk_md5
-        FROM s
+               CAST(k AS INT) AS chunk_no,
+               CAST(count(*) AS INT) AS n_words,
+               md5(string_agg(w, ' ' ORDER BY p)) AS chunk_md5
+        FROM memb GROUP BY doc_id, k
     """,
     description="Context-window chunking with overlap: each document "
     "becomes sliding windows of 64 words at stride 48 (16 words of "
@@ -3372,21 +3401,23 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_segment_dedup",
     oracle="""
-        WITH d AS (
-            SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        ),
-        s0 AS (
-            SELECT doc_id, words,
-                   unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT)))
-                       AS seg_no
-            FROM d
+        WITH pos AS (
+            -- row-based segmenting: the old shape unnested seg_no
+            -- alongside the words column, duplicating the full word
+            -- list into every segment row — O(segs · len) list churn
+            -- on megabyte documents (longdoc sweep, round 9; same
+            -- class as doc_chunk_overlap). Non-overlapping segments:
+            -- word p belongs to exactly segment (p-1)//10.
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                       AS p
+            FROM documents
         ),
         s AS (
-            SELECT doc_id, CAST(seg_no AS INT) AS seg_no,
-                   array_to_string(list_slice(words,
-                       CAST(seg_no * 10 + 1 AS INT),
-                       CAST(seg_no * 10 + 10 AS INT)), ' ') AS seg
-            FROM s0
+            SELECT doc_id, CAST((p - 1) // 10 AS INT) AS seg_no,
+                   string_agg(w, ' ' ORDER BY p) AS seg
+            FROM pos GROUP BY doc_id, (p - 1) // 10
         ),
         c AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg),
         k AS (SELECT s.* FROM s JOIN c USING (seg) WHERE c.nd <= 1),
@@ -3670,14 +3701,18 @@ def cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_char_entropy",
     oracle="""
-        WITH pos AS (
-            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        WITH ch AS (
+            -- unnest the split-by-empty char list (CODE POINTS in both
+            -- engines, measured) instead of substr(text, i, 1) per
+            -- position: DuckDB's substr walks from the string start on
+            -- multibyte text, so the per-position spelling is O(len²)
+            -- — minutes on a 3 MB unicode document (longdoc sweep, r9)
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
             FROM documents WHERE length(text) > 0
         ),
         cnt AS (
-            SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch,
-                   count(*) AS c
-            FROM pos GROUP BY doc_id, ch
+            SELECT doc_id, ch, count(*) AS c
+            FROM ch GROUP BY doc_id, ch
         ),
         tot AS (
             SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
@@ -4268,6 +4303,23 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, n, prompt, resp,
                    resp[1:least(len(resp), 48)] AS kept
             FROM parts
+        ),
+        rend AS (
+            -- DuckDB array_to_string([]) is NULL (string_agg over zero
+            -- elements) where Spark array_join([]) is '' — a 1-word
+            -- document has an EMPTY truncated response and rendered
+            -- NULL through the whole concat (longdoc sweep, round 9);
+            -- coalesce pins the Spark semantics, the CASE keeps
+            -- NULL-text rows NULL
+            SELECT doc_id, n, prompt, resp, kept,
+                   CASE WHEN prompt IS NULL OR kept IS NULL THEN NULL
+                        ELSE '<|user|>' || chr(10)
+                             || coalesce(array_to_string(prompt, ' '), '')
+                             || chr(10) || '<|assistant|>' || chr(10)
+                             || coalesce(array_to_string(kept, ' '), '')
+                             || '<|end|>'
+                   END AS rendered
+            FROM cut
         )
         SELECT doc_id,
                CAST(n AS BIGINT) AS n_words,
@@ -4275,15 +4327,9 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(resp) AS BIGINT) AS n_response_words,
                CAST(len(kept) AS BIGINT) AS n_response_kept,
                len(resp) > 48 AS truncated,
-               CAST(length('<|user|>' || chr(10) || array_to_string(prompt, ' ')
-                    || chr(10) || '<|assistant|>' || chr(10)
-                    || array_to_string(kept, ' ') || '<|end|>') AS BIGINT)
-                   AS n_chars_rendered,
-               md5('<|user|>' || chr(10) || array_to_string(prompt, ' ')
-                   || chr(10) || '<|assistant|>' || chr(10)
-                   || array_to_string(kept, ' ') || '<|end|>')
-                   AS rendered_md5
-        FROM cut
+               CAST(length(rendered) AS BIGINT) AS n_chars_rendered,
+               md5(rendered) AS rendered_md5
+        FROM rend
     """,
     description="SFT chat-template rendering with a response budget: each "
     "document splits at its word midpoint into a synthetic prompt/response "

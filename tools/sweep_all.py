@@ -22,6 +22,9 @@ which has caught real divergence classes the dense fixtures cannot:
   tz       (tools/tz_fixtures)         instant-typed timestamps + hostile
                                        ambient zone (r9: TIMESTAMPTZ
                                        parquet, session/process TZ pins)
+  longdoc  (tools/longdoc_fixtures)    extreme-length single documents
+                                       (r9: per-row O(doc-length) work
+                                       skew — 10 MB bodies in one task)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
@@ -67,6 +70,8 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_xts"),
     ("tz", [["tools/tz_fixtures.py", SRC, "/tmp/sf_tz"]],
      "/tmp/sf_tz"),
+    ("longdoc", [["tools/longdoc_fixtures.py", SRC, "/tmp/sf_longdoc"]],
+     "/tmp/sf_longdoc"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
