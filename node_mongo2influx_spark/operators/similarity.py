@@ -1632,6 +1632,11 @@ def knn_cosine_pq(
         queries.select(
             F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
         )
+        # NULL vectors never become driver LUTs, so they must not count
+        # against the driver-state bound — filter BEFORE the limit cap
+        # (ADVICE r9: a batch with <=max usable queries but more raw
+        # rows must pass, not raise).
+        .where(F.col("qv").isNotNull())
         .limit(_DRIVER_LUT_MAX_QUERIES + 1)
         .collect()
     )

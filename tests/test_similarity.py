@@ -784,6 +784,19 @@ def test_pq_large_batch_raises_typed_refusal(spark, emb, monkeypatch):
     ok = similarity.knn_cosine_pq(emb, emb.where("vec_id < 4"), **kw)
     assert ok.where("query_id = neighbor_id").count() == 0
     assert ok.groupBy("query_id").count().count() == 4
+    # NULL-vector rows never become driver LUTs, so they must not count
+    # against the bound (ADVICE r9): 4 usable + 6 NULL rows = 10 raw
+    # rows passes the gate and answers exactly the 4 usable queries.
+    vec_type = emb.schema["embedding"].dataType
+    from pyspark.sql import functions as F
+
+    padded = emb.where("vec_id < 4").select("vec_id", "embedding").unionByName(
+        emb.where("vec_id >= 4 and vec_id < 10").select(
+            "vec_id", F.lit(None).cast(vec_type).alias("embedding")
+        )
+    )
+    ok2 = similarity.knn_cosine_pq(emb, padded, **kw)
+    assert ok2.groupBy("query_id").count().count() == 4
 
 
 def test_unhinted_query_joins_match_broadcast_paths(emb, monkeypatch):

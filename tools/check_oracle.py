@@ -15,18 +15,20 @@ import math
 import os
 import sys
 import time
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from pathlib import Path
 
-# Pin the PROCESS timezone before the JVM starts: PySpark's row-collect
-# renders TimestampType through datetime.fromtimestamp (process-local
-# time), unlike the driver's arrow comparator which renders in SESSION
-# time (pinned UTC by Engine.builder). Without this, running the gate
-# under TZ=America/... shifts every collected Spark timestamp while the
-# DuckDB naive values stay put — a false red the driver would never see
-# (tz sweep, round 9).
-os.environ["TZ"] = "UTC"
-time.tzset()
+# The ambient/process timezone is deliberately NOT pinned here (ADVICE
+# r9): sweep_all's tz stage runs this gate under TZ=America/New_York and
+# the hostile zone must genuinely reach the JVM default zone, the Python
+# workers, and DuckDB's process environment. The engine SESSION zones
+# stay pinned (Engine.builder sets spark.sql.session.timeZone=UTC; the
+# DuckDB connection below does SET TimeZone='UTC') — those are product
+# settings, not test scaffolding. To keep the comparator itself
+# zone-proof, Spark results are collected via Arrow (instants rendered
+# in SESSION time, exactly like the driver's comparator) instead of
+# row-collect's datetime.fromtimestamp (process-local time), and _norm
+# renders any tz-aware datetime as its UTC wall value.
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -53,7 +55,11 @@ def _norm(v):
         # cross-engine float noise is handled by explicit round() in the
         # queries themselves (both sides), not by loose formatting here.
         return f"{v:.17g}"
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
@@ -113,6 +119,20 @@ def output_hazards(spark_fields, dcols: list[str], dtypes: list[str]) -> list[st
             "concat_ws to a string on both sides"
         )
     return problems
+
+
+def spark_rows(sdf) -> list[tuple]:
+    """Collect a Spark DataFrame through Arrow.
+
+    Timestamp instants arrive as tz-aware datetimes in SESSION time
+    (UTC), independent of the process timezone — the same rendering the
+    driver's arrow comparator uses. Row-collect would go through
+    datetime.fromtimestamp (process-local) and shift every instant when
+    the gate runs under a hostile ambient TZ.
+    """
+    tbl = sdf.toArrow()
+    cols = [c.to_pylist() for c in tbl.columns]
+    return [tuple(vals) for vals in zip(*cols)]
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -180,7 +200,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = spark_rows(sdf)
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")

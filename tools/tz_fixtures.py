@@ -24,10 +24,15 @@ run by tools/sweep_all.py's ``tz`` stage under a HOSTILE ambient TZ
   fixes) renders it back to UTC-wall naive TIMESTAMP so every oracle
   sees exactly what it sees on the NTZ fixtures, regardless of the
   connection's TimeZone.
-* The gate harness itself is ambient-TZ-invariant: check_oracle pins
-  the process TZ before the JVM starts (PySpark's row-collect renders
-  TimestampType in PROCESS-local time, unlike the driver's arrow
-  comparator which renders in session time).
+* The hostile ambient zone genuinely reaches both engines (ADVICE r9):
+  check_oracle no longer pins the process TZ, so the JVM default zone,
+  the Python workers, and DuckDB's process environment all run hostile;
+  only the SESSION zones are pinned (engine.py's
+  spark.sql.session.timeZone and the oracle connection's SET TimeZone —
+  product settings, not scaffolding). The comparator stays
+  zone-invariant by collecting Spark results through Arrow (instants in
+  SESSION time, the driver's rendering) and normalizing tz-aware
+  datetimes to UTC wall values in _norm.
 
 Usage:
     python tools/tz_fixtures.py [src_sf_dir] [dst_dir]
