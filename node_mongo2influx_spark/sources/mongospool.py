@@ -16,7 +16,11 @@ Python Data Source API (Spark 4):
   (exact integer millis, pre-1970 and far-future included),
   ``$numberLong``/``$numberInt`` → long, ``$numberDouble`` → double (incl.
   the canonical Infinity/NaN spellings), ``$numberDecimal`` (Decimal128) →
-  the exact decimal string (see :func:`_decode_extended`). Other nested
+  the exact decimal string, ``$binary`` → bytes (BinaryType — feeds the
+  multimodal operators directly), ``$uuid`` → canonical lowercase UUID
+  string, ``$timestamp`` → the BSON uint64 ``(t << 32) | i`` logical-clock
+  value, ``$regularExpression`` (and the legacy ``$regex`` spelling) →
+  ``/pattern/options`` (see :func:`_decode_extended`). Other nested
   objects stay JSON strings (the reference's schemaless rows flow through
   the same way — a truthy `time` is the only structural requirement,
   applied later by TransformSpec).
@@ -33,6 +37,7 @@ Usage::
 
 from __future__ import annotations
 
+import base64
 import json
 import pathlib
 from datetime import datetime, timedelta, timezone
@@ -51,6 +56,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
+    BinaryType,
     DataType,
     DoubleType,
     LongType,
@@ -91,6 +97,25 @@ def _decode_extended(v):
       lexical value; the exact string survives schemaless, and callers
       cast — the repo's currency discipline parses exact integer basis
       points from strings anyway (q7_nation_trade_flow).
+    * ``$binary`` → raw bytes (both the canonical v2
+      ``{"base64": …, "subType": …}`` shape and the legacy v1
+      ``{"$binary": "<b64>", "$type": "<hex>"}`` shape). The subtype tag
+      is dropped — payload bytes are the value; BinaryType columns feed
+      operators/multimodal (sniff_mime, image_dims, …) directly.
+    * ``$uuid`` → the canonical lowercase-hyphenated UUID string (the
+      extended-JSON convenience spelling of binary subtype 4).
+    * ``$timestamp`` (``{"t": secs, "i": inc}``) → the BSON-defined
+      uint64 ``(t << 32) | i`` as int. This is Mongo's INTERNAL
+      logical clock (oplog ordering), not a wall time — the integer
+      preserves exactness and total order where a datetime would drop
+      the increment. (LongType caps at int64: t ≥ 2^31, i.e. an oplog
+      stamped after 2038, would need the explicit-schema string path.)
+    * ``$regularExpression`` (canonical) and the legacy
+      ``{"$regex": "<pat>", "$options": "<opts>"}`` value shape →
+      ``/pattern/options`` (mongosh's literal rendering — one string,
+      options preserved). The legacy form decodes only when ``$regex``
+      is itself a string, so a QUERY document that nests an operator
+      under ``$regex`` falls through to the JSON-string path.
 
     Other wrappers and nested documents stay JSON strings (the
     reference's schemaless rows flow through the same way)."""
@@ -117,6 +142,25 @@ def _decode_extended(v):
             return float(v["$numberDouble"])
         if "$numberDecimal" in v:
             return str(v["$numberDecimal"])
+        if "$binary" in v:
+            b = v["$binary"]
+            if isinstance(b, dict) and "base64" in b:  # canonical v2
+                return base64.b64decode(b["base64"])
+            if isinstance(b, str):  # legacy v1: {"$binary": b64, "$type": hex}
+                return base64.b64decode(b)
+        if "$uuid" in v:
+            return str(v["$uuid"]).lower()
+        if "$timestamp" in v and isinstance(v["$timestamp"], dict):
+            t = v["$timestamp"]
+            if "t" in t and "i" in t:
+                return (int(t["t"]) << 32) | int(t["i"])
+        if "$regularExpression" in v and isinstance(
+            v["$regularExpression"], dict
+        ):
+            r = v["$regularExpression"]
+            return f"/{r.get('pattern', '')}/{r.get('options', '')}"
+        if "$regex" in v and isinstance(v["$regex"], str):
+            return f"/{v['$regex']}/{v.get('$options', '')}"
         return json.dumps(v, sort_keys=True)
     if isinstance(v, list):
         return json.dumps(v, sort_keys=True)
@@ -133,6 +177,8 @@ def _infer_type(v) -> DataType:
         return DoubleType()
     if isinstance(v, datetime):
         return TimestampType()
+    if isinstance(v, bytes):
+        return BinaryType()
     return StringType()
 
 
@@ -143,7 +189,13 @@ def _coerce(v, dtype: DataType):
     see exactly the value the row would carry."""
     v = _decode_extended(v)
     if v is not None and isinstance(dtype, StringType) and not isinstance(v, str):
-        v = json.dumps(v)
+        # bytes can't json.dumps; a $binary landing in a string-widened
+        # column re-renders as its base64 text (round-trips the dump)
+        v = (
+            base64.b64encode(v).decode("ascii")
+            if isinstance(v, bytes)
+            else json.dumps(v)
+        )
     return v
 
 

@@ -554,3 +554,123 @@ def test_spool_migrate_green_over_extended_types(spark, tmp_path):
     # 2200 reading: Infinity field ABSENT, timestamp positive ns
     assert "value=" not in by_id["2"]
     assert by_id["2"].rstrip().endswith("7258122245678000000")
+
+
+def test_mongospool_binary_uuid_timestamp_regex_decode(spark, tmp_path):
+    # VERDICT r9 #5: the remaining canonical extended-JSON types.
+    # $binary (both the canonical v2 dict and legacy v1 string shapes)
+    # decodes to raw bytes -> BinaryType; $uuid to the lowercase UUID
+    # string; $timestamp to the BSON uint64 (t<<32)|i logical clock;
+    # $regularExpression (and the legacy string $regex) to the mongosh
+    # /pattern/options literal. A $regex whose value is NOT a string
+    # (query-operator shape) must fall through to the JSON-string path.
+    import base64
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    payload = bytes(range(7)) + b"\x00\xff"
+    docs = [
+        {
+            "k": {"$numberInt": "1"},
+            "blob": {"$binary": {"base64": base64.b64encode(payload).decode(),
+                                 "subType": "00"}},
+            "uid": {"$uuid": "C8EDAFA0-7C4A-4E2B-9B3C-1D2E3F405060"},
+            "clk": {"$timestamp": {"t": 1700000000, "i": 7}},
+            "pat": {"$regularExpression": {"pattern": "^a.*b$",
+                                           "options": "i"}},
+        },
+        {
+            "k": {"$numberInt": "2"},
+            "blob": {"$binary": base64.b64encode(b"legacy").decode(),
+                     "$type": "00"},
+            "uid": {"$uuid": "00000000-0000-4000-8000-000000000000"},
+            "clk": {"$timestamp": {"t": 0, "i": 1}},
+            "pat": {"$regex": "x+", "$options": ""},
+        },
+        {
+            "k": {"$numberInt": "3"},
+            "blob": None,
+            "uid": None,
+            "clk": None,
+            # query-operator shape: $regex maps to a nested doc, NOT a
+            # string -> stays a JSON string verbatim
+            "pat": {"$regex": {"$ne": "abc"}},
+        },
+    ]
+    dump = tmp_path / "bdump"
+    dump.mkdir()
+    (dump / "c.jsonl").write_text("".join(json.dumps(d) + "\n" for d in docs))
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(dump)).load()
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds == {
+        "k": "bigint", "blob": "binary", "uid": "string",
+        "clk": "bigint", "pat": "string",
+    }
+    got = {r["k"]: r for r in df.collect()}
+    assert bytes(got[1]["blob"]) == payload
+    assert bytes(got[2]["blob"]) == b"legacy"
+    assert got[3]["blob"] is None
+    assert got[1]["uid"] == "c8edafa0-7c4a-4e2b-9b3c-1d2e3f405060"
+    assert got[1]["clk"] == (1700000000 << 32) | 7
+    assert got[2]["clk"] == 1
+    assert got[1]["pat"] == "/^a.*b$/i"
+    assert got[2]["pat"] == "/x+/"
+    assert json.loads(got[3]["pat"]) == {"$regex": {"$ne": "abc"}}
+
+
+def test_mongospool_spool_to_multimodal_composition(spark, tmp_path):
+    # End-to-end schemaless -> multimodal proof (VERDICT r9 #5): a dump
+    # whose $binary payloads are real container bytes flows from the
+    # spool source straight into sniff_mime + image_dims with no
+    # conversion step — the decoded column IS BinaryType.
+    import base64
+    import json
+
+    from node_mongo2influx_spark.operators import multimodal
+    from node_mongo2influx_spark.sources.mongospool import MongoSpoolDataSource
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0])
+    )
+    wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+    docs = [
+        {"doc_id": {"$numberLong": "1"},
+         "payload": {"$binary": {"base64": b64(png), "subType": "00"}}},
+        {"doc_id": {"$numberLong": "2"},
+         "payload": {"$binary": {"base64": b64(wav), "subType": "00"}}},
+        {"doc_id": {"$numberLong": "3"},
+         "payload": {"$binary": {"base64": b64(b"plain bytes"),
+                                 "subType": "00"}}},
+    ]
+    dump = tmp_path / "mdump"
+    dump.mkdir()
+    (dump / "c.jsonl").write_text("".join(json.dumps(d) + "\n" for d in docs))
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(dump)).load()
+    assert df.schema["payload"].dataType.simpleString() == "binary"
+
+    mimes = {
+        r["doc_id"]: r["sniffed_mime"]
+        for r in multimodal.sniff_mime(df).collect()
+    }
+    assert mimes == {
+        1: "image/png", 2: "audio/x-wav", 3: "application/octet-stream",
+    }
+    dims = {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"])
+        for r in multimodal.image_dims(df).collect()
+    }
+    assert dims[1] == ("png", 320, 200)
+    assert dims[3][0] == "unknown" and dims[3][1] is None
