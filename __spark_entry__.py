@@ -367,6 +367,40 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # construction, no lookbehind support). Dense values identical
     # (re-verified).
     ("pii_redaction_stats", 9),
+    # round 10 (embed sweep, tools/embedding_fixtures — the vector-
+    # validity contract, functions/vec): every cosine-family operator
+    # and its oracle now exclude UNUSABLE vectors (NULL vector, NULL/
+    # NaN/Inf element, zero norm — 0/0 cosine raised DIVIDE_BY_ZERO
+    # under ANSI and float(None) crashed Arrow kernels); the exact-
+    # quantization statistics family (Gram/PCA/JL) further requires the
+    # BOUNDED domain |x| <= 100 (a 3e38 component cannot land on a
+    # milli-unit int64 lattice: CAST overflow, and Spark's floor()
+    # saturates LONG where DuckDB's stays DOUBLE). Dense fixtures carry
+    # no such vectors — values identical, re-verified at sf0.001/sf0.01.
+    ("knn_cosine_bruteforce", 10),
+    ("embedding_neardup_pairs", 10),
+    ("embedding_neardup_sampled", 10),
+    ("dedup_modality_agreement", 10),
+    ("dedup_modality_agreement_sampled", 10),
+    ("label_centroid_cosine", 10),
+    ("ann_recall_probe", 10),
+    ("lsh_recall_probe", 10),
+    ("pq_recall_probe", 10),
+    ("embedding_gram_matrix", 10),
+    ("random_projection_jl", 10),
+    ("embedding_pca_project", 10),
+    ("pca_power_probe", 10),
+    ("hybrid_retrieval_rrf", 10),
+    # round 10 (embed sweep): embedding_norm_qa now reports the full
+    # class census (n_invalid/n_zero/n_outlier joined n_missing; norm
+    # stats over the quantizable class only — the QA face SURFACES what
+    # the operator faces exclude); array_functions aligned three
+    # engine-edge semantics (NULL-element fold vs list_sum skip, left-
+    # fold vs list_sum order at 1e78, DuckDB round() ulp loss past 2^53
+    # + IEEE -0.0) — schema/values on dense fixtures unchanged except
+    # norm_qa's three new columns.
+    ("embedding_norm_qa", 10),
+    ("array_functions", 10),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

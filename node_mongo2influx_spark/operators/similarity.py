@@ -26,11 +26,29 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions.vec import bounded_vector, usable_vector
 from node_mongo2influx_spark.sinks.parquet import _has_data_files
 
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _usable(df: DataFrame, vec_col: str) -> DataFrame:
+    """Input guard of every vector operator: the vector-validity contract
+    (functions/vec — the finite-measure rule extended to vectors).
+    Unusable rows (NULL vector, NULL/non-finite element, zero norm) are
+    excluded the way a NULL measure is absent from an aggregate; cosine
+    against them is 0/0 in every engine and kernels would see None."""
+    return df.where(usable_vector(F.col(vec_col)))
+
+
+def _bounded(df: DataFrame, vec_col: str) -> DataFrame:
+    """Input guard of the exact-quantization statistics operators (Gram /
+    PCA / JL): usable AND every |x| <= vec.STAT_ABS_MAX, the integer-
+    lattice domain (functions/vec). Out-of-domain vectors are excluded
+    from the statistic and surfaced by embedding_norm_qa's n_outlier."""
+    return df.where(bounded_vector(F.col(vec_col)))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -62,6 +80,7 @@ def knn_cosine(
     """
     from pyspark.sql import Window
 
+    corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
@@ -106,7 +125,7 @@ def cosine_pairs(
     entire O(n²) scoring loop on a single core. The extra shuffle moves
     n rows — noise against n² scoring work at any size.
     """
-    base = df.select(
+    base = _usable(df, vec_col).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
     base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -344,6 +363,7 @@ def cosine_pairs_lsh(
     joins on id), so the big shuffle is O(n · n_tables · 24 B) regardless
     of embedding width.
     """
+    df = _usable(df, vec_col)
     d = _vec_dim(df, vec_col, dim)
     planes_t, weights = _srp_planes(n_tables, n_planes, d, seed)
 
@@ -472,6 +492,7 @@ def knn_cosine_lsh(
     for a big batch the probe table and the rerank's query side
     hash-join instead, and AQE picks the strategy from real sizes.
     """
+    corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
     d = _vec_dim(corpus, vec_col, dim)
     planes_t, weights = _srp_planes(n_tables, n_planes, d, seed)
     bounded = _bounded_query_batch(queries)
@@ -611,7 +632,7 @@ def kmeans_centroids(
     Init is deterministic: the ``n_cells`` sample rows with smallest
     xxhash64(id) (a seedless uniform spread that any engine/run reproduces).
     """
-    base = df.select(
+    base = _usable(df, vec_col).select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("km-train"))
@@ -799,6 +820,7 @@ def knn_cosine_ivf(
     hash-join under AQE instead); vectors rejoin the candidate pairs by
     id. Recall vs :func:`knn_cosine` is asserted in tests.
     """
+    corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
     d = _vec_dim(corpus, vec_col, dim)
     bounded = _bounded_query_batch(queries)
     if centroids is None:
@@ -1263,6 +1285,7 @@ def cosine_pairs_ivf(
       id-row replication — kept selectable for corpora where MOST cells
       are heavy and the probe-then-split dance saves nothing.
     """
+    df = _usable(df, vec_col)
     d = _vec_dim(df, vec_col, dim)
     if cell_counts is not None and centroids is None:
         # counts are populations UNDER a specific quantizer — against a
@@ -1449,7 +1472,7 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    base = df.select(
+    base = _usable(df, vec_col).select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("pq-train"))
@@ -1502,6 +1525,7 @@ def pq_encode(
     """(vid, codes, nrm): each vector compressed to its m nearest-sub-
     centroid ids plus its EXACT L2 norm (kept so ADC can approximate
     cosine, not just dot). One matmul per subspace per Arrow batch."""
+    df = _usable(df, vec_col)
     bk = books
 
     def kernel(batches):
@@ -1619,6 +1643,7 @@ def knn_cosine_pq(
     """
     from pyspark.sql import Window
 
+    corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
     short = shortlist if shortlist is not None else 4 * k
     try:
         books = pq_codebooks(
@@ -1869,6 +1894,7 @@ def knn_cosine_ivfpq(
     output contract), so no caller can drive query-sized state onto the
     driver by accident.
     """
+    corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
     short = shortlist if shortlist is not None else 4 * k
     try:
         cents = kmeans_centroids(
@@ -2044,6 +2070,7 @@ def knn_cosine_ivfpq_batch(
     index across batches; recall vs :func:`knn_cosine` is gated in
     tests/test_similarity.py.
     """
+    corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
     short = shortlist if shortlist is not None else 4 * k
     try:
         cents = (
@@ -2208,6 +2235,7 @@ def gram_matrix(
     moves is the (i, j, partial-sum) triples per partition. Mean-center
     downstream with the norm QA query's per-dim means to get covariance.
     """
+    df = _bounded(df, vec_col)
     pairs = F.expr(
         f"""
         flatten(transform(sequence(0, {dims - 1}), i ->
@@ -2282,6 +2310,7 @@ def random_project(
     time. Per row: out_dim zip_with folds in fixed left-to-right order
     (bit-identical across engines); zero shuffles.
     """
+    df = _bounded(df, vec_col)
     signs = jl_sign_matrix(in_dim, out_dim)
     scale = f"sqrt(CAST({out_dim} AS DOUBLE))"
     cols = [F.col(id_col)]
@@ -2365,6 +2394,7 @@ def pca_project(
     canonicalized (largest-|component| positive) so results don't flip
     between runs.
     """
+    df = _bounded(df, vec_col)
     pairs = F.expr(
         f"""
         flatten(transform(sequence(0, {dims - 1}), i ->
@@ -2450,6 +2480,7 @@ def build_ivfpq_index(
         # with the model recording a "legacy" layout: a mixed, unreadable
         # store. Refuse up front.
         raise ValueError(f"vec_buckets must be >= 1, got {vec_buckets}")
+    corpus = _usable(corpus, vec_col)
     spark = corpus.sparkSession
     cents = kmeans_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
@@ -2664,6 +2695,7 @@ def knn_cosine_ivfpq_query(
     face: probed cells computed on the executors, the DISTINCT cell set
     (bounded by n_cells — model-class) still prunes the codes read,
     candidates via the shared cogroup generator, hash-joined rerank."""
+    queries = _usable(queries, vec_col)
     cents, anchors, books = load_ivfpq_model(spark, path)
     if not _has_data_files(pathlib.Path(f"{path}/codes")):
         # a fully-retired index (every list deleted) is EMPTY, not
@@ -2756,6 +2788,7 @@ def append_to_ivfpq_index(
     moves far from the training sample, rebuild — recall vs a
     fresh-trained index is the test gate (tests/test_similarity.py).
     """
+    delta = _usable(delta, vec_col)
     spark = delta.sparkSession
     cents, anchors, books = load_ivfpq_model(spark, path)
     codes = ivfpq_encode(

@@ -19,7 +19,16 @@ from node_mongo2influx_spark.operators import (
     text,
 )
 from node_mongo2influx_spark.plans import query
+from node_mongo2influx_spark.functions import vec as vecf
 from node_mongo2influx_spark.plans.tables import load
+
+#: DuckDB twins of the vector-validity contract (functions/vec): the
+#: finite-measure rule extended to embeddings. Every oracle that consumes
+#: the embedding column carries the SAME predicate its Spark operator
+#: applies — usable (cosine family) or bounded (exact-quantization
+#: statistics family).
+_UVEC = vecf.usable_vector_duckdb_sql("embedding")
+_BVEC = vecf.bounded_vector_duckdb_sql("embedding")
 
 
 # ---------------------------------------------------------------------------
@@ -797,9 +806,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "knn_cosine_bruteforce",
-    oracle="""
+    oracle=f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            WHERE {_UVEC}
         )
         SELECT query_id, neighbor_id, cosine
         FROM (
@@ -866,9 +876,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_neardup_pairs",
-    oracle="""
+    oracle=f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            WHERE {_UVEC}
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.emb, b.emb)
@@ -913,7 +924,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_modality_agreement",
-    oracle="""
+    oracle=f"""
         WITH docs AS (
             SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents
         ),
@@ -943,6 +954,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            WHERE {_UVEC}
         ),
         emb_pairs AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -1066,6 +1078,7 @@ _MODALITY_CUT = _ph.cutoff32(_MODALITY_SAMPLE_RATE)
         ),
         e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM semb
+            WHERE {_UVEC}
         ),
         emb_pairs AS (
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -1649,11 +1662,12 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "label_centroid_cosine",
-    oracle="""
+    oracle=f"""
         WITH elems AS (
             SELECT label, vec_id, CAST(i AS INT) AS pos,
                    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
             FROM embeddings, range(1, 65) t(i)
+            WHERE {_UVEC}
         ),
         cent AS (
             SELECT label, pos, avg(v) AS c FROM elems GROUP BY label, pos
@@ -1681,7 +1695,9 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel used by the IVF trainer (operators/similarity.py).",
 )
 def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings").where(
+        vecf.usable_vector(F.col("embedding"))
+    ).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
@@ -2423,9 +2439,10 @@ def ivfpq_drift_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_recall_probe",
-    oracle="""
+    oracle=f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            WHERE {_UVEC}
         ),
         cents AS (SELECT vec_id AS cell, emb FROM e WHERE vec_id < 16),
         assigned AS (
@@ -2488,7 +2505,9 @@ def ivfpq_drift_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings").where(
+        vecf.usable_vector(F.col("embedding"))
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     dot = similarity._dot
@@ -2626,7 +2645,7 @@ def _lsh_probe_oracle() -> str:
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-            WHERE embedding IS NOT NULL
+            WHERE {_UVEC}
         ),
         b AS (
             {buckets}
@@ -2693,11 +2712,10 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         load(spark, sf_dir, "embeddings")
-        # a row without an embedding is not index input (the vector
-        # analogue of the time-validity rule); DuckDB's
-        # list_dot_product raises on NULL lists where Spark's
-        # aggregate() silently yields NULL — made explicit both sides
-        .where(F.col("embedding").isNotNull())
+        # an unusable row is not index input (the vector-validity
+        # contract, functions/vec — the vector analogue of the
+        # time-validity rule); the oracle's e CTE carries the twin
+        .where(vecf.usable_vector(F.col("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     dot = similarity._dot
@@ -2785,10 +2803,10 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_probe_oracle() -> str:
-    return """
+    return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-            WHERE embedding IS NOT NULL
+            WHERE {_UVEC}
         ),
         grid AS (SELECT unnest(range(0, 8)) AS j),
         cb AS (
@@ -2875,10 +2893,11 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (
         load(spark, sf_dir, "embeddings")
-        # drop NULL embeddings up front (oracle's e CTE mirrors this): a
-        # NULL among the first 16 rows would crash the driver-side
-        # codebook slicing, and a NULL corpus/query row scores as NULL
-        .where(F.col("embedding").isNotNull())
+        # drop unusable embeddings up front (the vector-validity
+        # contract; oracle's e CTE mirrors it): a NULL — or a
+        # NULL-ELEMENT — row among the first 16 would crash the
+        # driver-side codebook slicing (float(None), embed sweep r10)
+        .where(vecf.usable_vector(F.col("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     dot = similarity._dot
@@ -3243,11 +3262,12 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_norm_qa",
-    oracle="""
+    oracle=f"""
         WITH n AS (
             SELECT label,
-                   CASE WHEN embedding IS NULL THEN NULL
-                   ELSE CAST(round(sqrt(list_reduce(
+                   {vecf.vector_class_duckdb_sql("embedding")} AS cls,
+                   CASE WHEN {_BVEC}
+                   THEN CAST(round(sqrt(list_reduce(
                        list_prepend(CAST(0.0 AS DOUBLE),
                            list_transform(CAST(embedding AS DOUBLE[]),
                                           x -> x * x)),
@@ -3256,29 +3276,38 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_vecs,
-               CAST(sum(CASE WHEN norm_micro IS NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN cls = 'missing' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_missing,
+               CAST(sum(CASE WHEN cls = 'invalid' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_invalid,
+               CAST(sum(CASE WHEN cls = 'zero' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_zero,
+               CAST(sum(CASE WHEN cls = 'outlier' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outlier,
                round(CAST(min(norm_micro) AS DOUBLE) / 100000.0, 5) AS min_norm,
                round(CAST(max(norm_micro) AS DOUBLE) / 100000.0, 5) AS max_norm,
                round(CAST(sum(norm_micro) AS DOUBLE)
-                     / CAST(count(norm_micro) AS DOUBLE) / 100000.0, 5)
+                     / nullif(CAST(count(norm_micro) AS DOUBLE), 0.0)
+                     / 100000.0, 5)
                    AS avg_norm,
                CAST(sum(CASE WHEN abs(norm_micro - 100000) > 10000
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
         FROM n GROUP BY label
     """,
     description="Embedding QA per label: L2-norm min/max/avg, the count "
-    "of far-from-unit vectors, and the count of rows MISSING their "
-    "embedding (the standard pre-index sanity check — a QA query must "
-    "surface absent vectors, not skip them silently; norm stats cover "
-    "the present vectors only, identically on both engines — DuckDB's "
-    "list_prepend(0.0, NULL) would otherwise mint a [0.0] list and a "
-    "phantom zero norm where Spark's aggregate(NULL) is NULL). "
-    "Per-vector norms are LEFT FOLDS in both engines (aggregate "
-    "vs list_reduce — identical IEEE operation sequence, so identical "
-    "doubles), then quantized to integer micro-units so every aggregate "
-    "is exact integer arithmetic; only the final display division is "
-    "floating. One map pass + one tiny shuffle on label.",
+    "of far-from-unit vectors, and a census of every vector-contract "
+    "class the operators EXCLUDE (functions/vec, r10): rows MISSING "
+    "their embedding, INVALID vectors (NULL/NaN/Inf element), ZERO "
+    "(direction-free) vectors, and statistics-domain OUTLIERS "
+    "(|x| > 100 — unquantizable on the micro-unit int64 lattice: a "
+    "3e38 norm times 1e5 cannot cast to BIGINT, embed sweep r10). "
+    "Norm stats cover the ok class only — the QA face SURFACES what "
+    "the operator faces exclude. Per-vector norms are LEFT FOLDS in "
+    "both engines (aggregate vs list_reduce — identical IEEE operation "
+    "sequence, so identical doubles), then quantized to integer "
+    "micro-units so every aggregate is exact integer arithmetic; only "
+    "the final display division is floating. One map pass + one tiny "
+    "shuffle on label.",
 )
 def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -3287,15 +3316,22 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x * x,
     )
-    norm_micro = F.round(F.sqrt(sumsq) * 100000).cast("long")
-    n = emb.select("label", norm_micro.alias("norm_micro"))
+    norm_micro = F.when(
+        vecf.bounded_vector(F.col("embedding")),
+        F.round(F.sqrt(sumsq) * 100000).cast("long"),
+    )
+    cls = vecf.vector_class(F.col("embedding"))
+    n = emb.select(
+        "label", cls.alias("cls"), norm_micro.alias("norm_micro")
+    )
     return n.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        # a row with no embedding has a NULL norm — reported, not
-        # silently skipped (nullify sweep, embedding class, round 8)
-        F.sum(
-            F.when(F.col("norm_micro").isNull(), 1).otherwise(0)
-        ).alias("n_missing"),
+        # every contract class the operators exclude is REPORTED here,
+        # never silently skipped (nullify sweep r8; embed sweep r10)
+        F.sum((F.col("cls") == "missing").cast("int")).alias("n_missing"),
+        F.sum((F.col("cls") == "invalid").cast("int")).alias("n_invalid"),
+        F.sum((F.col("cls") == "zero").cast("int")).alias("n_zero"),
+        F.sum((F.col("cls") == "outlier").cast("int")).alias("n_outlier"),
         F.round(F.min("norm_micro").cast("double") / 100000.0, 5).alias(
             "min_norm"
         ),
@@ -3304,7 +3340,9 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.sum("norm_micro").cast("double")
-            / F.count("norm_micro").cast("double")
+            # nullif: a label whose every vector is excluded has
+            # count 0 — DuckDB's NULL/0 is NULL, ANSI Spark raises
+            / F.nullif(F.count("norm_micro").cast("double"), F.lit(0.0))
             / 100000.0,
             5,
         ).alias("avg_norm"),
@@ -4479,7 +4517,7 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings,
              unnest(generate_series(0, 15)) AS t(i),
              unnest(generate_series(0, 15)) AS u(j)
-        WHERE u.j >= t.i
+        WHERE u.j >= t.i AND {_BVEC}
         GROUP BY t.i, u.j
     """,
     description="Distributed Gram matrix (upper triangle of X^T X over "
@@ -4510,7 +4548,10 @@ def _jl_oracle(in_dim: int = 64, out_dim: int = 8) -> str:
             f"* 1000000.0 + 0.5) / 1000000.0 AS p{j}"
         )
     sep = ",\n               ".join(cols)
-    return f"SELECT vec_id,\n               {sep}\n        FROM embeddings"
+    return (
+        f"SELECT vec_id,\n               {sep}\n        FROM embeddings"
+        f"\n        WHERE {_BVEC}"
+    )
 
 
 @query(
@@ -4787,7 +4828,8 @@ def _pca_power_ctes() -> str:
         for k in range(_PCA_ITERS)
     )
     n = _PCA_ITERS
-    return f"""qe AS (SELECT vec_id, {_PCA_Q_DUCK} AS q FROM embeddings),
+    return f"""qe AS (SELECT vec_id, {_PCA_Q_DUCK} AS q FROM embeddings
+                   WHERE {_BVEC}),
         grams AS (
             SELECT t.i AS i, u.j AS j,
                    CAST(sum(q[t.i + 1] * q[u.j + 1]) AS BIGINT) AS g
@@ -4866,7 +4908,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     d = _PCA_DIMS
-    emb = load(spark, sf_dir, "embeddings")
+    # bounded domain (functions/vec): milli-unit quantization is an
+    # int64 lattice — a 3e38 component cannot land on it (CAST overflow,
+    # embed sweep r10); out-of-domain vectors are excluded from the
+    # statistic AND the projection, and reported by embedding_norm_qa
+    emb = load(spark, sf_dir, "embeddings").where(
+        vecf.bounded_vector(F.col("embedding"))
+    )
     g = _pca_gram_ints(emb)
     if g is None:
         return spark.createDataFrame([], "vec_id long, pc1_nano long")
@@ -4992,7 +5040,10 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     d = _PCA_DIMS
-    emb = load(spark, sf_dir, "embeddings")
+    # bounded domain (functions/vec) — see embedding_pca_project
+    emb = load(spark, sf_dir, "embeddings").where(
+        vecf.bounded_vector(F.col("embedding"))
+    )
     g = _pca_gram_ints(emb)
     if g is None:
         # empty corpus: both engines propagate NULL through the chain to
@@ -5228,7 +5279,7 @@ def _hybrid_oracle() -> str:
         ),
         q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-            WHERE vec_id = 0
+            WHERE vec_id = 0 AND {_UVEC}
         ),
         sem0 AS (
             SELECT e.vec_id AS doc_id,
@@ -5237,7 +5288,7 @@ def _hybrid_oracle() -> str:
                                                   CAST(e.embedding AS DOUBLE[])))
                             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
             FROM embeddings e, q
-            WHERE e.vec_id <> 0
+            WHERE e.vec_id <> 0 AND {vecf.usable_vector_duckdb_sql("e.embedding")}
         ),
         sem AS (
             SELECT doc_id,
@@ -5457,6 +5508,7 @@ _NEARDUP_CUT = _ph.cutoff32(_NEARDUP_SAMPLE_RATE)
             FROM embeddings
             WHERE {_ph.fnv1a32_duckdb_sql("CAST(vec_id AS VARCHAR)")}
                   < {_NEARDUP_CUT}
+              AND {_UVEC}
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.emb, b.emb)

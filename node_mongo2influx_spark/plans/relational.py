@@ -1559,15 +1559,47 @@ def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "array_functions",
     oracle="""
-        SELECT vec_id,
-               len(embedding)                                        AS dim,
-               round(CAST(embedding[1] AS DOUBLE), 6)                AS first_val,
-               round(CAST(embedding[64] AS DOUBLE), 6)               AS last_val,
-               round(CAST(list_sum(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 6)
-                                                                     AS sq_norm,
-               round(CAST(list_max(embedding) AS DOUBLE), 6)         AS max_val
-        FROM embeddings
+        WITH raw AS (
+            SELECT vec_id,
+                   len(embedding) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS first_raw,
+                   CAST(embedding[64] AS DOUBLE) AS last_raw,
+                   -- LEFT FOLD (list_reduce), not list_sum: list_sum's
+                   -- accumulation order differs from Spark's aggregate()
+                   -- fold — 2 ulps apart on 1e78 sums (embed sweep r10,
+                   -- huge class). NULLs made explicit: Spark's fold
+                   -- propagates a NULL element (and a NULL vector) to a
+                   -- NULL sum, and the guard also keeps list_prepend off
+                   -- NULL lists (it mints [0.0], r8)
+                   CASE WHEN embedding IS NULL THEN NULL
+                        WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                        THEN NULL
+                        ELSE list_reduce(list_prepend(
+                             CAST(0.0 AS DOUBLE),
+                             list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)
+                                       * CAST(x AS DOUBLE))),
+                             (a, b) -> a + b) END AS sq_raw,
+                   CAST(list_max(embedding) AS DOUBLE) AS max_raw
+            FROM embeddings
+        )
+        -- magnitude-gated round: DuckDB's round(x, 6) goes through
+        -- x * 1e6, which is ulp-lossy past 2^53 (measured 2 ulps at
+        -- 1e78) where Spark's BigDecimal round is exact — above 1e9
+        -- the fraction is beyond double resolution anyway, so both
+        -- sides pass the raw value through. "+ 0.0" normalizes IEEE
+        -- signed zero (DuckDB round of a tiny negative yields -0.0,
+        -- Spark +0.0; embed sweep r10, denormal class)
+        SELECT vec_id, dim,
+               CASE WHEN abs(first_raw) < 1e9 THEN round(first_raw, 6)
+                    ELSE first_raw END + 0.0 AS first_val,
+               CASE WHEN abs(last_raw) < 1e9 THEN round(last_raw, 6)
+                    ELSE last_raw END + 0.0 AS last_val,
+               CASE WHEN abs(sq_raw) < 1e9 THEN round(sq_raw, 6)
+                    ELSE sq_raw END + 0.0 AS sq_norm,
+               CASE WHEN abs(max_raw) < 1e9 THEN round(max_raw, 6)
+                    ELSE max_raw END + 0.0 AS max_val
+        FROM raw
     """,
     description="Array column functions over embeddings (size, element_at, "
     "higher-order aggregate for the squared norm) — vector math without UDFs.",
@@ -1578,13 +1610,19 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq_norm = F.aggregate(
         dbl, F.lit(0.0), lambda acc, x: acc + x * x
     )
+    def r6(col):
+        # magnitude-gated round + IEEE -0.0 normalization (oracle comment)
+        return F.when(F.abs(col) < 1e9, F.round(col, 6)).otherwise(col) + F.lit(
+            0.0
+        )
+
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at(dbl, 1), 6).alias("first_val"),
-        F.round(F.element_at(dbl, 64), 6).alias("last_val"),
-        F.round(sq_norm, 6).alias("sq_norm"),
-        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("max_val"),
+        r6(F.element_at(dbl, 1)).alias("first_val"),
+        r6(F.element_at(dbl, 64)).alias("last_val"),
+        r6(sq_norm).alias("sq_norm"),
+        r6(F.array_max(F.col("embedding")).cast("double")).alias("max_val"),
     )
 
 
