@@ -170,6 +170,11 @@ def main() -> int:
     # result may depend on the ambient zone.
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        # a table may be a single file OR a directory of part files
+        # (tools/multifile_fixtures.py — Spark reads the dir natively,
+        # DuckDB needs the glob)
+        tp = Path(SF_DIR) / f"{t}.parquet"
+        t_src = f"{tp}/*.parquet" if tp.is_dir() else str(tp)
         # The oracle-side twin of sources/parquet_compat.py: an
         # INSTANT-typed fixture (TIMESTAMPTZ parquet, what a real Mongo/
         # Influx export carries — tools/tz_fixtures.py) is rendered back
@@ -177,7 +182,7 @@ def main() -> int:
         # exactly the values it sees on the NTZ fixtures. One choke
         # point; never per-query fixes.
         cols = con.sql(
-            f"DESCRIBE SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"DESCRIBE SELECT * FROM read_parquet('{t_src}')"
         ).fetchall()
         select = ", ".join(
             f"timezone('UTC', {name}) AS {name}"
@@ -187,7 +192,7 @@ def main() -> int:
         )
         con.execute(
             f"CREATE VIEW {t} AS SELECT {select} "
-            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"FROM read_parquet('{t_src}')"
         )
 
     qs = entrymod.queries()

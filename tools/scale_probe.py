@@ -360,6 +360,30 @@ def main() -> None:
         )
         return None
 
+    # vacuum probe (round 10, VERDICT r9 #6): the claim is O(stale
+    # buckets), not O(store) — so delete a FIXED 64-id slice whatever k
+    # is and time ONLY the vacuum (the k-scaled build/delete setup would
+    # otherwise dominate the harness wall; the printed per-k vacuum
+    # seconds are the evidence and must stay ~flat while the store grows
+    # k-fold). Reclaimed bytes are printed as the effect check.
+    def ivfpq_vacuum_fixed_stale(k: int):
+        path = tempfile.mkdtemp(prefix="scale_probe_vac_") + "/idx"
+        emb = uniquified_embeddings(k)
+        similarity.build_ivfpq_index(
+            emb, path, n_cells=64, m=16, n_codes=16, dim=64
+        )
+        stale = emb.select("vec_id").orderBy("vec_id").limit(64)
+        similarity.delete_from_ivfpq_index(spark, path, stale)
+        t0 = time.monotonic()
+        rep = similarity.vacuum_ivfpq_index(spark, path)
+        dt = time.monotonic() - t0
+        print(
+            f"#   ivfpq_vacuum_fixed_stale k={k}: vacuum={dt:.3f}s "
+            f"report={rep}",
+            file=sys.stderr,
+        )
+        return None
+
     probes = {
         "bloom_incremental": bloom_incremental,
         "agg_q1_shape": lambda k: at_scale("lineitem", k)
@@ -593,6 +617,7 @@ def main() -> None:
         # (measured 18× wall at 4×).
         "bpe_merge_loop_vocab": lambda k: _bpe_vocab_probe(k),
         "ivfpq_query_batch_persisted": ivfpq_query_batch_persisted,
+        "ivfpq_vacuum_fixed_stale": ivfpq_vacuum_fixed_stale,
     }
 
     # warm up session + python workers

@@ -25,6 +25,18 @@ which has caught real divergence classes the dense fixtures cannot:
   longdoc  (tools/longdoc_fixtures)    extreme-length single documents
                                        (r9: per-row O(doc-length) work
                                        skew — 10 MB bodies in one task)
+  embed    (tools/embedding_fixtures)  adversarial vectors (r10: zero/
+                                       duplicate/denormal/huge/NULL-
+                                       element embeddings — the vector-
+                                       validity contract, functions/vec)
+  wide     (tools/wide_fixtures)       wide-schema dynamic documents
+                                       (r10: 300-key/long-key/dup-storm
+                                       props — the jsonpath contract at
+                                       Mongo-schemaless breadth)
+  multifile (tools/multifile_fixtures) every table as a DIRECTORY of 5
+                                       part files (r10: multi-split
+                                       scans — kernel parallelism,
+                                       file-boundary window edges)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
@@ -72,6 +84,12 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_tz"),
     ("longdoc", [["tools/longdoc_fixtures.py", SRC, "/tmp/sf_longdoc"]],
      "/tmp/sf_longdoc"),
+    ("embed", [["tools/embedding_fixtures.py", SRC, "/tmp/sf_embed"]],
+     "/tmp/sf_embed"),
+    ("wide", [["tools/wide_fixtures.py", SRC, "/tmp/sf_wide"]],
+     "/tmp/sf_wide"),
+    ("multifile", [["tools/multifile_fixtures.py", SRC, "/tmp/sf_multifile"]],
+     "/tmp/sf_multifile"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
