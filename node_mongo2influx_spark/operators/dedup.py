@@ -888,7 +888,7 @@ def cdc_chunks(
     """
     w = window
     n = "length(__t)"
-    cs = "transform(split(__t, ''), c -> ascii(c))"
+    cs = "transform(__chars, c -> ascii(c))"
     slices = [f"slice(__cs, {i + 1}, greatest(__n - {w - 1}, 0))" for i in range(w)]
     # zip chain over the window's shifted slices: the first zip folds the
     # basis + two chars, each further zip folds in the next slice.
@@ -910,23 +910,30 @@ def cdc_chunks(
     base = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
-    ).selectExpr(id_col, "__t", f"{n} AS __n").selectExpr(
-        id_col, "__t", "__n", f"{cs} AS __cs"
+        # the char ARRAY, materialized in its OWN projection (r5
+        # CollapseProject trap) and carried to the md5 extraction:
+        # array slices are O(1)-offset where substring(__t, s, ...)
+        # walks s characters from the string head — O(len²/chunk_size)
+        # on a single 10 MB document, a multi-hour one-core task
+        # (longdoc sweep, round 10)
+        F.split(F.col(text_col), "").alias("__chars"),
+    ).selectExpr(id_col, "__t", "__chars", f"{n} AS __n").selectExpr(
+        id_col, "__chars", "__n", f"{cs} AS __cs"
     )
     spans = base.selectExpr(
         id_col,
-        "__t",
+        "__chars",
         "__n",
         f"{bounds} AS __bounds",
     ).selectExpr(
         id_col,
-        "__t",
+        "__chars",
         "concat(array(1), transform(__bounds, b -> b + 1)) AS __starts",
         "concat(__bounds, array(__n)) AS __ends",
     )
     ex = spans.select(
         F.col(id_col),
-        F.col("__t"),
+        F.col("__chars"),
         F.posexplode(
             F.arrays_zip(F.col("__starts").alias("s"), F.col("__ends").alias("e"))
         ).alias("__i", "__se"),
@@ -937,7 +944,10 @@ def cdc_chunks(
         F.col("__se.s").cast("bigint").alias("chunk_start"),
         (F.col("__se.e") - F.col("__se.s") + 1).cast("bigint").alias("chunk_len"),
         F.md5(
-            F.expr("substring(__t, __se.s, __se.e - __se.s + 1)")
+            F.expr(
+                "array_join(slice(__chars, __se.s, "
+                "__se.e - __se.s + 1), '')"
+            )
         ).alias("chunk_md5"),
     )
 

@@ -4476,18 +4476,46 @@ def _cdc_oracle(window: int = 4, divisor: int = 64) -> str:
                        x -> x > 0) AS bounds
             FROM base
         ),
-        spans AS (
-            SELECT doc_id, text,
-                   list_prepend(1, list_transform(bounds, b -> b + 1)) AS starts,
-                   list_append(bounds, n) AS ends
-            FROM bounded
+        bnd AS (SELECT doc_id, unnest(bounds) AS b FROM bounded),
+        chars AS (
+            -- fully ROW-based chunk text (longdoc sweep, round 10): the
+            -- old md5(substr(text, starts[i], ...)) walked from the
+            -- string head per chunk — O(len²/chunk_size), a multi-hour
+            -- single-thread grind on one 10 MB document (and Spark's
+            -- UTF8String.substring has the identical cost shape; its
+            -- side now slices the materialized char array). Zipped
+            -- unnests give (char, position) rows; a char's chunk number
+            -- is 1 + the running count of boundaries before it; ordered
+            -- string_agg rebuilds each chunk exactly.
+            SELECT doc_id,
+                   unnest(string_split(text, '')) AS c,
+                   unnest(generate_series(1, len(string_split(text, ''))))
+                       AS p
+            FROM base WHERE text IS NOT NULL
+        ),
+        numbered AS (
+            SELECT ch.doc_id, ch.c, ch.p,
+                   1 + sum(CASE WHEN bnd.b IS NULL THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY ch.doc_id ORDER BY ch.p
+                             ROWS UNBOUNDED PRECEDING) AS chunk_no
+            FROM chars ch
+            LEFT JOIN bnd ON bnd.doc_id = ch.doc_id AND bnd.b + 1 = ch.p
         )
         SELECT doc_id,
-               CAST(i AS INTEGER) AS chunk_no,
-               CAST(starts[i] AS BIGINT) AS chunk_start,
-               CAST(ends[i] - starts[i] + 1 AS BIGINT) AS chunk_len,
-               md5(substr(text, starts[i], ends[i] - starts[i] + 1)) AS chunk_md5
-        FROM spans, unnest(generate_series(1, len(starts))) AS t(i)
+               CAST(chunk_no AS INTEGER) AS chunk_no,
+               CAST(min(p) AS BIGINT) AS chunk_start,
+               -- sum(length(c)) == the span length, and the empty-doc
+               -- padding row (string_split('','') = ['']) contributes 0
+               CAST(sum(length(c)) AS BIGINT) AS chunk_len,
+               md5(string_agg(c, '' ORDER BY p)) AS chunk_md5
+        FROM numbered GROUP BY doc_id, chunk_no
+        UNION ALL
+        -- a NULL-text document yields exactly one all-NULL chunk row on
+        -- the Spark side (slice(NULL)/length(NULL) propagate) — mirror it
+        SELECT doc_id, 1 AS chunk_no, CAST(1 AS BIGINT) AS chunk_start,
+               CAST(NULL AS BIGINT) AS chunk_len,
+               CAST(NULL AS VARCHAR) AS chunk_md5
+        FROM base WHERE text IS NULL
     """
 
 

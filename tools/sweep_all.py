@@ -98,6 +98,15 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
       ["tools/unicode_fixtures.py", "/tmp/sf_combo_a", "/tmp/sf_combo_b"],
       ["tools/nullify_fixtures.py", "/tmp/sf_combo_b", "/tmp/sf_combo"]],
      "/tmp/sf_combo"),
+    # layout ∘ value composition (r10): hostile documents (wide) +
+    # hostile vectors (embed) + every table split into part files
+    # (multifile) — hostile VALUES arriving over a hostile LAYOUT,
+    # the shape a real schemaless export actually has
+    ("combo_layout",
+     [["tools/wide_fixtures.py", SRC, "/tmp/sf_cl_a"],
+      ["tools/embedding_fixtures.py", "/tmp/sf_cl_a", "/tmp/sf_cl_b"],
+      ["tools/multifile_fixtures.py", "/tmp/sf_cl_b", "/tmp/sf_combo_layout"]],
+     "/tmp/sf_combo_layout"),
 ]
 
 #: Extra environment per stage. The tz stage runs the registry under a
