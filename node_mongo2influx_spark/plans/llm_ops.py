@@ -1696,7 +1696,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").where(
-        vecf.usable_vector(F.col("embedding"))
+        F.expr(vecf.usable_vector_sql("embedding"))
     ).select(
         "vec_id",
         "label",
@@ -2506,7 +2506,7 @@ def ann_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings").where(
-        vecf.usable_vector(F.col("embedding"))
+        F.expr(vecf.usable_vector_sql("embedding"))
     ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -2715,7 +2715,7 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an unusable row is not index input (the vector-validity
         # contract, functions/vec — the vector analogue of the
         # time-validity rule); the oracle's e CTE carries the twin
-        .where(vecf.usable_vector(F.col("embedding")))
+        .where(F.expr(vecf.usable_vector_sql("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     dot = similarity._dot
@@ -2897,7 +2897,7 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contract; oracle's e CTE mirrors it): a NULL — or a
         # NULL-ELEMENT — row among the first 16 would crash the
         # driver-side codebook slicing (float(None), embed sweep r10)
-        .where(vecf.usable_vector(F.col("embedding")))
+        .where(F.expr(vecf.usable_vector_sql("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     dot = similarity._dot
@@ -3317,7 +3317,7 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x * x,
     )
     norm_micro = F.when(
-        vecf.bounded_vector(F.col("embedding")),
+        F.expr(vecf.bounded_vector_sql("embedding")),
         F.round(F.sqrt(sumsq) * 100000).cast("long"),
     )
     cls = vecf.vector_class(F.col("embedding"))
@@ -4941,7 +4941,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embed sweep r10); out-of-domain vectors are excluded from the
     # statistic AND the projection, and reported by embedding_norm_qa
     emb = load(spark, sf_dir, "embeddings").where(
-        vecf.bounded_vector(F.col("embedding"))
+        F.expr(vecf.bounded_vector_sql("embedding"))
     )
     g = _pca_gram_ints(emb)
     if g is None:
@@ -5070,7 +5070,7 @@ def pca_power_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _PCA_DIMS
     # bounded domain (functions/vec) — see embedding_pca_project
     emb = load(spark, sf_dir, "embeddings").where(
-        vecf.bounded_vector(F.col("embedding"))
+        F.expr(vecf.bounded_vector_sql("embedding"))
     )
     g = _pca_gram_ints(emb)
     if g is None:

@@ -108,8 +108,11 @@ def _decode_extended(v):
       uint64 ``(t << 32) | i`` as int. This is Mongo's INTERNAL
       logical clock (oplog ordering), not a wall time — the integer
       preserves exactness and total order where a datetime would drop
-      the increment. (LongType caps at int64: t ≥ 2^31, i.e. an oplog
-      stamped after 2038, would need the explicit-schema string path.)
+      the increment. LongType caps at int64, so t ≥ 2^31 (an oplog
+      stamped after 2038) falls through to the JSON-string path — a
+      hostile stamp degrades to a string, never a scan crash. Same for
+      malformed base64 under ``$binary``: a user field literally named
+      ``$binary`` stays a JSON string instead of failing the partition.
     * ``$regularExpression`` (canonical) and the legacy
       ``{"$regex": "<pat>", "$options": "<opts>"}`` value shape →
       ``/pattern/options`` (mongosh's literal rendering — one string,
@@ -144,16 +147,33 @@ def _decode_extended(v):
             return str(v["$numberDecimal"])
         if "$binary" in v:
             b = v["$binary"]
-            if isinstance(b, dict) and "base64" in b:  # canonical v2
-                return base64.b64decode(b["base64"])
-            if isinstance(b, str):  # legacy v1: {"$binary": b64, "$type": hex}
-                return base64.b64decode(b)
+            # Malformed base64 (a schemaless USER field literally named
+            # $binary) must not fail the partition scan — fall through to
+            # the JSON-string path instead (ADVICE r10). binascii.Error
+            # is a ValueError subclass; b64decode can raise either.
+            # validate=True: default lax decoding DISCARDS non-alphabet
+            # bytes, so "%%%" would silently mint b"" — strict per the
+            # extended-JSON spec (clean base64, no whitespace).
+            try:
+                if isinstance(b, dict) and "base64" in b:  # canonical v2
+                    return base64.b64decode(b["base64"], validate=True)
+                if isinstance(b, str):  # legacy v1: {"$binary": b64, "$type": hex}
+                    return base64.b64decode(b, validate=True)
+            except (ValueError, TypeError):
+                pass
         if "$uuid" in v:
             return str(v["$uuid"]).lower()
         if "$timestamp" in v and isinstance(v["$timestamp"], dict):
             t = v["$timestamp"]
             if "t" in t and "i" in t:
-                return (int(t["t"]) << 32) | int(t["i"])
+                stamp = (int(t["t"]) << 32) | int(t["i"])
+                # t >= 2^31 (an oplog stamped after 2038) exceeds int64
+                # and would crash LongType row conversion at scan time —
+                # keep the document as its JSON string instead
+                # (ADVICE r10; the docstring's explicit-schema caveat,
+                # now enforced rather than documented).
+                if -(1 << 63) <= stamp < (1 << 63):
+                    return stamp
         if "$regularExpression" in v and isinstance(
             v["$regularExpression"], dict
         ):

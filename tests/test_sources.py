@@ -620,6 +620,46 @@ def test_mongospool_binary_uuid_timestamp_regex_decode(spark, tmp_path):
     assert json.loads(got[3]["pat"]) == {"$regex": {"$ne": "abc"}}
 
 
+def test_mongospool_hostile_binary_and_timestamp_degrade(spark, tmp_path):
+    # ADVICE r10: hostile shapes under the decode wrappers must DEGRADE
+    # to the JSON-string path, never crash a partition scan — a user
+    # field literally named $binary with non-base64 content, and a
+    # $timestamp with t >= 2^31 whose (t<<32)|i exceeds int64 (post-2038
+    # oplog stamp fails LongType row conversion).
+    import json
+
+    from node_mongo2influx_spark.sources.mongospool import (
+        MongoSpoolDataSource,
+        _decode_extended,
+    )
+
+    # unit level: both hostile shapes return the JSON string verbatim
+    bad_b64 = {"$binary": "not!!valid@@base64"}
+    assert json.loads(_decode_extended(bad_b64)) == bad_b64
+    bad_b64_v2 = {"$binary": {"base64": "%%%", "subType": "00"}}
+    assert json.loads(_decode_extended(bad_b64_v2)) == bad_b64_v2
+    post_2038 = {"$timestamp": {"t": 1 << 31, "i": 0}}
+    assert json.loads(_decode_extended(post_2038)) == post_2038
+    # the last representable stamp still decodes as the exact integer
+    edge = {"$timestamp": {"t": (1 << 31) - 1, "i": 0xFFFFFFFF}}
+    assert _decode_extended(edge) == (1 << 63) - 1
+
+    # scan level: a dump of only-hostile rows infers string and reads
+    docs = [
+        {"k": {"$numberInt": "1"}, "blob": bad_b64, "clk": post_2038},
+        {"k": {"$numberInt": "2"}, "blob": bad_b64_v2, "clk": post_2038},
+    ]
+    dump = tmp_path / "hostiledump"
+    dump.mkdir()
+    (dump / "c.jsonl").write_text("".join(json.dumps(d) + "\n" for d in docs))
+    spark.dataSource.register(MongoSpoolDataSource)
+    df = spark.read.format("mongospool").option("path", str(dump)).load()
+    got = {r["k"]: r for r in df.collect()}
+    assert json.loads(got[1]["blob"]) == bad_b64
+    assert json.loads(got[2]["blob"]) == bad_b64_v2
+    assert json.loads(got[1]["clk"]) == post_2038
+
+
 def test_mongospool_spool_to_multimodal_composition(spark, tmp_path):
     # End-to-end schemaless -> multimodal proof (VERDICT r9 #5): a dump
     # whose $binary payloads are real container bytes flows from the
