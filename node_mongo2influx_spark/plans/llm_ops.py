@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from node_mongo2influx_spark.functions import fold
 from node_mongo2influx_spark.functions.fold import ascii_lower
 from node_mongo2influx_spark.operators import (
     dedup,
@@ -3147,11 +3148,18 @@ def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: scheme / www. / host case / trailing slash / query-string variants all
 #: keyed off doc_id so the canonicalizer has real work to do, and the
 #: path collides on doc_id % 97 so canonical dedup finds real duplicates.
+# The uppercased-URL slice folds through functions/fold.ascii_upper —
+# engine upper() on an ARBITRARY source column diverges cross-engine on
+# ß/ı (the r8 case-fold contract; caught by the r11 label sweep, which
+# makes `source` hostile). ASCII-only case is also the real URL
+# semantics: hostname case-insensitivity is ASCII-only.
+_UP_SRC_SPARK = fold.ascii_upper_sql("concat(source, '.com')")
+_UP_SRC_DUCK = fold.ascii_upper_duckdb_sql("(source || '.com')")
 _URL_SPARK = (
     "concat("
     "  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,"
     "  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,"
-    "  CASE WHEN doc_id % 7 = 0 THEN upper(concat(source, '.com'))"
+    f"  CASE WHEN doc_id % 7 = 0 THEN {_UP_SRC_SPARK}"
     "       ELSE concat(source, '.com') END,"
     "  '/p/', cast(doc_id % 97 AS string),"
     "  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
@@ -3162,7 +3170,7 @@ _URL_DUCK = (
     "("
     "  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||"
     "  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||"
-    "  CASE WHEN doc_id % 7 = 0 THEN upper(source || '.com')"
+    f"  CASE WHEN doc_id % 7 = 0 THEN {_UP_SRC_DUCK}"
     "       ELSE source || '.com' END ||"
     "  '/p/' || CAST(doc_id % 97 AS VARCHAR) ||"
     "  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||"

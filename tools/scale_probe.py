@@ -45,6 +45,7 @@ def main() -> None:
 
     from node_mongo2influx_spark.engine import Engine
     from node_mongo2influx_spark.functions import phash
+    from node_mongo2influx_spark.functions.vec import usable_vector_sql
     from node_mongo2influx_spark.operators import dedup, sampling, similarity, text
     from node_mongo2influx_spark.plans.llm_ops import _BPE_FIXED_MERGES
     from node_mongo2influx_spark.sinks import ParquetSink
@@ -618,6 +619,19 @@ def main() -> None:
         "bpe_merge_loop_vocab": lambda k: _bpe_vocab_probe(k),
         "ivfpq_query_batch_persisted": ivfpq_query_batch_persisted,
         "ivfpq_vacuum_fixed_stale": ivfpq_vacuum_fixed_stale,
+        # round-11 (VERDICT r10 #7): the vector-validity guard itself as
+        # a contrast pair — the guarded embeddings scan vs the same scan
+        # with only a null filter. The guard is ONE single-traversal
+        # max-abs fold per row (functions/vec), so its 8x/64x factor
+        # must track the raw scan's: scan-side, partition-parallel,
+        # linear class. A divergent exponent here would mean the guard
+        # stopped being a pure per-row predicate.
+        "vec_guard_scan": lambda k: at_scale("embeddings", k).where(
+            F.expr(usable_vector_sql("embedding"))
+        ),
+        "vec_guard_raw_scan": lambda k: at_scale("embeddings", k).where(
+            F.col("embedding").isNotNull()
+        ),
     }
 
     # warm up session + python workers

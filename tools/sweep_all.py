@@ -37,6 +37,16 @@ which has caught real divergence classes the dense fixtures cannot:
                                        part files (r10: multi-split
                                        scans — kernel parallelism,
                                        file-boundary window edges)
+  tiestorm (tools/tiestorm_fixtures)   many DISTINCT vectors at ONE
+                                       bit-identical cosine per probe
+                                       (r11: every rank window's
+                                       (score, id) order must be total
+                                       under score ties)
+  label    (tools/label_fixtures)      hostile label axis (r11: NULL/
+                                       negative/unicode/1000-char/
+                                       duplicate-storm labels through
+                                       the stratified/centroid/quality
+                                       group-by queries)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
 
@@ -90,6 +100,10 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_wide"),
     ("multifile", [["tools/multifile_fixtures.py", SRC, "/tmp/sf_multifile"]],
      "/tmp/sf_multifile"),
+    ("tiestorm", [["tools/tiestorm_fixtures.py", SRC, "/tmp/sf_tiestorm"]],
+     "/tmp/sf_tiestorm"),
+    ("label", [["tools/label_fixtures.py", SRC, "/tmp/sf_label"]],
+     "/tmp/sf_label"),
     # combo: value-transform composition (ties, then unicode text
     # injection, then NULL injection — each tool is a pure per-table
     # rewrite, so they chain)
