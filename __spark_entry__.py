@@ -411,6 +411,13 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
 #: r8, so a pin would only displace a backlog witness.
 _PIN_FIRST: tuple[str, ...] = ()
 
+#: Max previously-green ROWS-ONLY queries admitted into the driver's
+#: 50-slot window per round (VERDICT r10 #5): a rows>0 re-witness can
+#: never upgrade to hash evidence, so beyond a small liveness sample
+#: the slots are worth more refreshing the stalest ORACLE greens (14 of
+#: which still dated to round 4 in the r10 audit).
+_ROWS_ONLY_REWITNESS_CAP = 3
+
 
 def _green_history() -> dict[str, int]:
     """name -> latest round with a driver-green row (hash match, or a
@@ -426,6 +433,13 @@ def _green_history() -> dict[str, int]:
             green = bool(row.get("hash_match")) or (
                 row.get("hash_match") is None and bool(row.get("rows_match"))
             )
+            # A no_oracle witness records rows_match: None (the driver
+            # compares nothing) — count spark_rows > 0 as its rows-only
+            # green, or these queries re-enter the "never witnessed"
+            # tier EVERY round (the actual mechanics behind VERDICT r10
+            # #5's 11 wasted slots).
+            if not green and row.get("err") == "no_oracle":
+                green = (row.get("spark_rows") or 0) > 0
             if green:
                 best[name] = max(best.get(name, 0), rnd)
     return best
@@ -446,8 +460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``_CHANGED_SINCE_GREEN`` — manual, the history can't see code),
     4. rows-only queries with no green row (a row only proves rows>0;
        their real gates are pytest recall/accuracy checks),
-    5. everything green before, oldest green round first (stalest
-       witness re-freshened first).
+    5. at most ``_ROWS_ONLY_REWITNESS_CAP`` previously-green rows-only
+       queries, stalest first (VERDICT r10 #5: a rows-only re-witness
+       can never produce hash evidence, so the 11 of them must not
+       consume 22% of the window every idle round),
+    6. every previously-green oracle-backed query, oldest green round
+       first (stalest hash witness re-freshened first),
+    7. the remaining rows-only queries (outside the window by
+       construction; the sweeps still run them registry-wide).
     """
     reg = _registry()
     greens = _green_history()
@@ -474,7 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     ordered += take([n for n in never if reg[n].oracle is None])
     rest = [n for n in reg if n not in seen]
-    ordered += take(sorted(rest, key=lambda n: greens.get(n, 0)))
+    by_staleness = sorted(rest, key=lambda n: greens.get(n, 0))
+    rows_only = [n for n in by_staleness if reg[n].oracle is None]
+    ordered += take(rows_only[:_ROWS_ONLY_REWITNESS_CAP])
+    ordered += take(n for n in by_staleness if reg[n].oracle is not None)
+    ordered += take(rows_only[_ROWS_ONLY_REWITNESS_CAP:])
     return {name: reg[name].fn for name in ordered}
 
 
