@@ -163,6 +163,24 @@ def usable_vector_duckdb_sql(expr: str) -> str:
     return f"({expr} IS NOT NULL AND {fold} BETWEEN 1e-160 AND 1e150)"
 
 
+def double_vector_duckdb_sql(expr: str) -> str:
+    """NULL-safe DOUBLE[] cast for oracle vector CTEs: a NULL element
+    becomes NaN instead of remaining NULL. Found by the r11
+    embed_double sweep: when the source column is already DOUBLE[] the
+    cast is an identity, and DuckDB then evaluates a downstream
+    ``list_dot_product`` EAGERLY in the scan projection — ahead of the
+    usable-predicate filter — and raises ``list_inner_product: left
+    argument can not contain NULL values`` on rows the WHERE would have
+    excluded. NaN makes eager evaluation safe; the rows carrying it are
+    excluded by :func:`usable_vector_duckdb_sql` regardless, so results
+    are unchanged. (Float32 sources never hit this because the real
+    cast forms a plan barrier.)"""
+    return (
+        f"list_transform(CAST({expr} AS DOUBLE[]),"
+        f" x -> coalesce(x, 'NaN'::DOUBLE))"
+    )
+
+
 def bounded_vector(col: Column, bound: float = STAT_ABS_MAX) -> Column:
     """Spark Column: the **bounded** predicate (statistics domain) —
     the same single fold with the statistics ceiling as the upper range

@@ -809,7 +809,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_cosine_bruteforce",
     oracle=f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM embeddings
             WHERE {_UVEC}
         )
         SELECT query_id, neighbor_id, cosine
@@ -879,7 +879,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_pairs",
     oracle=f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM embeddings
             WHERE {_UVEC}
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -954,7 +954,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         ),
         e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM embeddings
             WHERE {_UVEC}
         ),
         emb_pairs AS (
@@ -1078,7 +1078,7 @@ _MODALITY_CUT = _ph.cutoff32(_MODALITY_SAMPLE_RATE)
             WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
         ),
         e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM semb
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM semb
             WHERE {_UVEC}
         ),
         emb_pairs AS (
@@ -2442,7 +2442,7 @@ def ivfpq_drift_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_recall_probe",
     oracle=f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM embeddings
             WHERE {_UVEC}
         ),
         cents AS (SELECT vec_id AS cell, emb FROM e WHERE vec_id < 16),
@@ -2645,7 +2645,7 @@ def _lsh_probe_oracle() -> str:
     )
     return f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM embeddings
             WHERE {_UVEC}
         ),
         b AS (
@@ -2806,7 +2806,7 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_probe_oracle() -> str:
     return f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb FROM embeddings
             WHERE {_UVEC}
         ),
         grid AS (SELECT unnest(range(0, 8)) AS j),
@@ -3277,7 +3277,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN {_BVEC}
                    THEN CAST(round(sqrt(list_reduce(
                        list_prepend(CAST(0.0 AS DOUBLE),
-                           list_transform(CAST(embedding AS DOUBLE[]),
+                           list_transform(list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)),
                                           x -> x * x)),
                        (a, b) -> a + b)) * 100000) AS BIGINT) END AS norm_micro
             FROM embeddings
@@ -5314,14 +5314,14 @@ def _hybrid_oracle() -> str:
             FROM ({bm25})
         ),
         q AS (
-            SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+            SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS qe FROM embeddings
             WHERE vec_id = 0 AND {_UVEC}
         ),
         sem0 AS (
             SELECT e.vec_id AS doc_id,
-                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
-                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                  CAST(e.embedding AS DOUBLE[])))
+                   round(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)), q.qe)
+                         / (sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)),
+                                                  list_transform(CAST(e.embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE))))
                             * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
             FROM embeddings e, q
             WHERE e.vec_id <> 0 AND {vecf.usable_vector_duckdb_sql("e.embedding")}
@@ -5540,7 +5540,7 @@ _NEARDUP_CUT = _ph.cutoff32(_NEARDUP_SAMPLE_RATE)
     "embedding_neardup_sampled",
     oracle=f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 'NaN'::DOUBLE)) AS emb
             FROM embeddings
             WHERE {_ph.fnv1a32_duckdb_sql("CAST(vec_id AS VARCHAR)")}
                   < {_NEARDUP_CUT}

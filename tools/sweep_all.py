@@ -37,6 +37,12 @@ which has caught real divergence classes the dense fixtures cannot:
                                        part files (r10: multi-split
                                        scans — kernel parallelism,
                                        file-boundary window edges)
+  embed_double (tools/embedding_double_fixtures)
+                                       DOUBLE-typed magnitude hazards a
+                                       float32 column cannot carry (r11:
+                                       norm²-underflow / norm²-overflow
+                                       / at-floor denormal-dot classes —
+                                       the extended usable range)
   tiestorm (tools/tiestorm_fixtures)   many DISTINCT vectors at ONE
                                        bit-identical cosine per probe
                                        (r11: every rank window's
@@ -100,6 +106,9 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      "/tmp/sf_wide"),
     ("multifile", [["tools/multifile_fixtures.py", SRC, "/tmp/sf_multifile"]],
      "/tmp/sf_multifile"),
+    ("embed_double",
+     [["tools/embedding_double_fixtures.py", SRC, "/tmp/sf_embed_double"]],
+     "/tmp/sf_embed_double"),
     ("tiestorm", [["tools/tiestorm_fixtures.py", SRC, "/tmp/sf_tiestorm"]],
      "/tmp/sf_tiestorm"),
     ("label", [["tools/label_fixtures.py", SRC, "/tmp/sf_label"]],
