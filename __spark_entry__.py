@@ -401,6 +401,34 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # norm_qa's three new columns.
     ("embedding_norm_qa", 10),
     ("array_functions", 10),
+    # round 11 (witness lands in the r11 end-of-round snapshot): the
+    # vector-validity contract respelled as ONE max-abs fold with the
+    # extended usable range [1e-160, 1e150] — closes a reproduced ANSI
+    # DIVIDE_BY_ZERO on norm²-underflowing DOUBLE vectors and the
+    # NaN-cosine norm²-overflow class (float32 fixture values
+    # unchanged; re-verified green at sf0.01 + the embed, embed_double,
+    # tiestorm, and label sweeps this session). Oracle vector CTEs also
+    # build emb through the NULL-safe double cast (DuckDB eager
+    # pre-filter projection evaluation, found by embed_double). The two
+    # URL queries additionally moved their source-uppercasing through
+    # functions/fold.ascii_upper (label sweep finding).
+    ("knn_cosine_bruteforce", 11),
+    ("embedding_neardup_pairs", 11),
+    ("embedding_neardup_sampled", 11),
+    ("dedup_modality_agreement", 11),
+    ("dedup_modality_agreement_sampled", 11),
+    ("label_centroid_cosine", 11),
+    ("ann_recall_probe", 11),
+    ("lsh_recall_probe", 11),
+    ("pq_recall_probe", 11),
+    ("embedding_gram_matrix", 11),
+    ("random_projection_jl", 11),
+    ("embedding_pca_project", 11),
+    ("pca_power_probe", 11),
+    ("hybrid_retrieval_rrf", 11),
+    ("embedding_norm_qa", 11),
+    ("url_domain_stats", 11),
+    ("dedup_url_canonical", 11),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept
