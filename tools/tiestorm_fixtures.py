@@ -23,12 +23,19 @@ Construction (exact by integer arithmetic, no low-bit luck):
 * permutation-vs-permutation cosines (neardup/pairs queries) are also
   exact integers over integers — deterministic, and heavily tied in
   bands (many permutation pairs share the same dot product).
+* the TEXT edition: documents with doc_id % 10 == 7 become word-level
+  permutations of ONE fixed multiset (same term frequencies, same
+  length) — DISTINCT texts with IDENTICAL BM25 scores for every query,
+  identical quality/length metrics, identical token counts: the text
+  rankers' (score, doc_id) tie-breaks get the same storm treatment.
+  n_chars is updated to match so length-derived columns stay honest.
 
 Values 1..64 are exact in float32, inside the statistics domain
 (|x| <= 100), and well inside the usable range — every contract tier
 keeps full signal; only the ORDER of equals is under test.
 
-Only embeddings.parquet is rewritten; all other tables copy through.
+embeddings.parquet and documents.parquet are rewritten; all other
+tables copy through.
 
 Usage:
     python tools/tiestorm_fixtures.py [src_sf_dir] [dst_dir]
@@ -53,6 +60,16 @@ TABLES = (
 #: The registry's knn probe ids (vec_id < 5) become constant vectors.
 N_PROBES = 5
 
+#: Word multiset for the text tie storm: 24 distinct words with skewed
+#: repeats (tf 1..4) so BM25 has real tf structure — identical across
+#: all permuted docs. Plain ASCII: the storm tests ORDER, not folding.
+TIE_WORDS = (
+    ["alpha"] * 4 + ["bravo"] * 3 + ["charlie"] * 3 + ["delta"] * 2
+    + ["echo"] * 2 + ["foxtrot"] * 2
+    + "golf hotel india juliet kilo lima mike november oscar papa"
+      " quebec romeo sierra tango uniform victor whiskey yankee".split()
+)
+
 
 def main() -> int:
     import duckdb
@@ -65,6 +82,42 @@ def main() -> int:
     con = duckdb.connect()
     for table in TABLES:
         src = f"{SRC}/{table}.parquet"
+        if table == "documents":
+            tbl = con.sql(f"SELECT * FROM read_parquet('{src}')").arrow()
+            doc_ids = tbl["doc_id"].to_numpy()
+            texts = tbl["text"].to_pylist()
+            words = np.asarray(TIE_WORDS, dtype=object)
+            chars = tbl["n_chars"].to_pylist()
+            for i, did in enumerate(doc_ids):
+                did = int(did)
+                if did % 10 == 7:
+                    rng = np.random.RandomState((did * 31 + 7) % (2**31))
+                    texts[i] = " ".join(words[rng.permutation(len(words))])
+                    chars[i] = len(texts[i])
+            new_text = pa.array(texts, type=pa.string())
+            n_chars = pa.array(chars, type=tbl.schema.field("n_chars").type)
+            out_tbl = tbl.set_column(
+                tbl.schema.get_field_index("text"),
+                pa.field("text", pa.string()),
+                new_text,
+            )
+            out_tbl = out_tbl.set_column(
+                out_tbl.schema.get_field_index("n_chars"),
+                out_tbl.schema.field("n_chars"),
+                n_chars,
+            )
+            out = f"{dst / table}.parquet"
+            pq.write_table(out_tbl, out)
+            n_perm, n_distinct = con.sql(
+                f"SELECT count(*), count(DISTINCT text) "
+                f"FROM read_parquet('{out}') WHERE doc_id % 10 = 7"
+            ).fetchone()
+            print(
+                f"documents tie-storm: {n_perm} permuted docs, "
+                f"{n_distinct} distinct texts, one shared word multiset"
+            )
+            assert n_distinct > n_perm * 9 // 10, "text permutations collided"
+            continue
         if table != "embeddings":
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}')) "
