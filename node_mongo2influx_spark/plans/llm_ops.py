@@ -584,7 +584,16 @@ def leakage_safe_split_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def clean_lines_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # Split ONCE per row in its OWN projection (the oracle's `base` CTE
+    # twin). Referencing the split expression inside the transform
+    # lambda below re-evaluates it PER LINE — O(n_lines · doc_size),
+    # invisible on 500-char fixtures but one 10 MB longdoc document
+    # burned 80 minutes in a single interpreted-split task (r11 find;
+    # the per-element edition of the r5 CollapseProject trap). With two
+    # non-cheap references to `__w` in one projection, CollapseProject
+    # keeps the alias materialized.
+    split_docs = docs.select("doc_id", F.split("text", " ").alias("__w"))
+    w = F.col("__w")
     n_lines = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_lines - 1),
@@ -595,7 +604,7 @@ def clean_lines_c4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ),
     )
-    relined = docs.select(
+    relined = split_docs.select(
         "doc_id", F.array_join(lines, "\n").alias("text")
     )
     out = text.clean_lines_c4(relined)
