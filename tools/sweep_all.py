@@ -55,6 +55,9 @@ which has caught real divergence classes the dense fixtures cannot:
                                        group-by queries)
   combo    (ties ∘ nulls ∘ unicode)    interaction of three value
                                        transforms on one copy
+  combo_label (label ∘ multifile)      hostile label values over a
+                                       multi-split layout (r11: storm
+                                       labels spanning file boundaries)
 
 Each stage builds its fixture copy (cheap, DuckDB-only) and runs the
 FULL registry through tools/check_oracle.py (a Spark session per stage —
@@ -130,6 +133,15 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
       ["tools/embedding_fixtures.py", "/tmp/sf_cl_a", "/tmp/sf_cl_b"],
       ["tools/multifile_fixtures.py", "/tmp/sf_cl_b", "/tmp/sf_combo_layout"]],
      "/tmp/sf_combo_layout"),
+    # label ∘ layout (r11, ROUND_NOTES' named candidate): hostile label
+    # VALUES (NULL/empty/unicode/kilobyte/storm/INT_MIN) arriving over
+    # multi-split scans — a storm label now spans file boundaries, so
+    # per-group windows and group-by partials merge across splits with
+    # pathological keys.
+    ("combo_label",
+     [["tools/label_fixtures.py", SRC, "/tmp/sf_clb_a"],
+      ["tools/multifile_fixtures.py", "/tmp/sf_clb_a", "/tmp/sf_combo_label"]],
+     "/tmp/sf_combo_label"),
 ]
 
 #: Extra environment per stage. The tz stage runs the registry under a
