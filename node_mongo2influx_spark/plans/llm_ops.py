@@ -3369,6 +3369,201 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "id_integrity_qa",
+    oracle="""
+        WITH ids AS (
+            SELECT 'documents' AS table_name, doc_id AS id FROM documents
+            UNION ALL
+            SELECT 'embeddings' AS table_name, vec_id AS id FROM embeddings
+            UNION ALL
+            SELECT 'events' AS table_name, event_id AS id FROM events
+        ),
+        per_id AS (
+            SELECT table_name, id, count(*) AS c
+            FROM ids GROUP BY table_name, id
+        )
+        SELECT table_name,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN id IS NULL THEN c ELSE 0 END) AS BIGINT)
+                   AS n_null_id,
+               CAST(sum(CASE WHEN id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_distinct_id,
+               CAST(sum(CASE WHEN id IS NOT NULL AND c > 1 THEN c - 1
+                             ELSE 0 END) AS BIGINT) AS n_dup_excess,
+               CAST(max(CASE WHEN id IS NOT NULL THEN c END) AS BIGINT)
+                   AS max_id_multiplicity,
+               CAST(min(id) AS BIGINT) AS min_id,
+               CAST(max(id) AS BIGINT) AS max_id
+        FROM per_id GROUP BY table_name
+    """,
+    description="Primary-id integrity census over the three Mongo-shaped "
+    "tables (documents.doc_id, embeddings.vec_id, events.event_id): row "
+    "count, NULL-id rows, distinct non-NULL ids, duplicate-excess rows "
+    "(rows beyond the first per id), worst per-id multiplicity, id range. "
+    "The observability face for the registry's id PRECONDITION: every "
+    "(score, id) rank tie-break (knn top-k, arg_max spellings, keep-best "
+    "dedup) is total ONLY under unique ids, and every features/rerank "
+    "join assumes id is a key — a real mongoexport can violate both "
+    "(duplicate _id across shard dumps, absent _id after a projection). "
+    "This query is how a user checks the assumption BEFORE trusting "
+    "top-k determinism, the same way embedding_norm_qa reports what the "
+    "vector contract excludes. Scale shape: one map-side-combined "
+    "hash aggregate keyed (table, id) per table scan — the exact-dedup "
+    "plan — then a 3-group rollup over distinct ids; NULL ids form an "
+    "ordinary group on both engines. All aggregates are exact integer "
+    "arithmetic; DuckDB's HUGEINT sums cast back to BIGINT.",
+)
+def id_integrity_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        load(spark, sf_dir, t).select(
+            F.lit(t).alias("table_name"), F.col(c).cast("long").alias("id")
+        )
+        for t, c in (
+            ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
+            ("events", "event_id"),
+        )
+    ]
+    ids = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per_id = ids.groupBy("table_name", "id").agg(F.count(F.lit(1)).alias("c"))
+    # empty-table semantics match the oracle by construction: a table
+    # contributing zero rows has no (table_name, id) groups, so its
+    # census row is absent on BOTH sides (a global agg would instead
+    # mint a Spark-only all-NULL row on empty input — the empty sweep).
+    return per_id.groupBy("table_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("id").isNull(), F.col("c")).otherwise(F.lit(0)))
+        .alias("n_null_id"),
+        F.sum(F.when(F.col("id").isNotNull(), 1).otherwise(0))
+        .alias("n_distinct_id"),
+        F.sum(
+            F.when(
+                F.col("id").isNotNull() & (F.col("c") > 1), F.col("c") - 1
+            ).otherwise(F.lit(0))
+        ).alias("n_dup_excess"),
+        F.max(F.when(F.col("id").isNotNull(), F.col("c")))
+        .alias("max_id_multiplicity"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+#: child table, FK column, parent table, parent key — the star schema's
+#: FK edges a migration must preserve plus the events→customer edge a
+#: Mongo dump has no way to enforce (reference index.js:99-108 copies
+#: collections independently; nothing checks cross-collection refs).
+_FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+)
+
+
+@query(
+    "referential_integrity_qa",
+    oracle="""
+        WITH fks AS (
+            SELECT 'lineitem.l_orderkey->orders' AS relation,
+                   l_orderkey AS fk, count(*) AS c
+            FROM lineitem GROUP BY l_orderkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer' AS relation,
+                   o_custkey AS fk, count(*) AS c
+            FROM orders GROUP BY o_custkey
+            UNION ALL
+            SELECT 'events.user_id->customer' AS relation,
+                   user_id AS fk, count(*) AS c
+            FROM events GROUP BY user_id
+        ),
+        parents AS (
+            SELECT 'lineitem.l_orderkey->orders' AS relation,
+                   o_orderkey AS pk FROM orders GROUP BY o_orderkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer' AS relation,
+                   c_custkey AS pk FROM customer GROUP BY c_custkey
+            UNION ALL
+            SELECT 'events.user_id->customer' AS relation,
+                   c_custkey AS pk FROM customer GROUP BY c_custkey
+        ),
+        j AS (
+            SELECT f.relation, f.fk, f.c, p.pk
+            FROM fks f LEFT JOIN parents p
+              ON f.relation = p.relation AND f.fk = p.pk
+        )
+        SELECT relation,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN fk IS NULL THEN c ELSE 0 END) AS BIGINT)
+                   AS n_null_fk,
+               CAST(sum(CASE WHEN fk IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_distinct_fk,
+               CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL
+                             THEN c ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+               CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys
+        FROM j GROUP BY relation
+    """,
+    description="Foreign-key orphan census over the schema's FK edges "
+    "(lineitem→orders, orders→customer, events→customer): per relation, "
+    "child rows, NULL-FK rows, distinct FKs, and orphan rows/keys whose "
+    "FK has no parent. The cross-collection twin of id_integrity_qa: "
+    "the reference migrates collections independently "
+    "(index.js:99-108), so nothing upstream guarantees referential "
+    "integrity — this is the post-migration audit. Scale shape: the "
+    "RAW child table is never joined — each child collapses to its "
+    "distinct-FK counts first (map-side-combined aggregate, one "
+    "shuffle keyed on the FK), parents collapse to distinct keys, and "
+    "the orphan probe is a distinct-key⋈distinct-key left join "
+    "(dim-sized sides broadcast under AQE; the fact-fact edge "
+    "lineitem→orders co-partitions on the shared key). NULL FKs never "
+    "match and are reported separately, not as orphans. All exact "
+    "integer arithmetic; HUGEINT sums cast back.",
+)
+def referential_integrity_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fks = None
+    parents = None
+    for rel, child, fk, parent, pk in _FK_RELATIONS:
+        f = (
+            load(spark, sf_dir, child)
+            .groupBy(F.col(fk).cast("long").alias("fk"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(rel).alias("relation"), "fk", "c")
+        )
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pk).cast("long").alias("pk"))
+            .distinct()
+            .select(F.lit(rel).alias("relation"), "pk")
+        )
+        fks = f if fks is None else fks.unionByName(f)
+        parents = p if parents is None else parents.unionByName(p)
+    j = fks.join(
+        parents,
+        (fks["relation"] == parents["relation"]) & (fks["fk"] == parents["pk"]),
+        "left",
+    ).select(fks["relation"], "fk", "c", "pk")
+    return j.groupBy("relation").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("fk").isNull(), F.col("c")).otherwise(F.lit(0)))
+        .alias("n_null_fk"),
+        F.sum(F.when(F.col("fk").isNotNull(), 1).otherwise(0))
+        .alias("n_distinct_fk"),
+        F.sum(
+            F.when(
+                F.col("fk").isNotNull() & F.col("pk").isNull(), F.col("c")
+            ).otherwise(F.lit(0))
+        ).alias("n_orphan_rows"),
+        F.sum(
+            F.when(F.col("fk").isNotNull() & F.col("pk").isNull(), 1).otherwise(
+                0
+            )
+        ).alias("n_orphan_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking & training order (round 4)
 # ---------------------------------------------------------------------------
