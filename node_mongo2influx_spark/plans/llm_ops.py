@@ -3415,9 +3415,11 @@ def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic; DuckDB's HUGEINT sums cast back to BIGINT.",
 )
 def id_integrity_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from node_mongo2influx_spark.operators import integrity
+
     parts = [
-        load(spark, sf_dir, t).select(
-            F.lit(t).alias("table_name"), F.col(c).cast("long").alias("id")
+        integrity.per_id_counts(
+            load(spark, sf_dir, t), c, extra=[F.lit(t).alias("table_name")]
         )
         for t, c in (
             ("documents", "doc_id"),
@@ -3425,28 +3427,12 @@ def id_integrity_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events", "event_id"),
         )
     ]
-    ids = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    per_id = ids.groupBy("table_name", "id").agg(F.count(F.lit(1)).alias("c"))
+    per_id = parts[0].unionByName(parts[1]).unionByName(parts[2])
     # empty-table semantics match the oracle by construction: a table
     # contributing zero rows has no (table_name, id) groups, so its
     # census row is absent on BOTH sides (a global agg would instead
     # mint a Spark-only all-NULL row on empty input — the empty sweep).
-    return per_id.groupBy("table_name").agg(
-        F.sum("c").alias("n_rows"),
-        F.sum(F.when(F.col("id").isNull(), F.col("c")).otherwise(F.lit(0)))
-        .alias("n_null_id"),
-        F.sum(F.when(F.col("id").isNotNull(), 1).otherwise(0))
-        .alias("n_distinct_id"),
-        F.sum(
-            F.when(
-                F.col("id").isNotNull() & (F.col("c") > 1), F.col("c") - 1
-            ).otherwise(F.lit(0))
-        ).alias("n_dup_excess"),
-        F.max(F.when(F.col("id").isNotNull(), F.col("c")))
-        .alias("max_id_multiplicity"),
-        F.min("id").alias("min_id"),
-        F.max("id").alias("max_id"),
-    )
+    return integrity.id_census(per_id, ["table_name"])
 
 
 #: child table, FK column, parent table, parent key — the star schema's

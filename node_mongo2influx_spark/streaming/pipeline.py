@@ -973,6 +973,67 @@ def read_distinct_store(
     return hll_estimate(regs, [key_col])
 
 
+def integrity_maintenance_stream(
+    source: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "event_id",
+) -> StreamingQuery:
+    """Continuously maintain the primary-id integrity census
+    (``operators/integrity.py``; batch face ``id_integrity_qa``) as an
+    append-only log of per-id COUNT partials — the data-quality monitor
+    for a live migration.
+
+    The point of maintaining this incrementally: a duplicate id that
+    arrives in batch 1 and again in batch 40 is invisible to any
+    per-batch check — only the merged per-id counts can see it, and a
+    migration wants to know about key collisions BEFORE cutover, not
+    from a full post-hoc rescan. Same IVM design as
+    :func:`rollup_maintenance_stream`: integer partials sum
+    associatively, each micro-batch writes O(its own distinct ids) rows
+    under ``ingest_batch=<id>`` with dynamic partition overwrite (a
+    replayed batch rewrites its OWN partition — replay-idempotent, no
+    read-modify-write), merge-on-read is one groupBy-sum, and the
+    merged census is bit-identical to the batch query over all data.
+    """
+    from node_mongo2influx_spark.operators import integrity
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            integrity.per_id_counts(batch_df, id_col)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store_dir)
+        )
+
+    return (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_integrity_store(spark, store_dir: str) -> DataFrame:
+    """Merge-on-read over :func:`integrity_maintenance_stream`'s partial
+    log: sum the per-batch per-id counts, then the SAME census aggregate
+    as the batch query — one row (``table_name``-free), or EMPTY for a
+    store with no data files (the r6 store-reader rule)."""
+    from node_mongo2influx_spark.operators import integrity
+
+    if _store_is_empty(store_dir):
+        return spark.createDataFrame([], integrity.CENSUS_FIELDS)
+    per_id = (
+        spark.read.parquet(store_dir)
+        .groupBy("id")
+        .agg(F.sum("c").alias("c"))
+    )
+    return integrity.id_census(per_id, [])
+
+
 def ohlc_stream(
     source: DataFrame,
     time_col: str = "time",

@@ -1702,3 +1702,62 @@ def test_drift_forecast_registry_flag_day_matches(spark, sf_dir):
     assert eta is not None
     predicted = last_pre + eta
     assert flag_day <= predicted <= flag_day + 1, (predicted, flag_day)
+
+
+def test_integrity_maintenance_stream_sees_cross_batch_dups(spark, tmp_path):
+    # The reason this is an IVM and not a per-batch check: a key that
+    # arrives in two different micro-batches is invisible to any single
+    # batch's census — only the merged per-id counts can see it. Merge-
+    # on-read must equal the batch census over all data bit-for-bit,
+    # and a fresh-checkpoint replay must change nothing (dynamic
+    # overwrite of per-batch partitions).
+    from node_mongo2influx_spark.operators import integrity
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "event_id long"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame([(3,), (4,), (4,)], "event_id long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    store = str(tmp_path / "store")
+    q = sp.integrity_maintenance_stream(
+        sp.read_stream(spark, src, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert (
+        spark.read.parquet(store).select("ingest_batch").distinct().count()
+        >= 2
+    ), "need multiple micro-batches to prove the cross-batch merge"
+
+    fields = (
+        "n_rows n_null_id n_distinct_id n_dup_excess "
+        "max_id_multiplicity min_id max_id"
+    ).split()
+    rows = sp.read_integrity_store(spark, store).collect()
+    assert len(rows) == 1
+    got = tuple(rows[0][f] for f in fields)
+    # 7 rows, 1 NULL id, distinct {1,2,3,4}, ids 3 and 4 each twice
+    assert got == (7, 1, 4, 2, 2, 1, 4)
+    full = integrity.id_census(
+        integrity.per_id_counts(spark.read.parquet(src), "event_id"), []
+    ).collect()
+    assert got == tuple(full[0][f] for f in fields)
+
+    q2 = sp.integrity_maintenance_stream(
+        sp.read_stream(spark, src, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    rows2 = sp.read_integrity_store(spark, store).collect()
+    assert tuple(rows2[0][f] for f in fields) == got
+
+    # empty / never-written store reads as an EMPTY census with the
+    # pinned schema (r6 store-reader rule), not a crash or NULL row
+    empty = sp.read_integrity_store(spark, str(tmp_path / "nope"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == fields
