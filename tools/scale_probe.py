@@ -46,7 +46,13 @@ def main() -> None:
     from node_mongo2influx_spark.engine import Engine
     from node_mongo2influx_spark.functions import phash
     from node_mongo2influx_spark.functions.vec import usable_vector_sql
-    from node_mongo2influx_spark.operators import dedup, sampling, similarity, text
+    from node_mongo2influx_spark.operators import (
+        dedup,
+        integrity,
+        sampling,
+        similarity,
+        text,
+    )
     from node_mongo2influx_spark.plans.llm_ops import _BPE_FIXED_MERGES
     from node_mongo2influx_spark.sinks import ParquetSink
     from node_mongo2influx_spark.sources.parquet_compat import read_parquet
@@ -631,6 +637,14 @@ def main() -> None:
         ),
         "vec_guard_raw_scan": lambda k: at_scale("embeddings", k).where(
             F.col("embedding").isNotNull()
+        ),
+        # round-11: the integrity census (operators/integrity.py).
+        # at_scale's replicated ids are the POINT here: k replicas mean
+        # every id appears k times, so the per-id key domain stays
+        # CONSTANT while rows grow k-fold — wall must track rows (the
+        # map-side-combined count partials), never the duplicate count.
+        "id_census": lambda k: integrity.id_census(
+            integrity.per_id_counts(at_scale("events", k), "event_id"), []
         ),
     }
 

@@ -58,6 +58,10 @@ which has caught real divergence classes the dense fixtures cannot:
   combo_label (label ∘ multifile)      hostile label values over a
                                        multi-split layout (r11: storm
                                        labels spanning file boundaries)
+  combo_ties (tiestorm ∘ multifile)    bit-identical score ties spanning
+                                       part files (r11: (score, id)
+                                       totality independent of scan
+                                       order / file placement)
 
 Each stage builds its fixture copy (cheap, DuckDB-only) and runs the
 FULL registry through tools/check_oracle.py (a Spark session per stage —
@@ -142,6 +146,14 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      [["tools/label_fixtures.py", SRC, "/tmp/sf_clb_a"],
       ["tools/multifile_fixtures.py", "/tmp/sf_clb_a", "/tmp/sf_combo_label"]],
      "/tmp/sf_combo_label"),
+    # ties ∘ layout (r11): score-tie storms whose tied rows SPAN part
+    # files — rank windows repartition on the window key, so a total
+    # (score, id) order must survive arbitrary file placement of the
+    # tied rows; witnesses that no tie-break leans on scan order.
+    ("combo_ties",
+     [["tools/tiestorm_fixtures.py", SRC, "/tmp/sf_cts_a"],
+      ["tools/multifile_fixtures.py", "/tmp/sf_cts_a", "/tmp/sf_combo_ties"]],
+     "/tmp/sf_combo_ties"),
 ]
 
 #: Extra environment per stage. The tz stage runs the registry under a
