@@ -1761,3 +1761,38 @@ def test_integrity_maintenance_stream_sees_cross_batch_dups(spark, tmp_path):
     empty = sp.read_integrity_store(spark, str(tmp_path / "nope"))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == fields
+
+
+def test_integrity_store_compaction_preserves_census(spark, tmp_path):
+    # same compaction contract as the rollup store: partials merged down
+    # to one ingest_batch partition must read back census-identical
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i % 5,) for i in range(20)], "event_id long"
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    store = str(tmp_path / "store")
+    q = sp.integrity_maintenance_stream(
+        sp.read_stream(spark, src, schema, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    before = sp.read_integrity_store(spark, store).collect()
+    compacted = (
+        spark.read.parquet(store)
+        .groupBy("id")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("ingest_batch", F.lit(-1))
+    )
+    compacted.write.mode("overwrite").parquet(store + "__tmp")
+    import shutil
+
+    shutil.rmtree(store)
+    shutil.move(store + "__tmp", store)
+    after = sp.read_integrity_store(spark, store).collect()
+    assert after == before
+    assert (
+        spark.read.parquet(store).select("ingest_batch").distinct().count()
+        == 1
+    )

@@ -62,6 +62,14 @@ which has caught real divergence classes the dense fixtures cannot:
                                        part files (r11: (score, id)
                                        totality independent of scan
                                        order / file placement)
+  hostile_id (tools/hostile_id_fixtures)
+                                       duplicate/NULL/extreme/storm
+                                       PRIMARY ids (r11: runs only the
+                                       defined surface — the integrity
+                                       audits + catalog counts; the
+                                       rest of the registry is
+                                       UNDEFINED under dup ids by
+                                       documented precondition)
 
 Each stage builds its fixture copy (cheap, DuckDB-only) and runs the
 FULL registry through tools/check_oracle.py (a Spark session per stage —
@@ -87,8 +95,12 @@ REPO = Path(__file__).resolve().parent.parent
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-#: stage name -> (builder argv, fixture dir). Builders take (src, dst).
-STAGES: list[tuple[str, list[list[str]], str]] = [
+#: stage name -> (builder argv, fixture dir[, query subset]).
+#: Builders take (src, dst). A stage with a query subset runs ONLY those
+#: registry entries — for fixtures whose hostility makes most of the
+#: registry UNDEFINED by design (hostile_id: rank tie-breaks are total
+#: only under unique ids; the audit queries are the defined surface).
+STAGES: list[tuple] = [
     ("sparse", [["tools/sparsify_fixtures.py", SRC, "/tmp/sf_sparse"]],
      "/tmp/sf_sparse"),
     ("nulls", [["tools/nullify_fixtures.py", SRC, "/tmp/sf_nulls"]],
@@ -154,6 +166,14 @@ STAGES: list[tuple[str, list[list[str]], str]] = [
      [["tools/tiestorm_fixtures.py", SRC, "/tmp/sf_cts_a"],
       ["tools/multifile_fixtures.py", "/tmp/sf_cts_a", "/tmp/sf_combo_ties"]],
      "/tmp/sf_combo_ties"),
+    # hostile primary ids (r11): duplicate / NULL / extreme / storm ids.
+    # NOT registry-safe by design — runs only the defined surface: the
+    # integrity audits must COUNT the damage identically on both
+    # engines, and catalog counts must be oblivious to it.
+    ("hostile_id",
+     [["tools/hostile_id_fixtures.py", SRC, "/tmp/sf_hostile_id"]],
+     "/tmp/sf_hostile_id",
+     ("id_integrity_qa", "referential_integrity_qa", "catalog_counts")),
 ]
 
 #: Extra environment per stage. The tz stage runs the registry under a
@@ -166,7 +186,7 @@ STAGE_ENV: dict[str, dict[str, str]] = {
 
 
 def main() -> int:
-    known = {name for name, _, _ in STAGES}
+    known = {stage[0] for stage in STAGES}
     unknown = ONLY - known
     if unknown:
         # A misspelled stage would otherwise match nothing and exit 0 —
@@ -175,7 +195,8 @@ def main() -> int:
               f"known: {sorted(known)}")
         return 2
     failed = []
-    for name, builders, fixture in STAGES:
+    for name, builders, fixture, *rest in STAGES:
+        queries = tuple(rest[0]) if rest else ()
         if ONLY and name not in ONLY:
             continue
         env = {**os.environ, **STAGE_ENV.get(name, {})}
@@ -189,9 +210,12 @@ def main() -> int:
                 failed.append(name)
                 break
         else:
-            print(f"[{name}] fixture built at {fixture}; running registry...")
+            what = (f"{len(queries)}-query defined subset" if queries
+                    else "registry")
+            print(f"[{name}] fixture built at {fixture}; running {what}...")
             r = subprocess.run(
-                [sys.executable, "-u", "tools/check_oracle.py", fixture],
+                [sys.executable, "-u", "tools/check_oracle.py", fixture,
+                 *queries],
                 cwd=REPO, capture_output=True, text=True, env=env,
             )
             tail = "\n".join(
