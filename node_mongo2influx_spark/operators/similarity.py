@@ -145,11 +145,17 @@ def cosine_pairs(
         F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Both conjuncts live IN the join condition, cheap id test FIRST: the
+    # old Filter-above-join spelling got pushed into the BNLJ condition
+    # PREPENDED (`cos >= t AND vec_a < vec_b`), so every ORDERED pair —
+    # including the discarded a >= b half — paid the interpreted O(dim)
+    # fold before the 8-byte id comparison. Written directly, the conjunct
+    # order survives and short-circuit skips the fold for half the pairs
+    # (r11 optimization round; same pairs, same cosine expression).
+    # Survivors re-evaluate `cos` in the projection — O(matches) ≪ O(n²).
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos_raw", round_to).alias("cosine"))
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (cos >= threshold))
+        .select("vec_a", "vec_b", F.round(cos, round_to).alias("cosine"))
     )
 
 
