@@ -40,9 +40,19 @@ def test_star_join_broadcasts_dims_no_smj(spark, sf_dir, reg):
     plan = _plan(reg["q5_revenue_by_nation"].fn(spark, sf_dir))
     # At test scale every dimension join broadcasts (size-based planning /
     # AQE); the single allowed shuffle join is fact x fact
-    # (lineitem x orders).
-    assert plan.count("BroadcastHashJoin") >= 4, plan
-    assert plan.count("SortMergeJoin") <= 1, "dimension join fell back to SMJ:\n" + plan
+    # (lineitem x orders), which the r11 MERGE hint pins to sort-merge at
+    # every scale (the planner used to broadcast the FACT whenever its
+    # projected estimate dipped under the threshold). Formatted explain
+    # lists each operator twice (tree + details), so one SMJ node counts 2.
+    assert plan.count("BroadcastHashJoin") >= 8, plan
+    assert plan.count("SortMergeJoin") <= 2, (
+        "more than the one fact-fact SMJ:\n" + plan
+    )
+    # and that one SMJ must be the orderkey join, not a dim fallback
+    import re
+
+    m = re.search(r"\(\d+\) SortMergeJoin\s*\nLeft keys \[1\]: \[l_orderkey", plan)
+    assert m, "the SMJ is not the lineitem-orders orderkey join:\n" + plan
 
 
 #: Column markers identifying relations whose size scales with sf. An
@@ -61,6 +71,12 @@ def _hint_subtrees(analyzed: str) -> list[str]:
     out = []
     for i, ln in enumerate(lines):
         if "ResolvedHint" not in ln:
+            continue
+        if "strategy=broadcast" not in ln:
+            # Only broadcast hints can force-OOM a scaling table; a
+            # merge/shuffle_hash hint forces a SHUFFLE — the safe
+            # direction (r11: q3/q5 pin their fact-fact join to SMJ so
+            # the planner can't broadcast the fact at bench scale).
             continue
         depth = ln.index("ResolvedHint")
         sub = []
