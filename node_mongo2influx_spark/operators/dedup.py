@@ -99,9 +99,33 @@ def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
 
 
+
+def _spread_heavy_scan(df: DataFrame) -> DataFrame:
+    """Give a HEAVY per-row chain / explode the cluster's parallelism.
+
+    Bench/test-sized corpora arrive as ONE parquet split, so a
+    zero-shuffle chain (CDC rolling hash, segment chop, shingle explode)
+    runs on a single core while the rest idle (r11 optimization round).
+    Scale-adaptive: multi-split scans at real scale pass through
+    untouched (ensure_min_partitions probes the plan, no job); the
+    target is defaultParallelism, never a constant.
+    """
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
+    # NOT spread (r11 optimization round, measured): consumers are
+    # join/collect-dominated (shingle self-join, components collect) and
+    # the extra exchange cost more than the explode parallelism bought
+    # (dedup_filtered_corpus construct +0.5-1 s with the spread; the
+    # exec-bound 5-gram build in split_contamination_audit, which IS
+    # spread at the plan level, won 0.76x).
     return _with_words(df, text_col, id_col).select(
         F.col(id_col), F.explode(shingles_from_words("__words", n)).alias("sh")
     )
@@ -752,6 +776,8 @@ def segment_dedup(
     Returns (id, n_segs, n_kept, clean_md5) — md5('') for documents that
     were pure boilerplate.
     """
+    # NOT spread (r11, measured 1.28x WORSE with it: the segment groupBy
+    # + reassembly join dominate and the extra exchange only added cost)
     # split materialized in its OWN projection: inlined into the HOF
     # lambda it re-evaluates O(len) per segment — O(segs · len) on one
     # row, wedging on megabyte documents (longdoc sweep, round 9; same
@@ -886,6 +912,7 @@ def cdc_chunks(
     ``length(text)`` == char-array size only for 1-byte code points —
     true of the fixtures and asserted cheap via the n_chars column).
     """
+    df = _spread_heavy_scan(df)
     w = window
     n = "length(__t)"
     cs = "transform(__chars, c -> ascii(c))"

@@ -30,6 +30,27 @@ QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in", "is",
 BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def _spread_heavy_scan(df: DataFrame) -> DataFrame:
+    """Give a HEAVY per-row Column chain the cluster's parallelism.
+
+    A zero-shuffle chain inherits the SCAN's split count, and a bench/
+    test-sized corpus arrives as ONE parquet split — the whole chain
+    (BPE replace chain, char-entropy fold, pair explodes) then runs on a
+    single core while 31 idle (r11 optimization round; the mapInPandas
+    twin of this lesson is round 5's `ensure_min_partitions` on the
+    minhash kernel). Scale-adaptive by construction: at real scale the
+    scan already has hundreds of splits and this is a no-op; the target
+    is defaultParallelism, never a constant. Only operators whose
+    per-row work dwarfs a ~600 KB row exchange call this — spreading a
+    LIGHT chain was the round-7 1.22× regression (knn_cosine_pq).
+    """
+    from node_mongo2influx_spark.functions.skew import ensure_min_partitions
+
+    return ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def _words(text_col: str) -> str:
     return f"split(translate({text_col}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
 
@@ -305,6 +326,7 @@ def cooccurrence_pairs(
     joined key equals ordering by (w1, w2): the separator sorts below
     every word character.
     """
+    df = _spread_heavy_scan(df)
     ws = F.split(ascii_lower(F.col(text_col)), " ")
     n = F.size(ws)
 
@@ -346,6 +368,7 @@ def char_entropy(
     whole-stage-codegen map over the corpus. Empty documents are
     excluded (entropy undefined).
     """
+    df = _spread_heavy_scan(df)
     cs = F.array_sort(F.split(F.col(text_col), ""))
     n = F.size(cs)
     fold = F.aggregate(
@@ -558,6 +581,7 @@ def bm25_topk(
     for t in terms:
         if "'" in t:
             raise ValueError("terms must not contain quotes")
+    df = _spread_heavy_scan(df)
     words = F.split(ascii_lower(F.col(text_col)), " ")
 
     def _tf(term: str) -> Column:
@@ -711,6 +735,7 @@ def bm25_multi_topk(
     from node_mongo2influx_spark.functions.skew import bounded_for_broadcast
 
     spark = df.sparkSession
+    df = _spread_heavy_scan(df)
     words = F.split(ascii_lower(F.col(text_col)), " ")
     base = df.select(F.col(id_col).alias("doc"), words.alias("ws"))
     tokens = base.select(
@@ -808,6 +833,7 @@ def cooccurrence_pmi(
     with the corpus, exactly the tfidf rule. Top-k by pmi among pairs
     seen ≥ ``min_count`` times (PMI of a count-1 pair is noise).
     """
+    df = _spread_heavy_scan(df)
     ws = F.split(ascii_lower(F.col(text_col)), " ")
     n = F.size(ws)
 
@@ -873,6 +899,7 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, n) distinct-word frequency table — the compressed corpus
     representation subword-tokenizer training consumes. ONE aggregate
     pass; at 100 TB this is the only stage that touches the corpus."""
+    df = _spread_heavy_scan(df)
     return (
         df.select(
             F.explode(F.split(ascii_lower(F.col(text_col)), r"\s+")).alias("w")
@@ -1202,6 +1229,7 @@ def bpe_replace_chain(
     Output stays narrow (count + md5 of the space-joined token stream);
     the full token array face is :func:`bpe_tokenize`.
     """
+    df = _spread_heavy_scan(df)
     g2 = guard * 2
     words = F.filter(
         F.split(

@@ -2192,7 +2192,11 @@ def _split_contamination_oracle() -> str:
     "the split hash AND the shingle join in DuckDB.",
 )
 def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = sampling.assign_split(load(spark, sf_dir, "documents"))
+    from node_mongo2influx_spark.operators.text import _spread_heavy_scan
+
+    docs = sampling.assign_split(
+        _spread_heavy_scan(load(spark, sf_dir, "documents"))
+    )
     # zip-of-shifted-slices 5-grams (see dedup.shingles_from_words for the
     # formulation rationale: ~8x faster than per-index element_at)
     staged = docs.select(

@@ -155,4 +155,7 @@ def influx_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("time").isNotNull())
         .select("time", "value", "event_type")
     )
+    # NOT spread (r11, measured 1.16x WORSE with a pre-render
+    # repartition: line rendering is a LIGHT per-row chain — the r7
+    # knn_cosine_pq lesson — and the exchange cost more than it bought)
     return render_lines(df, "events", time_column="time")

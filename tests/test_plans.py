@@ -325,11 +325,15 @@ def test_chunking_is_zero_shuffle(spark, sf_dir, reg):
 
 
 def test_char_entropy_is_zero_shuffle_no_explode(spark, sf_dir, reg):
-    # The entropy fold is the histogram-free formulation: no Exchange AND
-    # no Generate (the oracle's explode+groupBy shape would shuffle every
-    # character in the corpus).
+    # The entropy fold is the histogram-free formulation: no Generate and
+    # no KEYED shuffle (the oracle's explode+groupBy shape would shuffle
+    # every character in the corpus). A single round-robin ROW spread is
+    # allowed (r11): it moves each document once so the fold inherits the
+    # cluster's parallelism instead of the scan's split count — cost
+    # O(rows), unlike the O(chars) hash exchange this test exists to ban.
     plan = _plan(reg["doc_char_entropy"].fn(spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert "Generate" not in plan, plan
 
 
