@@ -371,33 +371,25 @@ def char_entropy(
     df = _spread_heavy_scan(df)
     cs = F.array_sort(F.split(F.col(text_col), ""))
     n = F.size(cs)
+    # Run-length spelling (r11 optimization round): the old per-CHAR fold
+    # allocated a (prev, run, s) struct accumulator and branched per
+    # element — interpreted HOF cost O(n) heavy steps. Here the per-char
+    # work is one string comparison (run-END markers via the shifted-
+    # slice zip; the final element's NULL partner coalesces to true), and
+    # the expensive log2 fold runs over the ~|alphabet| run-length array
+    # instead of every character. Summation ORDER is unchanged — run
+    # contributions still accumulate in sorted-char order — so the result
+    # is bit-identical (asserted row-for-row at sf0.1 before the swap).
+    nxt = F.slice(cs, 2, F.greatest(n - 1, F.lit(0)))
+    marker = F.zip_with(cs, nxt, lambda a, b: F.coalesce(a != b, F.lit(True)))
+    zipped = F.arrays_zip(marker, F.sequence(F.lit(1), n))
+    ends = F.transform(F.filter(zipped, lambda s: s["0"]), lambda s: s["1"])
+    prev = F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.size(ends) - 1))
+    runs = F.zip_with(ends, prev, lambda e, p: e - p)
     fold = F.aggregate(
-        cs,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0.0).alias("s"),
-        ),
-        lambda acc, c: F.struct(
-            c.alias("prev"),
-            F.when(c == acc.prev, acc.run + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.when(
-                c == acc.prev, acc.s
-            ).otherwise(
-                acc.s
-                + F.when(
-                    acc.run > 0,
-                    acc.run.cast("double") * F.log2(acc.run.cast("double")),
-                ).otherwise(F.lit(0.0))
-            ).alias("s"),
-        ),
-        lambda acc: acc.s
-        + F.when(
-            acc.run > 0,
-            acc.run.cast("double") * F.log2(acc.run.cast("double")),
-        ).otherwise(F.lit(0.0)),
+        runs,
+        F.lit(0.0),
+        lambda acc, r: acc + r.cast("double") * F.log2(r.cast("double")),
     )
     return df.where(F.length(text_col) > 0).select(
         F.col(id_col),
