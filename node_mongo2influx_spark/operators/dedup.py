@@ -149,7 +149,13 @@ def ngram_jaccard_pairs(
     # scans of an explode'd lineage without it.
     sh = _shingle_table(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    # Spread the PROBE side of the self-join: a single-split corpus caches
+    # sh as ONE partition, and a broadcast/hash join parallelizes over the
+    # STREAMED side's partitions only — the whole pair explosion + partial
+    # aggregation ran as one 1.2 s task while 31 cores idled (r11, measured
+    # via the stage API). Scale-adaptive: multi-split corpora pass through
+    # untouched (plan-probed, no job).
+    a = _spread_heavy_scan(sh.select(F.col(id_col).alias("doc_a"), "sh"))
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
         a.join(b, ["sh"])
@@ -188,7 +194,8 @@ def ngram_containment_pairs(
     """
     sh = _shingle_table(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    # Probe-side spread: same single-task-join fix as ngram_jaccard_pairs.
+    a = _spread_heavy_scan(sh.select(F.col(id_col).alias("doc_a"), "sh"))
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
         a.join(b, ["sh"])
@@ -535,8 +542,26 @@ def components_from_pairs(
 
     robs0 = Observation()
     residual = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        # Both edge directions from ONE scan of pairs: a union of two
+        # projections of the same subtree materializes the (possibly
+        # expensive) candidate pipeline once per branch — AQE plans the
+        # branches as separate jobs and does not reuse the join stages
+        # (measured r11: dedup_filtered_corpus ran its 1.2 s shingle
+        # self-join twice, back to back). The explode doubles rows after
+        # the pipeline instead.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         .distinct()
         # consumed twice per round (contraction kernel + relabel join);
         # checkpointing truncates the candidate-pipeline lineage so it
