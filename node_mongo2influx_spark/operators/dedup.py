@@ -562,7 +562,16 @@ def components_from_pairs(
             ).alias("__e")
         )
         .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
-        .distinct()
+        # NO first-round distinct: every producer in this repo emits one
+        # row per unordered pair (fused kernel ends in dropDuplicates,
+        # shingle pairs in a groupBy), so the a<b / b>a directions cannot
+        # collide and a distinct here was a pure extra shuffle of the edge
+        # list (measured r11). Duplicate edges from an outside caller stay
+        # CORRECT regardless: union-find and the min-label closure are
+        # duplicate-insensitive; dups only inflate n_res (a conservative,
+        # later driver-endgame trigger) and the round-1 checkpoint. The
+        # per-round residual keeps ITS distinct — relabeled edges
+        # genuinely collapse there.
         # consumed twice per round (contraction kernel + relabel join);
         # checkpointing truncates the candidate-pipeline lineage so it
         # never replays, and blocks free on GC of the reference. The edge

@@ -302,7 +302,9 @@ def domain_mixture_weights(
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(weight_col).alias("w_total"),
-    )
+    # per feeds the 1-row reduce AND the output spine; persisting the
+    # n_domains-row aggregate keeps the corpus scan single-pass (r11).
+    ).persist()
     tot = per.agg(
         F.sum(F.pow(F.col("w_total").cast("double"), F.lit(alpha))).alias("wsum"),
         F.sum("w_total").alias("tsum"),

@@ -227,6 +227,11 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("w"),
     ).where(F.col("w") != "")
+    # NOT persisted (measured r11): the explode does run once per branch
+    # here too, but tf is corpus-TOKEN-sized — materializing (doc, w, tf)
+    # into the cache cost 1.25× vs recomputing the cheap explode. Persist
+    # pays off only for the vocabulary-sized aggregates (cooccurrence_pmi,
+    # bigram_lm_scores, word_subsample_weights), not token-level tables.
     tf = tokens.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count_distinct(id_col).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
@@ -478,11 +483,19 @@ def bigram_lm_scores(
             )
         ).alias("b"),
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    bcount = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    # Both count tables are consumed twice (bcount: scoring join; ucount:
+    # vocab total + scoring join) and the planner does not share their
+    # explode+groupBy subtrees across branches — persisting the
+    # vocabulary-sized aggregates cuts a full corpus explode each (r11).
+    # bg itself stays unpersisted: per-bigram rows are corpus-sized, the
+    # wrong thing to pin in memory at 100 TB; its two executions are the
+    # accepted trade.
+    bcount = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc")).persist()
     ucount = (
         staged.select(F.explode("__w").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("uc"))
+        .persist()
     )
     vocab = ucount.agg(F.count(F.lit(1)).alias("v"))
     t = F.log2(
@@ -524,7 +537,9 @@ def word_subsample_weights(
     words = df.select(
         F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("word")
     )
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts feeds the 1-row total AND the output spine: persist the
+    # vocab-sized aggregate so the corpus explode runs once (r11).
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = counts.agg(F.sum("cnt").alias("total"))
     freq = F.col("cnt").cast("double") / F.col("total")
     keep = F.least(
@@ -585,7 +600,12 @@ def bm25_topk(
         F.col(id_col),
         F.size(words).alias("dl"),
         *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
-    )
+    # docs is consumed twice (the stats aggregate and the scoring pass)
+    # and the planner does not share the scan+split+tf subtree between
+    # them — the corpus paid the per-term filter chain twice (measured
+    # r11). The persisted frame is NARROW (id + a handful of ints per
+    # row, not the text), so the cache is a small fraction of the scan.
+    ).persist()
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -760,7 +780,11 @@ def bm25_multi_topk(
         qterms_side = F.broadcast(qterms)
     postings = restricted.groupBy("doc", "dl", "w").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    # postings feeds both dfreq and the scoring spine; without a persist
+    # the corpus explode + vocabulary restriction + tf groupBy ran once
+    # per branch (measured r11). Vocab-restricted postings are tiny
+    # relative to the corpus — the classic inverted-index cache.
+    ).persist()
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size("ws")).alias("avgdl"),
@@ -840,6 +864,13 @@ def cooccurrence_pmi(
         )
 
     pairs = F.concat(*[pairs_at(d) for d in range(1, max_dist + 1)])
+    # Both count tables are consumed from multiple branches (pc: the join
+    # spine + pair_tot; uc: the w1 join, the w2 join, word_tot) and the
+    # planner does NOT reuse the explode+groupBy exchanges across those
+    # branches — the pre-persist plan re-ran the skip-gram explode twice
+    # and the unigram explode three times (five corpus scans, measured
+    # r11). persist() pins the vocab-sized aggregates instead: one pair
+    # pass + one word pass over the corpus, every branch reads the cache.
     pc = (
         df.select(F.explode(pairs).alias("pk"))
         .groupBy("pk")
@@ -850,11 +881,13 @@ def cooccurrence_pmi(
             F.split_part("pk", F.lit(" "), F.lit(2)).alias("w2"),
             "n_pair",
         )
+        .persist()
     )
     uc = (
         df.select(F.explode(ws).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .persist()
     )
     pair_tot = pc.agg(F.sum("n_pair").alias("tp"))
     word_tot = uc.agg(F.sum("cw").alias("tw"))
