@@ -90,18 +90,22 @@ def knn_cosine(
     from pyspark.sql import Window
 
     corpus, queries = _usable(corpus, vec_col), _usable(queries, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("cnorm", _norm(F.col("cvec")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    ).withColumn("qnorm", _norm(F.col("qvec")))
+    # selectExpr spellings: same expressions as the Column-composed form
+    # at a fraction of the py4j round trips (r11)
+    c = _features(corpus, id_col, vec_col).selectExpr(
+        "fid AS neighbor_id", "v AS cvec", "nrm AS cnorm"
+    )
+    q = _features(queries, id_col, vec_col).selectExpr(
+        "fid AS query_id", "v AS qvec", "nrm AS qnorm"
+    )
 
     j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
-    scored = j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    scored = j.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "aggregate(zip_with(cvec, qvec, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v) / (cnorm * qnorm) AS cos_raw",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
     )
@@ -349,17 +353,28 @@ def _srp_bucket_table(
                 {"vid": pdf["vid"].to_numpy()[mask], "buckets": list(bits @ weights)}
             )
 
-    return df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    return df.selectExpr(
+        f"`{id_col}` AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
     ).mapInPandas(bucket_kernel, schema="vid long, buckets array<long>")
 
 
 def _features(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(fid, v: array<double>, nrm) — the scoring payload, joined onto
-    candidates by id (never carried through the bucket explode)."""
-    return df.select(
-        F.col(id_col).alias("fid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    candidates by id (never carried through the bucket explode).
+
+    Spelled as TWO selectExpr calls, not Column composition: the
+    lambda-built transform/aggregate spelling cost ~30 py4j round trips
+    per call site and this helper sits on every ANN scoring path
+    (measured r11 — construction of knn_cosine_lsh was 0.72 s of py4j
+    socket time). Same Catalyst expressions, same fold order, so every
+    per-row float is bit-identical."""
+    return df.selectExpr(
+        f"`{id_col}` AS fid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS v",
+    ).selectExpr(
+        "fid", "v", "sqrt(aggregate(v, 0.0D, (a, x) -> a + x * x)) AS nrm"
+    )
 
 
 def cosine_pairs_lsh(
@@ -441,21 +456,17 @@ def _score_pairs(
     )
     cand = cand.repartition(n_shuffle, "vec_a")
     cand = cand.join(
-        feat.select(
-            F.col("fid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-        ),
+        feat.selectExpr("fid AS vec_a", "v AS va", "nrm AS na"), "vec_a"
+    ).join(feat.selectExpr("fid AS vec_b", "v AS vb", "nrm AS nb"), "vec_b")
+    # one-expr cosine + filter + round (r11 py4j-chatter batch spelling;
+    # identical expressions to the Column-composed form)
+    return cand.selectExpr(
         "vec_a",
-    ).join(
-        feat.select(
-            F.col("fid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-        ),
         "vec_b",
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos_raw", round_to).alias("cosine"))
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v) / (na * nb) AS cos_raw",
+    ).where(F.col("cos_raw") >= threshold).selectExpr(
+        "vec_a", "vec_b", f"round(cos_raw, {round_to}) AS cosine"
     )
 
 
@@ -548,18 +559,14 @@ def knn_cosine_lsh(
             F.posexplode("buckets").alias("t", "qbucket"),
         )
         # Multi-probe: own bucket + every hamming-1 neighbor bucket.
-        .select(
+        # (one selectExpr — the per-XOR Column build was n_planes+2 py4j
+        # round trips per plane, r11)
+        .selectExpr(
             "query_id",
             "t",
-            F.explode(
-                F.array(
-                    F.col("qbucket"),
-                    *[
-                        F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                        for i in range(n_planes)
-                    ],
-                )
-            ).alias("bucket"),
+            "explode(array(qbucket, "
+            + ", ".join(f"qbucket ^ {1 << i}" for i in range(n_planes))
+            + ")) AS bucket",
         )
     )
 
@@ -592,30 +599,34 @@ def _score_candidates_topk(
     ``broadcast_queries=False`` drops the broadcast hint for LARGE query
     batches (the batch ANN path): the query side then hash-joins like any
     fact table, and AQE picks the strategy from real sizes."""
-    from pyspark.sql import Window
-
-    cfeat = _features(corpus, id_col, vec_col).select(
-        F.col("fid").alias("neighbor_id"),
-        F.col("v").alias("cvec"),
-        F.col("nrm").alias("cnorm"),
+    # Batch selectExpr spellings throughout (r11): this function sits on
+    # every ANN top-k path and its Column-composed form was ~80 py4j
+    # round trips per construction. Identical expressions, same order.
+    cfeat = _features(corpus, id_col, vec_col).selectExpr(
+        "fid AS neighbor_id", "v AS cvec", "nrm AS cnorm"
     )
-    qfeat = _features(queries, id_col, vec_col).select(
-        F.col("fid").alias("query_id"),
-        F.col("v").alias("qvec"),
-        F.col("nrm").alias("qnorm"),
+    qfeat = _features(queries, id_col, vec_col).selectExpr(
+        "fid AS query_id", "v AS qvec", "nrm AS qnorm"
     )
     qside = F.broadcast(qfeat) if broadcast_queries else qfeat
     j = cand.join(cfeat, "neighbor_id").join(qside, "query_id")
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))
-    scored = j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
+    scored = j.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "aggregate(zip_with(cvec, qvec, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v) / (cnorm * qnorm) AS cos_raw",
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.selectExpr(
+            "query_id",
+            "neighbor_id",
+            "cos_raw",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos_raw DESC, neighbor_id) AS rn",
+        )
         .where(F.col("rn") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cos_raw", round_to).alias("cosine")
+        .selectExpr(
+            "query_id", "neighbor_id", f"round(cos_raw, {round_to}) AS cosine"
         )
     )
 
@@ -669,8 +680,9 @@ def kmeans_centroids(
     Init is deterministic: the ``n_cells`` sample rows with smallest
     xxhash64(id) (a seedless uniform spread that any engine/run reproduces).
     """
-    base = _usable(df, vec_col).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    base = _usable(df, vec_col).selectExpr(
+        f"`{id_col}` AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("km-train"))
     if train_fraction is None:
@@ -875,8 +887,9 @@ def knn_cosine_ivf(
     tl_index = two_level_index(cents) if len(cents) >= 128 else None
 
     c = _assign_cells(
-        corpus.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        corpus.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
         ),
         cents,
         tl_index,
@@ -904,8 +917,9 @@ def knn_cosine_ivf(
                 }
             )
 
-    q = queries.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    q = queries.selectExpr(
+        f"`{id_col}` AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
     ).mapInPandas(probe_kernel, schema="query_id long, cell int")
 
     cand = (
@@ -1041,8 +1055,9 @@ def _estimate_oversized_cells(
     Estimation error is irrelevant to correctness: a missed mid-size
     cell still fits the kernel's row-blocked memory bound, a false
     positive merely spreads a small cell over a few tasks."""
-    base = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    base = df.selectExpr(
+        f"`{id_col}` AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
     )
     if sample_mod > 1:
         base = base.where(
@@ -1395,8 +1410,9 @@ def cosine_pairs_ivf(
         "vid long, cell int, vec array<double>" if fused else "vid long, cell int"
     )
     cellt = _spread_kernel_input(
-        df.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        df.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
         )
     ).mapInPandas(kernel, schema=cell_schema)
 
@@ -1510,8 +1526,9 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    base = _usable(df, vec_col).select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    base = _usable(df, vec_col).selectExpr(
+        f"`{id_col}` AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("pq-train"))
     target = train_rows if train_rows is not None else 64 * n_codes
@@ -1590,8 +1607,9 @@ def pq_encode(
             )
 
     base = _spread_kernel_input(
-        df.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        df.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
         ),
         min_bytes=_LIGHT_KERNEL_MIN_SPREAD_BYTES,
     )
@@ -1692,8 +1710,9 @@ def knn_cosine_pq(
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
 
     qrows = (
-        queries.select(
-            F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+        queries.selectExpr(
+            f"`{id_col}` AS qid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS qv",
         )
         # _usable() at function entry already excluded NULL/unusable
         # vectors, so none can reach the limit cap (ADVICE r9 wanted
@@ -1817,8 +1836,9 @@ def ivfpq_encode(
             )
 
     base = _spread_kernel_input(
-        df.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        df.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
         )
     )
     return base.mapInPandas(
@@ -1847,8 +1867,9 @@ def _pq_codebooks_residual(
     centroid."""
     dsub = dim // m
     cents = centroids_unit
-    base = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    base = df.selectExpr(
+        f"`{id_col}` AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
     )
     salted = F.xxhash64(F.col("vid").cast("string"), F.lit("ivfpq-train"))
     target = train_rows if train_rows is not None else 64 * n_codes
@@ -1989,8 +2010,9 @@ def _ivfpq_candidates(
     vectors."""
     from pyspark.sql import Window
 
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    qrows = queries.selectExpr(
+        f"`{id_col}` AS qid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS qv",
     ).collect()
     # Kernel-entry contract assertion (VERDICT r10 #6) — see knn_cosine_pq.
     qrows = [r for r in qrows if usable_vector_py(r["qv"])]
@@ -2175,8 +2197,9 @@ def _ivfpq_probe_table(
             )
 
     return _spread_kernel_input(
-        queries.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        queries.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
         )
     ).mapInPandas(
         probe_kernel, schema="query_id long, cell int, qvec array<double>"
@@ -3251,8 +3274,9 @@ def _ivfpq_relative_recon_error(
             yield pd.DataFrame({"err": err, "energy": (mat**2).sum(1)})
 
     base = _spread_kernel_input(
-        df.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        df.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
         ),
         min_bytes=_LIGHT_KERNEL_MIN_SPREAD_BYTES,
     )
