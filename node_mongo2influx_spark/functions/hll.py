@@ -45,14 +45,17 @@ from pyspark.sql import functions as F
 
 from node_mongo2influx_spark.functions.phash import (
     fmix32_duckdb_steps,
-    fmix32_spark_steps,
+    fmix32_spark_inline,
     fnv1a32_duckdb_sql,
     fnv1a32_spark_sql,
 )
 
-#: Aliases for the 5-step fmix32 chain (each step in its OWN projection:
-#: a step uses its input 2-3×, and only an aliased non-cheap expression
-#: survives CollapseProject without being recomputed per reference).
+#: Aliases for the 5-step fmix32 chain in the DUCKDB oracle CTE chain
+#: (the Spark side inlines the whole finalizer over the aliased __f0 —
+#: a column reference is a cheap input per the fmix32_spark_inline
+#: contract, and the optimizer collapses either spelling to the same
+#: projection; measured r11: the 5-Dataset chain cost ~60 ms of
+#: construction per query for identical registers).
 _FMIX_NAMES = ["__f0", "__f1", "__f2", "__f3", "__f4"]
 
 #: Register-count exponent / count. m = 256 gives rsd ≈ 1.04/√256 = 6.5% in
@@ -94,10 +97,14 @@ def hll_registers(
     cur = df.where(F.col(value_col).isNotNull()).select(
         *group_cols, h.alias("__f0")
     )
-    for i, step in enumerate(fmix32_spark_steps(_FMIX_NAMES)):
-        cur = cur.select(*group_cols, F.expr(step).alias(f"__f{i + 1}"))
+    # The FNV fold stays aliased in its OWN projection (expensive, used
+    # ~72× by the textual fmix nesting); the finalizer itself inlines
+    # over that cheap column reference in ONE more projection.
     rows = (
-        cur.withColumnRenamed("__f5", "__h")
+        cur.select(
+            *group_cols,
+            F.expr(fmix32_spark_inline("__f0")).alias("__h"),
+        )
         .select(
             *group_cols,
             F.pmod(F.col("__h"), F.lit(HLL_M)).alias("__bucket"),
