@@ -187,6 +187,9 @@ def main() -> None:
         mins: dict[str, float] = {}
         for name in names:
             fn = reg[name].fn
+            # Label the query's jobs in the UI (optimization guide §1.5) —
+            # thread-local metadata only, no effect on the timed work.
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             runs = []
             # local[32] wall-clock jitters ±30% under OS noise; the median
             # is robust to single noisy runs, and the MIN (steady-state
@@ -207,6 +210,7 @@ def main() -> None:
                 f"(n={reps})",
                 file=sys.stderr,
             )
+        spark.sparkContext.setJobDescription(None)
         return times, mins
 
     times, mins = run_set(HEADLINE, reps=7)
