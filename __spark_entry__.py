@@ -429,6 +429,44 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("embedding_norm_qa", 11),
     ("url_domain_stats", 11),
     ("dedup_url_canonical", 11),
+    # round 11 OPTIMIZATION sessions (values verified identical vs the
+    # oracle at sf0.001/0.01/0.1 after every change — OPTIMIZATION_r11.md
+    # carries the per-change evidence — but the implementations changed
+    # after their last green row, so the r11 snapshot should re-witness):
+    # q3/q5 fact-fact join pinned to sort-merge; heavy per-row corpus
+    # chains spread off single-split scans; doc_char_entropy respelled
+    # as a run-length fold; shingle self-join probe side spread + both
+    # edge directions built in one pass (+ dropped first-round edge
+    # distinct) touching every components consumer; vocabulary-sized
+    # count tables persisted (pmi, bm25 tf/postings, bigram LM,
+    # subsample/domain weights); the ANN scoring projections respelled
+    # as single selectExpr texts (the touched lsh/pq tiers are
+    # rows-only — their oracle-exact companions knn_cosine_bruteforce /
+    # lsh_recall_probe / pq_recall_probe are already listed above);
+    # hll_registers' fmix finalizer inlined into one projection.
+    ("q3_top_unshipped_revenue", 11),
+    ("q5_revenue_by_nation", 11),
+    ("bpe_tokenize_fixed", 11),
+    ("doc_char_entropy", 11),
+    ("cooccurrence_topk", 11),
+    ("cooccurrence_pmi", 11),
+    ("bm25_keyword_topk", 11),
+    ("bm25_multi_query_topk", 11),
+    ("cdc_chunking", 11),
+    ("split_contamination_audit", 11),
+    ("doc_perplexity_bigram", 11),
+    ("word_subsample_weights", 11),
+    ("domain_mixture_weights", 11),
+    ("dedup_containment_pairs", 11),
+    ("dedup_ngram_jaccard", 11),
+    ("dedup_clusters", 11),
+    ("dedup_filtered_corpus", 11),
+    ("dedup_keep_best_quality", 11),
+    ("dup_transitivity_audit", 11),
+    ("leakage_safe_split", 11),
+    ("hll_portable_distinct", 11),
+    ("sliding_distinct_hll", 11),
+    ("source_overlap_hll", 11),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept
