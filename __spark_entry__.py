@@ -464,6 +464,10 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("dedup_keep_best_quality", 11),
     ("dup_transitivity_audit", 11),
     ("leakage_safe_split", 11),
+    # session 3: edit distance moved to the suffixes past the block
+    # prefix (values identical by the common-prefix invariance;
+    # hash-green at all three SFs; 0.227x A/B).
+    ("entity_resolution_pairs", 11),
     ("hll_portable_distinct", 11),
     ("sliding_distinct_hll", 11),
     ("source_overlap_hll", 11),

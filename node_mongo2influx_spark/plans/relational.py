@@ -3130,11 +3130,24 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = c.select(
         F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"), "blk"
     )
+    # Levenshtein on the SUFFIXES past the block prefix: the join key is
+    # substring(name, 1, 16) equality, so every joined pair agrees on its
+    # first 16 chars, and edit distance is invariant under stripping a
+    # common prefix — ld(p||s, p||t) == ld(s, t) (the textbook trim
+    # optimization every edit-distance library applies). The DP shrinks
+    # from |name|² to |suffix|² cells per pair — the dominant cost of
+    # the query (measured r11: the full-name spelling spent 2.45 s of a
+    # 2.93 s execution inside levenshtein; suffix equality asserted
+    # against the full-name spelling in tests/test_relational_extra.py).
+    # The oracle keeps the full-name spelling as the equivalence proof.
     return (
         a.join(b, "blk")
         .where(F.col("cust_a") < F.col("cust_b"))
         .withColumn(
-            "edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+            "edit_dist",
+            F.levenshtein(
+                F.expr("substring(name_a, 17)"), F.expr("substring(name_b, 17)")
+            ),
         )
         .where(F.col("edit_dist") <= 1)
         .select("cust_a", "cust_b", "name_a", "name_b", "edit_dist")

@@ -197,6 +197,63 @@ def test_entity_resolution_pairs_compose_into_entity_groups(spark, sf_dir):
     assert comp, "blocking should produce at least one candidate pair"
 
 
+def test_entity_resolution_suffix_levenshtein_is_exact(spark, sf_dir):
+    # The r11 optimization computes edit_dist on the suffixes past the
+    # 16-char block prefix (ld(p||s, p||t) == ld(s, t) — edit distance
+    # is invariant under stripping a common prefix, and the join key
+    # guarantees the shared prefix). Assert the identity on hostile
+    # pairs sharing a 16-char prefix (short/empty suffixes, multibyte,
+    # length-mismatched suffixes) AND row-for-row on the fixtures
+    # against the full-name spelling.
+    p = "0123456789abcdef"  # the 16-char "block prefix"
+    hostile = [
+        (p, p),  # both names exactly the prefix -> empty suffixes
+        (p + "x", p),  # one empty suffix
+        (p + "x", p + "y"),
+        (p + "xy", p + "y"),
+        (p + "éß", p + "éz"),  # multibyte suffixes
+        (p + "abc", p + "zzzz"),  # length-mismatched suffixes
+    ]
+    df = spark.createDataFrame(hostile, "name_a string, name_b string")
+    rows = df.select(
+        F.levenshtein("name_a", "name_b").alias("full"),
+        F.levenshtein(
+            F.expr("substring(name_a, 17)"), F.expr("substring(name_b, 17)")
+        ).alias("suffix"),
+    ).collect()
+    for r in rows:
+        assert r["full"] == r["suffix"], (r["full"], r["suffix"])
+
+    reg = load_registry()
+    got = {
+        (r["cust_a"], r["cust_b"]): (r["edit_dist"], r["name_a"], r["name_b"])
+        for r in reg["entity_resolution_pairs"].fn(spark, sf_dir).collect()
+    }
+    # reference spelling: full-name levenshtein over the same block join
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    want = {
+        (r["cust_a"], r["cust_b"]): (r["edit_dist"], r["name_a"], r["name_b"])
+        for r in a.join(b, "blk")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 1)
+        .collect()
+    }
+    assert got == want
+
+
 def test_pagerank_mass_and_ordering(spark, sf_dir):
     # Integer PageRank sanity: every rank >= the damping floor, total
     # mass stays below the theoretical cap N*1e9 (floor() only loses
