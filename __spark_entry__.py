@@ -468,6 +468,10 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # prefix (values identical by the common-prefix invariance;
     # hash-green at all three SFs; 0.227x A/B).
     ("entity_resolution_pairs", 11),
+    # session 3: simhash votes + packing fused into one aggregate
+    # expression text and the token explode spread (integer sums,
+    # identical fold; hash-green at all three SFs; 0.312x A/B).
+    ("dedup_simhash", 11),
     ("hll_portable_distinct", 11),
     ("sliding_distinct_hll", 11),
     ("source_overlap_hll", 11),

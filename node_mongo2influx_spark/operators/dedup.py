@@ -737,7 +737,10 @@ def simhash(
     if 64 % n_bands != 0:
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
-    tok = df.select(
+    # Heavy per-row chain (split + explode + 64 conditional sums): a
+    # single-split scan would run the whole explode + partial aggregation
+    # on one core (r11 guide §2.5 class; no-op on multi-split inputs).
+    tok = _spread_heavy_scan(df).select(
         F.col(id_col),
         F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("w"),
     ).where(F.col("w") != "")
@@ -758,23 +761,25 @@ def simhash(
         )
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    # Vote per bit: sum(+1 if bit set else -1) over tokens.
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
-                .bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{j}")
+    # Vote per bit (sum of +1/-1 over tokens) and the sign→bit packing,
+    # emitted as ONE aggregate-expression STRING: built from 64+64
+    # Column objects this cost ~400 py4j round trips and a 5 s plan
+    # analysis per construction (the r7 wide-aggregate lesson, measured
+    # again r11). Arithmetic is unchanged — per bit, sum(CASE token bit
+    # THEN 1 ELSE -1) > 0 contributes 2^j; shiftleft(1L, 63) IS the
+    # two's-complement sign term the old -(1<<63) literal spelled.
+    vote = (
+        "sum(CASE WHEN (shiftright({src}, {sh}) & 1) = 1 "
+        "THEN 1 ELSE -1 END)"
+    )
+    terms = " + ".join(
+        "(CASE WHEN "
+        + vote.format(src="lo" if j < 32 else "hi", sh=j % 32)
+        + f" > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        "ELSE CAST(0 AS BIGINT) END)"
         for j in range(64)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    fp: Column = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j) if j < 63
-                         else F.lit(-(1 << 63)).cast("long")).otherwise(0)
-    out = agg.select(F.col(id_col), fp.alias("simhash"))
+    )
+    out = tok.groupBy(id_col).agg(F.expr(terms).alias("simhash"))
     bands = {
         f"band{i}": F.shiftrightunsigned(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1))
