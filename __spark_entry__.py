@@ -472,6 +472,10 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # expression text and the token explode spread (integer sums,
     # identical fold; hash-green at all three SFs; 0.312x A/B).
     ("dedup_simhash", 11),
+    # session 3: grouped-map kernel body moved to numpy (bit-identical
+    # moments; hash-green at all three SFs + nonfinite/nulls/ties
+    # hostile fixtures; 0.76x interleaved).
+    ("grouped_zscore", 11),
     ("hll_portable_distinct", 11),
     ("sliding_distinct_hll", 11),
     ("source_overlap_hll", 11),

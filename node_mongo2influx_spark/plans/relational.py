@@ -1442,16 +1442,34 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def standardize(pdf):
         import numpy as np
+        import pandas as pd
 
-        std = pdf["value"].std(ddof=1)
-        # SQL NULL semantics: stddev_samp is NULL for a 1-row group (pandas:
-        # NaN) and the oracle NULLIFs a zero stddev — pandas would emit NaN
-        # and ±inf respectively, which the comparator treats as values.
-        if std is None or not np.isfinite(std) or std == 0.0:
-            return pdf.assign(zscore=None)[["event_id", "user_id", "zscore"]]
-        mean = pdf["value"].mean()
-        z = ((pdf["value"] - mean) / std).round(4)
-        return pdf.assign(zscore=z)[["event_id", "user_id", "zscore"]]
+        # numpy directly, not pandas Series ops: with many small groups
+        # the per-group pandas dispatch dominated (measured r11: 0.76x
+        # from this body alone, values bit-identical — both spellings
+        # are the same two-pass pairwise-summed moments; this repo has
+        # no bottleneck install to divert pandas onto another kernel).
+        v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+        n_ok = int(np.count_nonzero(~np.isnan(v)))
+        std = float(np.nanstd(v, ddof=1)) if n_ok >= 2 else float("nan")
+        # SQL NULL semantics: stddev_samp is NULL for a 1-row group (numpy:
+        # NaN) and the oracle NULLIFs a zero stddev — the raw kernel would
+        # emit NaN and ±inf respectively, which the comparator treats as
+        # values.
+        if not np.isfinite(std) or std == 0.0:
+            out = pd.DataFrame(
+                {"event_id": pdf["event_id"], "user_id": pdf["user_id"]}
+            )
+            out["zscore"] = None
+            return out
+        mean = float(np.nanmean(v))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": np.round((v - mean) / std, 4),
+            }
+        )
 
     return e.groupBy("user_id").applyInPandas(
         standardize, schema="event_id long, user_id long, zscore double"
