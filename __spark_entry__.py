@@ -476,6 +476,9 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # moments; hash-green at all three SFs + nonfinite/nulls/ties
     # hostile fixtures; 0.76x interleaved).
     ("grouped_zscore", 11),
+    # session 3: euro_supply checkpointed (consumed-2x rule; values
+    # identical, hash-green at all three SFs).
+    ("q2_min_cost_supplier", 11),
     ("hll_portable_distinct", 11),
     ("sliding_distinct_hll", 11),
     ("source_overlap_hll", 11),

@@ -2364,11 +2364,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
     )
+    # euro_supply feeds BOTH the per-part min aggregate and the join-back
+    # (the correlated-min shape) — without a checkpoint the lineitem-wide
+    # supply aggregate + three joins run once per branch (no
+    # ReusedExchange in the plan; CLAUDE.md consumed-≥2× rule). The
+    # materialized table is (part, supplier)-level — bounded far below
+    # lineitem.
     euro_supply = (
         supply.join(s, supply.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
               n.n_regionkey == r.r_regionkey)
+        .localCheckpoint(eager=False)
     )
     min_cost = euro_supply.groupBy("l_partkey").agg(
         F.min("cost").alias("min_cost")
