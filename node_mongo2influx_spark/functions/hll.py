@@ -273,92 +273,83 @@ def hll_overlap_from_registers(regs: DataFrame, key_col: str) -> DataFrame:
     Output: (key_a, key_b, union_sum_inv, hll_a, hll_b, hll_union,
     hll_intersection).
     """
+    # SQL-text batched spelling (optimization round r11 s4): the original
+    # built ~10 Dataset creations (tot/ra/rb/sh/ta/tb/parts/est/final)
+    # with lambda-built shl Columns and three hll_estimate_col trees —
+    # ~0.45 s of py4j + analyzer chatter per construction even with a
+    # pre-checkpointed input. Fusing parts+est+final into one selectExpr
+    # and spelling renames/aggregates as expression text measured 0.47×
+    # interleaved with bit-identical output (190 pairs row-for-row).
+    # Every expression below is the SAME Catalyst tree as the Column
+    # spelling it replaces (scientific-notation literals are DOUBLE —
+    # only bare decimals hit the expr() DECIMAL trap).
     regs = regs.localCheckpoint(eager=False)  # consumed 2× (totals + join)
-    shl = lambda m: F.expr(  # noqa: E731
-        f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - {m})"
-    )
+
+    def shl_sum(m: str) -> str:
+        return f"sum(shiftleft(cast(1 as bigint), {HLL_MAXRHO} - {m}))"
+
+    def est_sql(sum_inv: str, zero: str) -> str:
+        # hll_estimate_col as text: raw harmonic / linear-counting branch,
+        # stable-rounded to 1e-4. CAST('<repr>' AS DOUBLE) round-trips the
+        # float constants bit-exactly.
+        raw = f"(CAST('{HLL_K!r}' AS DOUBLE) / {sum_inv})"
+        lc = (
+            f"(CAST('{float(HLL_M)!r}' AS DOUBLE) * "
+            f"ln(CAST('{float(HLL_M)!r}' AS DOUBLE) / {zero}))"
+        )
+        body = (
+            f"(CASE WHEN ({raw} <= CAST('{HLL_LC_CUTOFF!r}' AS DOUBLE)) "
+            f"AND ({zero} > 0) THEN {lc} ELSE {raw} END)"
+        )
+        return f"(floor({body} * 1e4 + 0.5D) / 1e4)"
+
     tot = regs.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("used"), F.sum(shl("__m")).alias("s")
+        F.expr("count(1) AS used"), F.expr(f"{shl_sum('__m')} AS s")
     )
-    ra = regs.select(
-        F.col(key_col).alias("key_a"), "__bucket", F.col("__m").alias("ma")
-    )
-    rb = regs.select(
-        F.col(key_col).alias("key_b"), "__bucket", F.col("__m").alias("mb")
-    )
+    ra = regs.selectExpr(f"`{key_col}` AS key_a", "__bucket", "__m AS ma")
+    rb = regs.selectExpr(f"`{key_col}` AS key_b", "__bucket", "__m AS mb")
     sh = (
         ra.join(rb, "__bucket")
         .where(F.col("key_a") < F.col("key_b"))
         .groupBy("key_a", "key_b")
         .agg(
-            F.count(F.lit(1)).alias("cnt_sh"),
-            F.sum(shl("greatest(ma, mb)")).alias("s_max"),
-            F.sum(shl("ma")).alias("s_a_sh"),
-            F.sum(shl("mb")).alias("s_b_sh"),
+            F.expr("count(1) AS cnt_sh"),
+            F.expr(f"{shl_sum('greatest(ma, mb)')} AS s_max"),
+            F.expr(f"{shl_sum('ma')} AS s_a_sh"),
+            F.expr(f"{shl_sum('mb')} AS s_b_sh"),
         )
     )
-    top = F.lit(1 << HLL_MAXRHO)
-    ta = tot.select(
-        F.col(key_col).alias("key_a"), F.col("used").alias("used_a"),
-        F.col("s").alias("s_a"),
+    ta = tot.selectExpr(f"`{key_col}` AS key_a", "used AS used_a", "s AS s_a")
+    tb = tot.selectExpr(f"`{key_col}` AS key_b", "used AS used_b", "s AS s_b")
+    top = 1 << HLL_MAXRHO
+    sum_a = f"(s_a + ({HLL_M} - used_a) * {top})"
+    sum_b = f"(s_b + ({HLL_M} - used_b) * {top})"
+    sum_u = (
+        f"(s_max + (s_a - s_a_sh) + (s_b - s_b_sh) + "
+        f"({HLL_M} - (used_a + used_b - cnt_sh)) * {top})"
     )
-    tb = tot.select(
-        F.col(key_col).alias("key_b"), F.col("used").alias("used_b"),
-        F.col("s").alias("s_b"),
-    )
-    parts = (
+    zero_a = f"({HLL_M} - used_a)"
+    zero_b = f"({HLL_M} - used_b)"
+    zero_u = f"({HLL_M} - (used_a + used_b - cnt_sh))"
+    return (
         sh.join(ta, "key_a")
         .join(tb, "key_b")
-        .select(
+        .selectExpr(
             "key_a",
             "key_b",
-            (F.col("s_a") + (F.lit(HLL_M) - F.col("used_a")) * top).alias(
-                "sum_inv_a"
-            ),
-            (F.lit(HLL_M) - F.col("used_a")).alias("zero_a"),
-            (F.col("s_b") + (F.lit(HLL_M) - F.col("used_b")) * top).alias(
-                "sum_inv_b"
-            ),
-            (F.lit(HLL_M) - F.col("used_b")).alias("zero_b"),
-            (
-                F.col("s_max")
-                + (F.col("s_a") - F.col("s_a_sh"))
-                + (F.col("s_b") - F.col("s_b_sh"))
-                + (
-                    F.lit(HLL_M)
-                    - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
-                )
-                * top
-            ).alias("sum_inv_u"),
-            (
-                F.lit(HLL_M)
-                - (F.col("used_a") + F.col("used_b") - F.col("cnt_sh"))
-            ).alias("zero_u"),
+            f"{sum_u} AS union_sum_inv",
+            f"{est_sql(sum_a, zero_a)} AS hll_a",
+            f"{est_sql(sum_b, zero_b)} AS hll_b",
+            f"{est_sql(sum_u, zero_u)} AS hll_union",
         )
-    )
-    est = parts.select(
-        "key_a",
-        "key_b",
-        F.col("sum_inv_u").alias("union_sum_inv"),
-        hll_estimate_col(F.col("sum_inv_a"), F.col("zero_a")).alias("hll_a"),
-        hll_estimate_col(F.col("sum_inv_b"), F.col("zero_b")).alias("hll_b"),
-        hll_estimate_col(F.col("sum_inv_u"), F.col("zero_u")).alias(
-            "hll_union"
-        ),
-    )
-    return est.select(
-        "key_a",
-        "key_b",
-        "union_sum_inv",
-        "hll_a",
-        "hll_b",
-        "hll_union",
-        (
-            F.floor(
-                (F.col("hll_a") + F.col("hll_b") - F.col("hll_union"))
-                * F.lit(1e4)
-                + F.lit(0.5)
-            )
-            / F.lit(1e4)
-        ).alias("hll_intersection"),
+        .selectExpr(
+            "key_a",
+            "key_b",
+            "union_sum_inv",
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            "(floor((hll_a + hll_b - hll_union) * 1e4 + 0.5D) / 1e4)"
+            " AS hll_intersection",
+        )
     )
