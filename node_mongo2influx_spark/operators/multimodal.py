@@ -378,13 +378,21 @@ def sniff_mime(
     )
 
 
-def _le_uint(payload, pos, nbytes):
-    """Little-endian unsigned int at 1-based offset ``pos``: n single-byte
-    reads recombined with place values (RIFF/WAV fields are LE; _be_uint's
-    hex-then-conv trick would read them backwards)."""
-    out = F.lit(0).cast("long")
+def _le_uint_sql(payload: str, pos: int, nbytes: int) -> str:
+    """Little-endian unsigned int at 1-based offset ``pos`` as SQL text: n
+    single-byte reads recombined with place values (RIFF/WAV fields are
+    LE; _be_uint's hex-then-conv trick would read them backwards).
+    Expression text, not Columns: audio_meta's 12 field reads built ~250
+    Column objects (~1000 py4j round trips ≈ 2 s of construction per
+    call, measured r11 optimization round); the parser sees the same
+    integer arithmetic in one hop."""
+    out = "CAST(0 AS BIGINT)"
     for i in range(nbytes):
-        out = out + _be_uint(payload, pos + i, 1) * (1 << (8 * i))
+        be = (
+            f"CAST(conv(hex(substring({payload}, {pos + i}, 1)), 16, 10)"
+            " AS BIGINT)"
+        )
+        out = f"({out} + {be} * {1 << (8 * i)})"
     return out
 
 
@@ -407,29 +415,43 @@ def audio_meta(
     duration_ms = data_size · 8000 / (rate · channels · bits) — exact
     integer arithmetic scaled to milliseconds, floor'd (identical in any
     engine; float division would be engine-rounding-dependent).
+
+    Spelled as ONE selectExpr text (r11 optimization round, the py4j
+    batching class): the Column spelling built ~250 Column objects for
+    the magic anchors + 12 byte reads — ~2 s of driver chatter per
+    construction. Same expressions, same CASE-gated NULL branch, same
+    integer arithmetic — values identical (oracle-gated).
     """
-    p = F.col(payload_col)
+    p = f"`{payload_col}`"
     is_wav = (
-        (F.hex(F.substring(p, 1, 4)) == "52494646")     # RIFF
-        & (F.hex(F.substring(p, 9, 4)) == "57415645")   # WAVE
-        & (F.hex(F.substring(p, 13, 4)) == "666D7420")  # 'fmt '
-        & (F.hex(F.substring(p, 37, 4)) == "64617461")  # data
+        f"(hex(substring({p}, 1, 4)) = '52494646'"       # RIFF
+        f" AND hex(substring({p}, 9, 4)) = '57415645'"   # WAVE
+        f" AND hex(substring({p}, 13, 4)) = '666D7420'"  # 'fmt '
+        f" AND hex(substring({p}, 37, 4)) = '64617461')"  # data
     )
-    channels = _le_uint(p, 23, 2)
-    rate = _le_uint(p, 25, 4)
-    bits = _le_uint(p, 35, 2)
-    data_size = _le_uint(p, 41, 4)
-    denom = rate * channels * bits
-    duration_ms = F.floor(data_size * F.lit(8000).cast("long") / denom)
-    null = F.lit(None).cast("long")
-    return df.select(
-        F.col(id_col),
-        is_wav.alias("is_wav"),
-        F.when(is_wav, channels).otherwise(null).alias("channels"),
-        F.when(is_wav, rate).otherwise(null).alias("sample_rate"),
-        F.when(is_wav, bits).otherwise(null).alias("bits_per_sample"),
-        F.when(is_wav, data_size).otherwise(null).alias("data_size"),
-        F.when(is_wav, duration_ms).otherwise(null).alias("duration_ms"),
+    channels = _le_uint_sql(p, 23, 2)
+    rate = _le_uint_sql(p, 25, 4)
+    bits = _le_uint_sql(p, 35, 2)
+    data_size = _le_uint_sql(p, 41, 4)
+    duration_ms = (
+        f"floor({data_size} * CAST(8000 AS BIGINT)"
+        f" / ({rate} * {channels} * {bits}))"
+    )
+
+    def gated(expr: str, name: str) -> str:
+        return (
+            f"CASE WHEN {is_wav} THEN {expr}"
+            f" ELSE CAST(NULL AS BIGINT) END AS {name}"
+        )
+
+    return df.selectExpr(
+        f"`{id_col}`",
+        f"{is_wav} AS is_wav",
+        gated(channels, "channels"),
+        gated(rate, "sample_rate"),
+        gated(bits, "bits_per_sample"),
+        gated(data_size, "data_size"),
+        gated(duration_ms, "duration_ms"),
     )
 
 

@@ -5414,14 +5414,15 @@ def approx_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _le_hex(v, nbytes: int):
-    """Hex string of ``v`` in little-endian byte order (RIFF fields)."""
-    return F.concat(
-        *[
-            F.lpad(F.hex((v.cast("long") / (1 << (8 * i))).cast("long") % 256), 2, "0")
-            for i in range(nbytes)
-        ]
-    )
+def _le_hex_sql(v: str, nbytes: int) -> str:
+    """Hex string of ``v`` in little-endian byte order (RIFF fields) as
+    SQL text — the r11 py4j-batching class: the Column spelling of the
+    9-field WAV synthesis built ~150 Column objects per construction."""
+    return "concat(" + ", ".join(
+        f"lpad(hex(CAST(CAST(({v}) AS BIGINT) / {1 << (8 * i)} AS BIGINT)"
+        " % 256), 2, '0')"
+        for i in range(nbytes)
+    ) + ")"
 
 
 @query(
@@ -5457,30 +5458,30 @@ def _le_hex(v, nbytes: int):
 )
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    did = F.col("doc_id")
-    c = (F.lit(1) + did % 2).cast("long")
+    c = "CAST(1 + doc_id % 2 AS BIGINT)"
     r = (
-        F.when(did % 4 == 0, 8000)
-        .when(did % 4 == 1, 16000)
-        .when(did % 4 == 2, 44100)
-        .otherwise(48000)
-    ).cast("long")
-    ds = (F.lit(1000) + (did * 37) % 100000).cast("long")
-    wav_hex = F.concat(
-        F.lit("52494646"), _le_hex(ds + 36, 4),      # RIFF + chunk size
-        F.lit("57415645"),                            # WAVE
-        F.lit("666D7420"), _le_hex(F.lit(16), 4),     # 'fmt ' + size 16
-        _le_hex(F.lit(1), 2),                         # PCM
-        _le_hex(c, 2), _le_hex(r, 4),                 # channels, rate
-        _le_hex(r * c * 2, 4),                        # byte rate
-        _le_hex(c * 2, 2), _le_hex(F.lit(16), 2),     # block align, bits
-        F.lit("64617461"), _le_hex(ds, 4),            # data + size
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 8000"
+        " WHEN doc_id % 4 = 1 THEN 16000"
+        " WHEN doc_id % 4 = 2 THEN 44100"
+        " ELSE 48000 END AS BIGINT)"
     )
-    payload = F.unhex(
-        F.when(did % 5 == 0, F.lit("89504E470D0A1A0A")).otherwise(wav_hex)
+    ds = "CAST(1000 + (doc_id * 37) % 100000 AS BIGINT)"
+    wav_hex = "concat(" + ", ".join([
+        "'52494646'", _le_hex_sql(f"{ds} + 36", 4),   # RIFF + chunk size
+        "'57415645'",                                 # WAVE
+        "'666D7420'", _le_hex_sql("16", 4),           # 'fmt ' + size 16
+        _le_hex_sql("1", 2),                          # PCM
+        _le_hex_sql(c, 2), _le_hex_sql(r, 4),         # channels, rate
+        _le_hex_sql(f"{r} * {c} * 2", 4),             # byte rate
+        _le_hex_sql(f"{c} * 2", 2), _le_hex_sql("16", 2),  # align, bits
+        "'64617461'", _le_hex_sql(ds, 4),             # data + size
+    ]) + ")"
+    payload = (
+        "unhex(CASE WHEN doc_id % 5 = 0 THEN '89504E470D0A1A0A'"
+        f" ELSE {wav_hex} END)"
     )
     return multimodal.audio_meta(
-        docs.select("doc_id", payload.alias("payload")),
+        docs.selectExpr("doc_id", f"{payload} AS payload"),
         payload_col="payload", id_col="doc_id",
     )
 
