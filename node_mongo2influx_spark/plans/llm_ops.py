@@ -2732,7 +2732,6 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(vecf.usable_vector_sql("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
-    dot = similarity._dot
     # Single-pass formulation (r6 session 3): at probe query counts the
     # input is tiny, so the cost is plan DEPTH, not data. Candidacy
     # ("shares any (table, bucket)") is a per-PAIR expression over the
@@ -2743,11 +2742,16 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a candidate row exactly its candidate rank. Selection is
     # unchanged (same dots, same tie-breaks) — the hash-matched oracle
     # keeps the original two-subtree spelling.
-    buckets = F.array(
-        *[
-            F.expr(_lsh_probe_bucket_sql(t, "emb", spark_side=True))
-            for t in range(_LSH_PROBE_TABLES)
-        ]
+    # Projections and the pair score spelled as SQL text (the r11
+    # py4j-batching class — same expressions, same fold order as the
+    # lambda-built Columns they replace; oracle-gated identical).
+    buckets_sql = "array(" + ", ".join(
+        _lsh_probe_bucket_sql(t, "emb", spark_side=True)
+        for t in range(_LSH_PROBE_TABLES)
+    ) + ")"
+    norm_sql = (
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
     # Per-side norms and buckets evaluated ONCE per corpus row and
     # materialized (localCheckpoint): __vn is expensive but
@@ -2760,33 +2764,31 @@ def lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from node_mongo2influx_spark.functions.skew import ensure_min_partitions
 
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    corpus = ensure_min_partitions(emb, width).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("vemb"),
-        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__vn"),
-        buckets.alias("vb"),
+    corpus = ensure_min_partitions(emb, width).selectExpr(
+        "vec_id AS neighbor_id",
+        "emb AS vemb",
+        f"{norm_sql} AS __vn",
+        f"{buckets_sql} AS vb",
     ).localCheckpoint(eager=True)
-    qside = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__qn"),
-        buckets.alias("qb"),
+    qside = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id",
+        "emb AS qemb",
+        f"{norm_sql} AS __qn",
+        f"{buckets_sql} AS qb",
     )
-    cos = dot(F.col("qemb"), F.col("vemb")) / (
-        F.col("__qn") * F.col("__vn")
+    is_cand_sql = " OR ".join(
+        f"qb[{t}] = vb[{t}]" for t in range(_LSH_PROBE_TABLES)
     )
-    is_cand = None
-    for t in range(_LSH_PROBE_TABLES):
-        eq = F.col("qb")[t] == F.col("vb")[t]
-        is_cand = eq if is_cand is None else (is_cand | eq)
     scored = (
         F.broadcast(qside)
         .join(corpus, F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cos.alias("__s"),
-            is_cand.alias("__c"),
+            "aggregate(zip_with(qemb, vemb, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            " / (__qn * __vn) AS __s",
+            f"({is_cand_sql}) AS __c",
         )
     )
     w_e = Window.partitionBy("query_id").orderBy(
@@ -2914,7 +2916,6 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(vecf.usable_vector_sql("embedding")))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
-    dot = similarity._dot
     m, dsub, n_codes = 8, 8, 16
     # Single-pass formulation (r6 session 3): the codebook is by
     # construction the subspace slices of the FIRST 16 vectors, so it is
@@ -3026,21 +3027,29 @@ def pq_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    qfeat = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("__qn"),
+    qfeat = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id",
+        "emb AS qemb",
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS __qn",
     )
+
     # ADC: approx dot against the reconstruction, EXACT corpus norms
-    denom = F.col("__qn") * F.col("__vn")
+    # (SQL-text spelling — the same folds the lambda Columns built)
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
     scored = (
         F.broadcast(qfeat)
         .join(corpus, F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qemb"), F.col("vemb")) / denom).alias("__se"),
-            (dot(F.col("qemb"), F.col("rvec")) / denom).alias("__sa"),
+            f"{_dot_sql('qemb', 'vemb')} / (__qn * __vn) AS __se",
+            f"{_dot_sql('qemb', 'rvec')} / (__qn * __vn) AS __sa",
         )
     )
     w_e = Window.partitionBy("query_id").orderBy(
