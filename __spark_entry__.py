@@ -482,6 +482,10 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     ("hll_portable_distinct", 11),
     ("sliding_distinct_hll", 11),
     ("source_overlap_hll", 11),
+    # optimization round session 4: the WAV synthesis + parse respelled
+    # as SQL text (values identical — outputs compared row-for-row at
+    # sf0.1 and hash-green at all three SFs — but the code changed).
+    ("multimodal_audio_meta", 11),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -417,3 +417,49 @@ def test_real_mode_survives_corrupt_payloads(spark):
         for r in multimodal.resize_images(df, mode="real").collect()
     }
     assert thumbs[0] == "unsupported" and thumbs[1] == "unsupported"
+
+
+def test_audio_meta_parses_struct_built_headers(spark):
+    # Focused witness for the r11 SQL-text respelling of audio_meta:
+    # headers built with Python struct (ground truth independent of the
+    # expression spelling), plus the NULL-gated branches (non-WAV magic,
+    # NULL payload). Field offsets: channels@23 u16, rate@25 u32,
+    # bits@35 u16, data@41 u32, all little-endian.
+    import struct
+
+    def wav(ch: int, rate: int, bits: int, data: int) -> bytes:
+        block = ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack(
+                "<HHIIHH", 1, ch, rate, rate * block, block, bits
+            )
+            + b"data" + struct.pack("<I", data)
+        )
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wav(2, 44100, 16, 88200))),
+            (1, bytearray(wav(1, 8000, 16, 4000))),
+            # u32 data size with the high bit set: must read unsigned
+            (2, bytearray(wav(1, 48000, 16, 0x80000001))),
+            (3, bytearray(b"\x89PNG\r\n\x1a\x0a")),  # non-WAV magic
+            (4, None),  # NULL payload
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.audio_meta(df).collect()}
+    r0 = out[0]
+    assert r0["is_wav"] and r0["channels"] == 2 and r0["sample_rate"] == 44100
+    assert r0["bits_per_sample"] == 16 and r0["data_size"] == 88200
+    # 88200 bytes / (44100 * 2 ch * 16 bit / 8000) = 500 ms exactly
+    assert r0["duration_ms"] == 500
+    r1 = out[1]
+    assert r1["is_wav"] and r1["duration_ms"] == 250
+    r2 = out[2]
+    assert r2["data_size"] == 0x80000001  # unsigned, not sign-extended
+    assert r2["duration_ms"] == (0x80000001 * 8000) // (48000 * 1 * 16)
+    assert not out[3]["is_wav"] and out[3]["channels"] is None
+    assert out[3]["duration_ms"] is None
+    assert not out[4]["is_wav"] and out[4]["data_size"] is None
