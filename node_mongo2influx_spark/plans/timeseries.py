@@ -614,7 +614,26 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
                    AS close,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(k) AS BIGINT) AS volume,
-               floor(sum(value * k) / nullif(sum(k), 0) * 1e4 + 5e-1) / 1e4
+               -- order-canonical weighted sum (r11 session 4): a plain
+               -- sum(value * k) is a DOUBLE reduction whose combine
+               -- order varies with parallel scan scheduling over
+               -- multi-split inputs — a group whose mean sits exactly
+               -- on the 1e-4 boundary (77.29125, caught flapping by
+               -- tools/oracle_flap_check.py on the combo_label sweep)
+               -- then rounds differently run to run, in EITHER engine.
+               -- Folding the SORTED terms left-to-right is run- and
+               -- engine-deterministic; list_reduce(list_prepend(0.0,..))
+               -- is the r10 exact-fold idiom, and the IS NULL guard
+               -- keeps the all-NULL group -> NULL sum semantics.
+               floor((CASE WHEN list(value * k ORDER BY value * k)
+                                FILTER (WHERE value * k IS NOT NULL)
+                                IS NULL
+                      THEN NULL
+                      ELSE list_reduce(list_prepend(0.0,
+                               list(value * k ORDER BY value * k)
+                               FILTER (WHERE value * k IS NOT NULL)),
+                               (a, x) -> a + x) END)
+                     / nullif(sum(k), 0) * 1e4 + 5e-1) / 1e4
                    AS vwap
         FROM (SELECT * REPLACE (
                   CASE WHEN isfinite(value) THEN value END AS value),
@@ -663,9 +682,27 @@ def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — matches the oracle's nullif and survives ANSI mode.
         # stable_round, not round(): weighted sums land on .xxxx5
         # boundaries where the engines' round() disagree (caught by the
-        # ts-nullified sweep's value mix)
+        # ts-nullified sweep's value mix).
+        # Order-canonical weighted sum (r11 session 4): sum(value * k)
+        # is a DOUBLE reduction whose partial-combine order varies with
+        # scan task scheduling over multi-split inputs — a group whose
+        # mean sits bit-exactly on the 1e-4 boundary then flips the
+        # rounded value run to run (caught by tools/oracle_flap_check.py
+        # on the combo_label sweep: 77.29125 -> 77.2912/77.2913). The
+        # sorted-terms left fold is run- and engine-deterministic; the
+        # size guard keeps the all-NULL group -> NULL sum semantics
+        # (collect_list drops NULL terms, so [] means no valid terms).
         stable_round(
-            F.try_divide(F.sum(F.col("value") * F.col("k")), F.sum("k")), 4
+            F.try_divide(
+                F.expr(
+                    "CASE WHEN size(array_sort(collect_list(value * k)))"
+                    " = 0 THEN CAST(NULL AS DOUBLE)"
+                    " ELSE aggregate(array_sort(collect_list(value * k)),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x) END"
+                ),
+                F.sum("k"),
+            ),
+            4,
         ).alias("vwap"),
     )
 
