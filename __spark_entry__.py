@@ -486,6 +486,11 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # as SQL text (values identical — outputs compared row-for-row at
     # sf0.1 and hash-green at all three SFs — but the code changed).
     ("multimodal_audio_meta", 11),
+    # optimization round session 4: VWAP numerator respelled as the
+    # order-canonical sorted-terms fold on both sides (fixes the
+    # run-order flap oracle_flap_check witnessed on multi-split input;
+    # hash-green at all three SFs and every hostile fixture re-run).
+    ("ohlc_vwap_hourly", 11),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -692,6 +692,11 @@ def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sorted-terms left fold is run- and engine-deterministic; the
         # size guard keeps the all-NULL group -> NULL sum semantics
         # (collect_list drops NULL terms, so [] means no valid terms).
+        # State trade: O(rows per (series, hour) bar) per group instead
+        # of the sum's O(1) — bounded by the bar granularity this query
+        # declares, the price of an exactly-reproducible DOUBLE total
+        # (integer-cents lattices, the repo's usual dodge, cannot
+        # represent an arbitrary measure).
         stable_round(
             F.try_divide(
                 F.expr(
