@@ -4,7 +4,17 @@ local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line: {"metric", "value" (total seconds), "unit", "queries"
 (per-query seconds), "sf"}. Each query is executed to completion with a
 full materialization (noop write / collect for small results) — scan,
-shuffle, and sink cost all included; nothing is cached between queries.
+shuffle, and sink cost all included. The session cache is CLEARED between
+reps (r12, VERDICT r11 #3): operators that persist() a reused vocab-sized
+aggregate inside one execution would otherwise serve reps 2..n from rep 1's
+cache, so every recorded rep is a full execution from the parquet inputs.
+The JSON line also echoes "cpus" (the $SPARK_GRAFT_CPUS contract input) and
+"parallelism" (sc.defaultParallelism as actually applied), plus a
+"scale_probe_shuffle" entry in "queries": a deterministic 40M-row
+explode+hash-aggregate over the events parquet whose wall is
+parallelism-bound at sf0.1, so a lower-core run is legible in the data
+(VERDICT r11 #2) — the 14 original headline entries and "value" are
+unchanged in meaning.
 """
 
 from __future__ import annotations
@@ -203,6 +213,14 @@ def main() -> None:
                 # Full materialization, no driver transfer for big results.
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.monotonic() - t0)
+                # Rep hygiene (r12, VERDICT r11 #3): operators persist()
+                # vocab-sized aggregates reused WITHIN one execution;
+                # Spark's CacheManager matches by analyzed plan, so the
+                # next rep's identical plan would read rep 1's cache and
+                # the recorded min/median would measure a warm-cache
+                # execution. Clear between reps — outside the timed
+                # region — so each rep pays its full cost.
+                spark.catalog.clearCache()
             times[name] = round(sorted(runs)[len(runs) // 2], 3)
             mins[name] = round(min(runs), 3)
             print(
@@ -213,6 +231,53 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
         return times, mins
 
+    def run_scale_probe(reps=3):
+        """Scaling legibility (r12, VERDICT r11 #2): every real query at
+        sf0.1 is overhead-bound, so the driver's lower-core bench run
+        cannot tell from the data whether SPARK_GRAFT_CPUS took effect.
+        This probe is parallelism-bound BY CONSTRUCTION: the events
+        parquet (100k rows at sf0.1) is spread to defaultParallelism
+        (the single-split scan would otherwise run the whole explode on
+        one core — the r11 §2.5 class), exploded 400× to 40M rows,
+        xxhash re-keyed (deterministic — guide §2.5 bans rand-derived
+        keys) and hash-aggregated through one shuffle. Computed from the
+        parquet inputs each rep, nothing cached; its 8-core/32-core wall
+        ratio tracks the machine's measured parallel ceiling (~1.9× on
+        this ~22-effective-core host — a 400M-row pure-CPU control shows
+        the same 1.8×, OPTIMIZATION_r12.md), which no 0.3 s query here
+        can show."""
+        probe_runs = []
+        par = spark.sparkContext.defaultParallelism
+        spark.sparkContext.setJobDescription("bench: scale_probe_shuffle")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            ev = spark.read.parquet(f"{SF_DIR.rstrip('/')}/events.parquet")
+            (
+                ev.selectExpr("event_id", "value")
+                .repartition(par)
+                .selectExpr(
+                    "explode(sequence(0, 399)) AS i", "event_id", "value"
+                )
+                .selectExpr(
+                    "pmod(xxhash64(event_id * 400 + i), 1000003) AS k",
+                    "value",
+                )
+                .groupBy("k")
+                .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            probe_runs.append(time.monotonic() - t0)
+        spark.sparkContext.setJobDescription(None)
+        med = round(sorted(probe_runs)[len(probe_runs) // 2], 3)
+        mn = round(min(probe_runs), 3)
+        print(
+            f"# scale_probe_shuffle: median {med}s min {mn}s (n={reps})",
+            file=sys.stderr,
+        )
+        return med, mn
+
     times, mins = run_set(HEADLINE, reps=7)
     ext_times, ext_mins = run_set(EXTENDED)
     r4_times, r4_mins = run_set(EXTENDED_R4)
@@ -221,8 +286,15 @@ def main() -> None:
     r5_times, r5_mins = run_set(EXTENDED_R5)
     r6_times, r6_mins = run_set(EXTENDED_R6)
     r6b_times, r6b_mins = run_set(EXTENDED_R6B)
+    probe_med, probe_min = run_scale_probe()
 
     total = round(sum(times.values()), 3)
+    # "value" stays the sum of the 14 original headline queries (series
+    # comparability); the probe is an ADDED "queries" entry (the contract
+    # allows additions) so the driver's low-core face has a
+    # parallelism-bound ratio to read.
+    times["scale_probe_shuffle"] = probe_med
+    mins["scale_probe_shuffle"] = probe_min
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "headline_queries_total_wall",
@@ -254,6 +326,8 @@ def main() -> None:
         "extended_r6b_total": round(sum(r6b_times.values()), 3),
         "headline_reps": 7,
         "canary": canary,
+        "cpus": int(CPUS) if str(CPUS).isdigit() else CPUS,
+        "parallelism": spark.sparkContext.defaultParallelism,
         "sf": sf_val,
     }
     # Canary-normalized per-query ratios (round 8, VERDICT r7 #8): every
@@ -295,6 +369,8 @@ def main() -> None:
                 "extended_r6b_total": detail["extended_r6b_total"],
                 "headline_reps": 7,
                 "canary": canary["jvm_min"],
+                "cpus": detail["cpus"],
+                "parallelism": detail["parallelism"],
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             },
