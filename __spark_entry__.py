@@ -491,6 +491,12 @@ _CHANGED_SINCE_GREEN: tuple[tuple[str, int], ...] = (
     # run-order flap oracle_flap_check witnessed on multi-split input;
     # hash-green at all three SFs and every hostile fixture re-run).
     ("ohlc_vwap_hourly", 11),
+    # round 12 (VERDICT r11 #4): VWAP numerator moved from the
+    # sorted-terms collect_list fold to the exact-integer 1e-6-lattice
+    # sum on both sides — O(1) aggregation state, deterministic in any
+    # combine order; re-verified hash-green at all three SFs, flap-audit
+    # 1 hash in 8 reps, hostile sweeps re-run.
+    ("ohlc_vwap_hourly", 12),
 )
 
 #: Pinned prefix: highest-evidence-value driver rows this round. Kept

@@ -614,25 +614,31 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
                    AS close,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(k) AS BIGINT) AS volume,
-               -- order-canonical weighted sum (r11 session 4): a plain
-               -- sum(value * k) is a DOUBLE reduction whose combine
-               -- order varies with parallel scan scheduling over
+               -- order-canonical weighted sum, r12 spelling (VERDICT r11
+               -- #4): a plain sum(value * k) is a DOUBLE reduction whose
+               -- combine order varies with parallel scan scheduling over
                -- multi-split inputs — a group whose mean sits exactly
                -- on the 1e-4 boundary (77.29125, caught flapping by
                -- tools/oracle_flap_check.py on the combo_label sweep)
                -- then rounds differently run to run, in EITHER engine.
-               -- Folding the SORTED terms left-to-right is run- and
-               -- engine-deterministic; list_reduce(list_prepend(0.0,..))
-               -- is the r10 exact-fold idiom, and the IS NULL guard
-               -- keeps the all-NULL group -> NULL sum semantics.
-               floor((CASE WHEN list(value * k ORDER BY value * k)
-                                FILTER (WHERE value * k IS NOT NULL)
-                                IS NULL
-                      THEN NULL
-                      ELSE list_reduce(list_prepend(0.0,
-                               list(value * k ORDER BY value * k)
-                               FILTER (WHERE value * k IS NOT NULL)),
-                               (a, x) -> a + x) END)
+               -- r11 fixed it by folding the SORTED terms (list(...)),
+               -- which is O(rows per bar) aggregation state — a hot bar
+               -- at 100 TB is a memory hazard. This spelling is the
+               -- repo's exact-integer idiom instead (CLAUDE.md round 2,
+               -- q7): each term quantized to the 1e-6 lattice (identical
+               -- IEEE ops both engines), summed as exact integers —
+               -- deterministic in ANY combine order with O(1) state.
+               -- Groups whose term magnitude exceeds the int64-safe
+               -- lattice (>1e12, where floor()'s LONG return would
+               -- saturate in Spark — r10 trap) fall back to the plain
+               -- double sum, documented as outside the deterministic
+               -- contract; count(...)=0 keeps all-NULL -> NULL.
+               floor((CASE
+                      WHEN count(value * k) = 0 THEN NULL
+                      WHEN max(abs(value * k)) <= 1e12
+                      THEN CAST(sum(CAST(floor(value * k * 1e6 + 5e-1)
+                                         AS HUGEINT)) AS DOUBLE) / 1e6
+                      ELSE sum(value * k) END)
                      / nullif(sum(k), 0) * 1e4 + 5e-1) / 1e4
                    AS vwap
         FROM (SELECT * REPLACE (
@@ -655,8 +661,13 @@ def range_join_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "(ts, event_id, value) struct compared lexicographically in both "
     "engines — a bare first()/arg_min(ts) is nondeterministic under "
     "duplicate timestamps, which real event feeds always have. Volume "
-    "weight comes from the props JSON. One map-side-combined shuffle on "
-    "(series, hour); every aggregate is a pure Column expression.",
+    "weight comes from the props JSON. The VWAP numerator is the "
+    "exact-integer idiom: terms quantized to the 1e-6 lattice and summed "
+    "as exact integers, so the DOUBLE total is reproducible under ANY "
+    "partial-combine order with O(1) aggregation state (r12; r11's "
+    "sorted-terms collect_list fold was order-canonical but buffered "
+    "O(rows per bar)). One map-side-combined shuffle on (series, hour); "
+    "every aggregate is constant-state.",
 )
 def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume weight under the INT_SHAPE contract (functions/jsonpath.py)
@@ -683,27 +694,35 @@ def ohlc_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stable_round, not round(): weighted sums land on .xxxx5
         # boundaries where the engines' round() disagree (caught by the
         # ts-nullified sweep's value mix).
-        # Order-canonical weighted sum (r11 session 4): sum(value * k)
-        # is a DOUBLE reduction whose partial-combine order varies with
-        # scan task scheduling over multi-split inputs — a group whose
-        # mean sits bit-exactly on the 1e-4 boundary then flips the
-        # rounded value run to run (caught by tools/oracle_flap_check.py
-        # on the combo_label sweep: 77.29125 -> 77.2912/77.2913). The
-        # sorted-terms left fold is run- and engine-deterministic; the
-        # size guard keeps the all-NULL group -> NULL sum semantics
-        # (collect_list drops NULL terms, so [] means no valid terms).
-        # State trade: O(rows per (series, hour) bar) per group instead
-        # of the sum's O(1) — bounded by the bar granularity this query
-        # declares, the price of an exactly-reproducible DOUBLE total
-        # (integer-cents lattices, the repo's usual dodge, cannot
-        # represent an arbitrary measure).
+        # Order-canonical weighted sum, r12 spelling (VERDICT r11 #4):
+        # sum(value * k) is a DOUBLE reduction whose partial-combine
+        # order varies with scan task scheduling over multi-split inputs
+        # — a group whose mean sits bit-exactly on the 1e-4 boundary then
+        # flips the rounded value run to run (caught by
+        # tools/oracle_flap_check.py on the combo_label sweep: 77.29125
+        # -> 77.2912/77.2913). r11's sorted-terms fold (collect_list +
+        # array_sort) was run-deterministic but buffered O(rows per bar)
+        # per group — a hot bar at 100 TB is an executor-memory hazard.
+        # This is the repo's exact-integer idiom instead (CLAUDE.md
+        # round 2, q7): each term quantized to the 1e-6 lattice with
+        # floor(term * 1e6 + 5e-1) — identical IEEE ops in both engines —
+        # and summed as exact integers (DECIMAL(38,0) here, HUGEINT in
+        # the oracle: same integers, same double cast), deterministic in
+        # ANY combine order with O(1) aggregation state. The lattice is
+        # int64-safe only for |term| <= 1e12 (Spark floor() returns LONG
+        # and saturates — r10 trap); larger-magnitude groups fall back
+        # to the plain double sum, outside the deterministic contract
+        # (no fixture reaches it; oracle_flap_check gates the registry).
+        # count(...) = 0 keeps the all-NULL group -> NULL.
         stable_round(
             F.try_divide(
                 F.expr(
-                    "CASE WHEN size(array_sort(collect_list(value * k)))"
-                    " = 0 THEN CAST(NULL AS DOUBLE)"
-                    " ELSE aggregate(array_sort(collect_list(value * k)),"
-                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x) END"
+                    "CASE"
+                    " WHEN count(value * k) = 0 THEN CAST(NULL AS DOUBLE)"
+                    " WHEN max(abs(value * k)) <= 1e12"
+                    " THEN CAST(sum(CAST(floor(value * k * 1e6 + 5e-1)"
+                    " AS DECIMAL(38,0))) AS DOUBLE) / 1e6"
+                    " ELSE sum(value * k) END"
                 ),
                 F.sum("k"),
             ),
