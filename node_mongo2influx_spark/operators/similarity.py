@@ -2174,35 +2174,50 @@ def _ivfpq_probe_table(
     n_probe_eff: int,
 ) -> DataFrame:
     """(query_id, cell, qvec) probe table: each query row replicated to
-    its n_probe nearest coarse cells, assigned on the EXECUTORS (the
-    same cosine-argmax quantizer as the corpus side — one model, both
-    sides). Map-only; nothing query-sized touches the driver."""
+    its n_probe nearest coarse cells — the same cosine-argmax quantizer
+    as the corpus side (one model, both sides). Map-only; nothing
+    query-sized touches the driver.
 
-    def probe_kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            pdf = _nn(pdf)
-            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            if not len(mat):
-                continue
-            qn = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            top = np.argsort(-((mat / qn) @ cents.T), axis=1)[:, :n_probe_eff]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["vid"].to_numpy(), n_probe_eff),
-                    "cell": top.ravel().astype(np.int32),
-                    "qvec": np.repeat(pdf["vec"].to_numpy(), n_probe_eff),
-                }
-            )
-
-    return _spread_kernel_input(
-        queries.selectExpr(
-            f"`{id_col}` AS vid",
-            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
-        )
-    ).mapInPandas(
-        probe_kernel, schema="query_id long, cell int, qvec array<double>"
+    r12 (VERDICT r11 #1): spelled as JVM Column expressions instead of a
+    mapInPandas kernel. The centroid matrix is model-sized, so it rides
+    the expression as ONE constant-folded array<array<double>> literal
+    (the pq_recall_probe codebook pattern) and the per-query top-n_probe
+    assignment is a struct array_sort — guide §4's boundary rule taken to
+    zero: the probe pass costs NO Python stage, no Arrow exchange, and no
+    round-robin spread (kernel parallelism was the input partitioning;
+    an expression needs neither). Scoring ties between distinct cells
+    rank by ascending cell id — identical to the kernel's argsort on the
+    sub-16-element arrays numpy sorts insertion-stable; row-equality vs
+    the kernel spelling verified at all three SFs before the swap."""
+    n_cells = len(cents)
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in cents
+    ) + ")"
+    base = queries.selectExpr(
+        f"CAST(`{id_col}` AS BIGINT) AS query_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS qvec",
+    ).where("qvec IS NOT NULL")  # the kernel's _nn null-row drop
+    # normalized query aliased in its OWN projection: referenced once per
+    # centroid by the scoring fold (the CollapseProject multi-reference
+    # rule); same max(norm, 1e-12) guard as the kernel
+    scored = base.selectExpr(
+        "query_id",
+        "qvec",
+        "transform(qvec, x -> x / greatest("
+        "sqrt(aggregate(qvec, 0.0D, (a, x) -> a + x * x)), 1e-12)) AS __uq",
+    )
+    cells = (
+        f"slice(array_sort(transform(sequence(0, {n_cells - 1}), j -> "
+        f"named_struct('s', 0.0D - aggregate(zip_with(__uq, "
+        f"element_at({cb}, j + 1), (x, y) -> x * y), 0.0D, "
+        f"(a, v) -> a + v), 'c', j))), 1, {n_probe_eff})"
+    )
+    return scored.selectExpr(
+        "query_id", f"{cells} AS __cells", "qvec"
+    ).selectExpr(
+        "query_id",
+        "explode(transform(__cells, p -> CAST(p.c AS INT))) AS cell",
+        "qvec",
     )
 
 
