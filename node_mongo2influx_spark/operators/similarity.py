@@ -819,6 +819,11 @@ def _assign_cells(
     the SAME quantizer — mismatched routing silently loses neighbors
     whose routed cell isn't in the flat probe set."""
     cents = centroids_unit  # closure capture; k × dim, broadcast with the task
+    if tl_index is None and len(cents) <= _SQL_ASSIGN_MAX_CELLS:
+        # r12: flat argmax over a small centroid set — pure expression
+        # work, no Python stage (see _cells_table_sql; argmax ties take
+        # the lowest cell id in both spellings).
+        return _cells_table_sql(base, cents, "vid", "vec", 1, with_vec=False)
     base = _spread_kernel_input(base)
 
     def kernel(batches):
@@ -897,30 +902,44 @@ def knn_cosine_ivf(
 
     n_probe_eff = min(n_probe, len(cents))
 
-    def probe_kernel(batches):
-        import pandas as pd
+    if tl_index is None and len(cents) <= _SQL_ASSIGN_MAX_CELLS:
+        # r12: the n_probe-nearest-cells probe over a small centroid set
+        # is pure expression work — no Python stage (see
+        # _cells_table_sql); SAME quantizer spelling as _assign_cells'
+        # fast path, so corpus and query routing stay co-located.
+        q = _cells_table_sql(
+            queries, cents, id_col, vec_col, n_probe_eff, with_vec=False
+        ).selectExpr("vid AS query_id", "cell")
+    else:
 
-        for pdf in batches:
-            pdf = _nn(pdf)
-            mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            if not len(mat):
-                continue
-            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            # n_probe nearest cells per query, exploded pandas-side (the
-            # probe table is queries × n_probe rows — broadcast-sized);
-            # SAME routing as the corpus side.
-            top = _top_cells(mat / norms, cents, n_probe_eff, tl_index)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["vid"].to_numpy(), n_probe_eff),
-                    "cell": top.ravel().astype(np.int32),
-                }
-            )
+        def probe_kernel(batches):
+            import pandas as pd
 
-    q = queries.selectExpr(
-        f"`{id_col}` AS vid",
-        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
-    ).mapInPandas(probe_kernel, schema="query_id long, cell int")
+            for pdf in batches:
+                pdf = _nn(pdf)
+                mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+                if not len(mat):
+                    continue
+                norms = np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                # n_probe nearest cells per query, exploded pandas-side
+                # (the probe table is queries × n_probe rows —
+                # broadcast-sized); SAME routing as the corpus side.
+                top = _top_cells(mat / norms, cents, n_probe_eff, tl_index)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            pdf["vid"].to_numpy(), n_probe_eff
+                        ),
+                        "cell": top.ravel().astype(np.int32),
+                    }
+                )
+
+        q = queries.selectExpr(
+            f"`{id_col}` AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
+        ).mapInPandas(probe_kernel, schema="query_id long, cell int")
 
     cand = (
         c.join(F.broadcast(q) if bounded else q, "cell")
@@ -1409,12 +1428,24 @@ def cosine_pairs_ivf(
     cell_schema = (
         "vid long, cell int, vec array<double>" if fused else "vid long, cell int"
     )
-    cellt = _spread_kernel_input(
-        df.selectExpr(
-            f"`{id_col}` AS vid",
-            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
+    if tl_index is None and len(cents) <= _SQL_ASSIGN_MAX_CELLS:
+        # r12 (the VERDICT r11 #1 class): flat assignment over a small
+        # centroid set is pure expression work — no Python stage, no
+        # spread exchange (see _cells_table_sql; row-equality vs the
+        # kernel verified at all three SFs + hostile fixtures). The
+        # two-level route and wide centroid sets keep the kernel: the
+        # routed gather is genuine bulk linear algebra, and past 16
+        # cells numpy's argsort tie order is not reproducible in SQL.
+        cellt = _cells_table_sql(
+            df, cents, id_col, vec_col, n_assign_eff, with_vec=fused
         )
-    ).mapInPandas(kernel, schema=cell_schema)
+    else:
+        cellt = _spread_kernel_input(
+            df.selectExpr(
+                f"`{id_col}` AS vid",
+                f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
+            )
+        ).mapInPandas(kernel, schema=cell_schema)
 
     if fused:
         oversized = None
@@ -2166,6 +2197,66 @@ def knn_cosine_ivfpq_batch(
     )
 
 
+#: the cosine-argmax assignment can be spelled as JVM expressions only
+#: while numpy's argsort tie order is reproducible: np.argsort uses
+#: insertion sort (stable) for arrays up to 16 elements, so score ties
+#: between distinct cells rank by ascending cell id in BOTH spellings;
+#: past 16 cells introsort's tie order is arbitrary and the kernel
+#: spelling stays authoritative.
+_SQL_ASSIGN_MAX_CELLS = 16
+
+
+def _cells_table_sql(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_assign: int,
+    with_vec: bool,
+) -> DataFrame:
+    """(vid, cell[, vec]): each row replicated to its ``n_assign``
+    nearest coarse cells — the cosine-argmax quantizer spelled as JVM
+    Column expressions instead of a mapInPandas kernel (r12, VERDICT r11
+    #1). The centroid matrix is model-sized, so it rides the expression
+    as ONE constant-folded array<array<double>> literal (the
+    pq_recall_probe codebook pattern) and the per-row top-n_assign
+    assignment is a struct array_sort — guide §4's boundary rule taken
+    to zero: the assignment costs NO Python stage, no Arrow exchange,
+    and no round-robin spread (kernel parallelism was the input
+    partitioning; an expression needs neither). Callers gate on
+    ``_SQL_ASSIGN_MAX_CELLS`` (tie-order note there) and on the flat
+    quantizer (the two-level route keeps the kernel). Row-equality vs
+    the kernel spelling verified at all three SFs + hostile embedding
+    fixtures before the swap."""
+    n_cells = len(cents)
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in cents
+    ) + ")"
+    base = df.selectExpr(
+        f"CAST(`{id_col}` AS BIGINT) AS vid",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec",
+    ).where("vec IS NOT NULL")  # the kernel's _nn null-row drop
+    # normalized vector aliased in its OWN projection: referenced once
+    # per centroid by the scoring fold (the CollapseProject
+    # multi-reference rule); same max(norm, 1e-12) guard as the kernel
+    scored = base.selectExpr(
+        "vid",
+        "vec",
+        "transform(vec, x -> x / greatest("
+        "sqrt(aggregate(vec, 0.0D, (a, x) -> a + x * x)), 1e-12)) AS __uv",
+    )
+    cells = (
+        f"slice(array_sort(transform(sequence(0, {n_cells - 1}), j -> "
+        f"named_struct('s', 0.0D - aggregate(zip_with(__uv, "
+        f"element_at({cb}, j + 1), (x, y) -> x * y), 0.0D, "
+        f"(a, v) -> a + v), 'c', j))), 1, {min(n_assign, n_cells)})"
+    )
+    out = ["vid", "explode(transform(__cells, p -> CAST(p.c AS INT))) AS cell"]
+    if with_vec:
+        out.append("vec")
+    return scored.selectExpr("vid", f"{cells} AS __cells", "vec").selectExpr(*out)
+
+
 def _ivfpq_probe_table(
     queries: DataFrame,
     cents: np.ndarray,
@@ -2176,49 +2267,13 @@ def _ivfpq_probe_table(
     """(query_id, cell, qvec) probe table: each query row replicated to
     its n_probe nearest coarse cells — the same cosine-argmax quantizer
     as the corpus side (one model, both sides). Map-only; nothing
-    query-sized touches the driver.
-
-    r12 (VERDICT r11 #1): spelled as JVM Column expressions instead of a
-    mapInPandas kernel. The centroid matrix is model-sized, so it rides
-    the expression as ONE constant-folded array<array<double>> literal
-    (the pq_recall_probe codebook pattern) and the per-query top-n_probe
-    assignment is a struct array_sort — guide §4's boundary rule taken to
-    zero: the probe pass costs NO Python stage, no Arrow exchange, and no
-    round-robin spread (kernel parallelism was the input partitioning;
-    an expression needs neither). Scoring ties between distinct cells
-    rank by ascending cell id — identical to the kernel's argsort on the
-    sub-16-element arrays numpy sorts insertion-stable; row-equality vs
-    the kernel spelling verified at all three SFs before the swap."""
-    n_cells = len(cents)
-    cb = "array(" + ", ".join(
-        "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in cents
-    ) + ")"
-    base = queries.selectExpr(
-        f"CAST(`{id_col}` AS BIGINT) AS query_id",
-        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS qvec",
-    ).where("qvec IS NOT NULL")  # the kernel's _nn null-row drop
-    # normalized query aliased in its OWN projection: referenced once per
-    # centroid by the scoring fold (the CollapseProject multi-reference
-    # rule); same max(norm, 1e-12) guard as the kernel
-    scored = base.selectExpr(
-        "query_id",
-        "qvec",
-        "transform(qvec, x -> x / greatest("
-        "sqrt(aggregate(qvec, 0.0D, (a, x) -> a + x * x)), 1e-12)) AS __uq",
-    )
-    cells = (
-        f"slice(array_sort(transform(sequence(0, {n_cells - 1}), j -> "
-        f"named_struct('s', 0.0D - aggregate(zip_with(__uq, "
-        f"element_at({cb}, j + 1), (x, y) -> x * y), 0.0D, "
-        f"(a, v) -> a + v), 'c', j))), 1, {n_probe_eff})"
-    )
-    return scored.selectExpr(
-        "query_id", f"{cells} AS __cells", "qvec"
-    ).selectExpr(
-        "query_id",
-        "explode(transform(__cells, p -> CAST(p.c AS INT))) AS cell",
-        "qvec",
-    )
+    query-sized touches the driver. Spelled as JVM expressions via
+    :func:`_cells_table_sql` (r12): the probe pass costs no Python
+    stage. IVFPQ cell counts are bounded by the LUT geometry (the
+    registered paths use 16), within the SQL-assign tie contract."""
+    return _cells_table_sql(
+        queries, cents, id_col, vec_col, n_probe_eff, with_vec=True
+    ).selectExpr("vid AS query_id", "cell", "vec AS qvec")
 
 
 def _ivfpq_batch_candidates(
